@@ -1,0 +1,201 @@
+"""Decoder-only transformer model family.
+
+TPU-native equivalents of reference ``minitorch/modules_transfomer.py``:
+``MultiHeadAttention:19-230``, ``FeedForward:233-276``,
+``TransformerLayer:279-362``, ``DecoderLM:365-470``.
+
+Differences by design (documented against SURVEY.md §2 defect list):
+
+* One model definition, three attention paths selected by ``attn_impl``:
+  ``"flash"`` (Pallas flash-attention kernel), ``"fused_softmax"`` (op-graph
+  matmuls + Pallas fused masked softmax -- the reference's
+  ``use_fused_kernel`` path), and ``"reference"`` (pure jnp op-graph).  The
+  reference's mis-wired positional flag plumbing
+  (modules_transfomer.py:309-311,409-420) is replaced by this single kwarg.
+* ``n_layer`` is a constructor argument (the reference hard-codes 4 layers).
+* Dropout consumes explicit PRNG keys; eval mode and ``key=None`` are
+  deterministic.
+* The causal mask is generated in-kernel from iota, never materialised as a
+  (B,H,T,T) HBM tensor (reference modules_transfomer.py:63-71).
+* Weight layouts are MXU-friendly: QKV projections can run as one fused
+  (n_embd, 3*n_embd) matmul.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..module import Module
+from ..nn import functional as F
+from ..nn.basic import Dropout, Embedding, FusedLayerNorm, LayerNorm1d, Linear
+from ..ops.flash_attention import flash_attention, flash_attention_reference
+from ..ops.softmax import attn_softmax
+
+Array = jax.Array
+
+AttnImpl = Literal["flash", "fused_softmax", "reference"]
+
+
+def _split(key: Optional[jax.Array], n: int):
+    if key is None:
+        return [None] * n
+    return list(jax.random.split(key, n))
+
+
+class MultiHeadAttention(Module):
+    """Multi-head (optionally causal) self-attention.
+
+    Mirrors reference ``MultiHeadAttention`` (modules_transfomer.py:19-230):
+    four Linear projections, scores scaled by 1/sqrt(attn_hidden_dim),
+    head split/merge via reshape+transpose.
+    """
+
+    def __init__(self, n_embd: int, n_head: int, causal: bool = False,
+                 p_dropout: float = 0.1, bias: bool = True, *,
+                 attn_impl: AttnImpl = "flash", key: jax.Array,
+                 dtype=jnp.float32):
+        assert n_embd % n_head == 0
+        self.n_embd = n_embd
+        self.n_head = n_head
+        self.causal = causal
+        self.attn_hidden_dim = n_embd // n_head
+        self.attn_impl = attn_impl
+        kq, kk, kv, ko = jax.random.split(key, 4)
+        self.q_projection = Linear(n_embd, n_embd, bias, key=kq, dtype=dtype)
+        self.k_projection = Linear(n_embd, n_embd, bias, key=kk, dtype=dtype)
+        self.v_projection = Linear(n_embd, n_embd, bias, key=kv, dtype=dtype)
+        self.out_projection = Linear(n_embd, n_embd, bias, key=ko, dtype=dtype)
+        self.dropout = Dropout(p_dropout)
+
+    def project_to_query_key_value(self, x: Array):
+        """(B,S,E) -> q,k,v each (B,nh,S,hd) (reference :73-107)."""
+        bs, seq, _ = x.shape
+
+        def proj(lin: Linear) -> Array:
+            y = lin(x)  # (B,S,E)
+            y = y.reshape(bs, seq, self.n_head, self.attn_hidden_dim)
+            return y.transpose(0, 2, 1, 3)
+
+        return proj(self.q_projection), proj(self.k_projection), proj(self.v_projection)
+
+    def self_attention(self, q: Array, k: Array, v: Array) -> Array:
+        """softmax(q k^T / sqrt(hd)) v -> (B,S,E) (reference :109-202)."""
+        bs, nh, seq, hd = q.shape
+        if self.attn_impl == "flash":
+            out = flash_attention(q, k, v, self.causal)
+        elif self.attn_impl == "fused_softmax":
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+            w = attn_softmax(s, None, self.causal)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        else:
+            out = flash_attention_reference(q, k, v, self.causal)
+        return out.transpose(0, 2, 1, 3).reshape(bs, seq, self.n_embd)
+
+    def forward(self, x: Array, key: Optional[jax.Array] = None) -> Array:
+        q, k, v = self.project_to_query_key_value(x)
+        attn = self.self_attention(q, k, v)
+        return self.out_projection(attn)
+
+
+class FeedForward(Module):
+    """GELU MLP n_embd -> middle_dim -> n_embd (reference :233-276)."""
+
+    def __init__(self, n_embd: int, middle_dim: int = 256, p_dropout: float = 0.1,
+                 bias: bool = True, *, key: jax.Array, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        self.linear_in = Linear(n_embd, middle_dim, bias, key=k1, dtype=dtype)
+        self.linear_out = Linear(middle_dim, n_embd, bias, key=k2, dtype=dtype)
+        self.dropout = Dropout(p_dropout)
+
+    def forward(self, x: Array, key: Optional[jax.Array] = None) -> Array:
+        x = F.GELU(self.linear_in(x))
+        return self.dropout(self.linear_out(x), key=key)
+
+
+class TransformerLayer(Module):
+    """Pre-LN transformer layer (reference :279-362).
+
+    ln_1 -> causal MHA -> residual -> ln_2 -> FFN -> residual.
+    ``use_fused_layernorm`` picks the Pallas fused LN (reference's
+    FusedLayerNorm path) over the op-graph LayerNorm1d.
+    """
+
+    def __init__(self, n_embd: int, n_head: int, p_dropout: float = 0.1,
+                 ln_eps: float = 1e-5, bias: bool = True, *,
+                 middle_dim: int = 256,
+                 attn_impl: AttnImpl = "flash",
+                 use_fused_layernorm: bool = True,
+                 key: jax.Array, dtype=jnp.float32):
+        ka, kf = jax.random.split(key)
+        self.attention = MultiHeadAttention(
+            n_embd, n_head, causal=True, p_dropout=p_dropout, bias=bias,
+            attn_impl=attn_impl, key=ka, dtype=dtype,
+        )
+        self.ff = FeedForward(n_embd, middle_dim, p_dropout, bias, key=kf, dtype=dtype)
+        if use_fused_layernorm:
+            self.ln_1 = FusedLayerNorm(n_embd, ln_eps, dtype=dtype)
+            self.ln_2 = FusedLayerNorm(n_embd, ln_eps, dtype=dtype)
+        else:
+            self.ln_1 = LayerNorm1d(n_embd, ln_eps, dtype=dtype)
+            self.ln_2 = LayerNorm1d(n_embd, ln_eps, dtype=dtype)
+
+    def forward(self, x: Array, key: Optional[jax.Array] = None) -> Array:
+        k1, k2 = _split(key, 2)
+        x = x + self.attention(self.ln_1(x), key=k1)
+        x = x + self.ff(self.ln_2(x), key=k2)
+        return x
+
+
+class DecoderLM(Module):
+    """Decoder-only pre-LN transformer LM (reference :365-470).
+
+    token+position embeddings -> dropout -> n_layer TransformerLayers ->
+    final LN -> lm_head.
+    """
+
+    def __init__(self, n_vocab: int, n_embd: int, n_head: int, n_positions: int,
+                 p_dropout: float = 0.1, ln_eps: float = 1e-5, bias: bool = True, *,
+                 n_layer: int = 4,
+                 middle_dim: int = 256,
+                 attn_impl: AttnImpl = "flash",
+                 use_fused_layernorm: bool = True,
+                 key: jax.Array, dtype=jnp.float32):
+        self.n_embd = n_embd
+        self.n_vocab = n_vocab
+        self.n_positions = n_positions
+        keys = jax.random.split(key, n_layer + 3)
+        self.token_embeddings = Embedding(n_vocab, n_embd, key=keys[0], dtype=dtype)
+        # Reference sizes position_embeddings by n_vocab (modules_transfomer.py:408);
+        # we size it by n_positions, which is what it actually indexes.
+        self.position_embeddings = Embedding(n_positions, n_embd, key=keys[1], dtype=dtype)
+        self.layers = [
+            TransformerLayer(
+                n_embd, n_head, p_dropout, ln_eps, bias,
+                middle_dim=middle_dim, attn_impl=attn_impl,
+                use_fused_layernorm=use_fused_layernorm,
+                key=keys[2 + i], dtype=dtype,
+            )
+            for i in range(n_layer)
+        ]
+        self.dropout = Dropout(p_dropout)
+        if use_fused_layernorm:
+            self.ln = FusedLayerNorm(n_embd, ln_eps, dtype=dtype)
+        else:
+            self.ln = LayerNorm1d(n_embd, ln_eps, dtype=dtype)
+        self.lm_head = Linear(n_embd, n_vocab, bias, key=keys[-1], dtype=dtype)
+
+    def forward(self, idx: Array, key: Optional[jax.Array] = None) -> Array:
+        """(B,S) int32 token ids -> (B,S,n_vocab) logits."""
+        bs, seq = idx.shape
+        pos = jnp.arange(seq, dtype=jnp.int32)[None, :]
+        x = self.token_embeddings(idx) + self.position_embeddings(pos)
+        keys = _split(key, len(self.layers) + 1)
+        x = self.dropout(x, key=keys[0])
+        for layer, k in zip(self.layers, keys[1:]):
+            x = layer(x, key=k)
+        x = self.ln(x)
+        return self.lm_head(x)

@@ -1,0 +1,425 @@
+"""FlashAttention forward/backward as Pallas TPU kernels.
+
+TPU-native re-design of the reference's core contribution
+(``src/flashattention_kernel.cu``: fw ``forward_kernel:9-112`` /
+``forward_kernel_causal:438-545``, bw ``backward_kernel:115-255`` /
+``backward_kernel_causal:547-690``; Python bridge
+``minitorch/cuda_kernel_ops.py:605-870``; autodiff Functions
+``tensor_functions.py:472-516``).
+
+Design translation, not a port:
+
+* The CUDA kernel assigns one *thread* per Q row with tiles of at most
+  Bc=64 rows and loops K-tiles in the outer loop (fw:37-50) -- a FlashAttn-1
+  schedule with O rescaled in HBM every tile.  Here the schedule is
+  FlashAttention-2 shaped for the MXU: grid (batch, head, q_block, kv_block)
+  with 128x128 MXU tiles, online-softmax statistics (m, l) and the output
+  accumulator held in f32 VMEM scratch that persists across the sequential
+  kv_block grid axis, and O written once on the last kv step.
+* Residuals are (o, lse) with lse = m + log(l) -- the FA-2 simplification of
+  the reference's separate (l, m) buffers (cuda_kernel_ops.py:608-628).
+* Backward splits into a dKV kernel (kv-major grid, accumulates dK/dV over Q
+  blocks) and a dQ kernel (q-major grid, accumulates dQ over KV blocks),
+  eliminating the reference's HBM ``dQ +=`` race-prone accumulation
+  (flashattention_kernel.cu:228-235).  ``di = sum(o * do)`` is precomputed
+  once and shared.
+* Causal handling: whole KV blocks strictly above the diagonal are skipped at
+  the grid level (the reference does the same block-skip at
+  flashattention_kernel.cu:511-515) and the diagonal blocks are masked
+  element-wise with iota.
+* No d <= 2048 / Bc <= 64 / SRAM-size envelopes (fw:264-273): any head_dim
+  and block size that fits VMEM works.
+
+Public entries: :func:`flash_attention` (differentiable, causal flag),
+:func:`flash_attention_reference` (pure-jnp oracle for tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._utils import DEFAULT_MASK_VALUE, cdiv, largest_divisor_block, use_interpret_mode
+
+Array = jax.Array
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+# Below this sequence length the plain fused-softmax op-graph is faster than
+# the flash schedule; the wrapper falls back to the jnp path.
+_MIN_BLOCK = 8
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
+                *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+                num_kv: int):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Causal: skip KV blocks strictly above the diagonal.
+    should_run = True
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
+        k = k_ref[0, 0].astype(jnp.float32)          # (block_k, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # (block_q, block_k)
+        s = s * sm_scale
+
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]                          # (block_q, 1)
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)                      # (block_q, block_k)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]                              # (block_k, d)
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k):
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    grid = (b, h, cdiv(n_q, block_q), cdiv(n_kv, block_k))
+    num_kv = grid[3]
+
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, num_kv=num_kv,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n_q, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret_mode(),
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                    dk_ref, dv_ref,
+                    dk_scr, dv_scr,
+                    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+                    num_q: int):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    should_run = True
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
+        k = k_ref[0, 0].astype(jnp.float32)          # (block_k, d)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)        # (block_q, d)
+        lse = lse_ref[0, 0]                          # (block_q, 1)
+        di = di_ref[0, 0]                            # (block_q, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale                                 # (block_q, block_k)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+
+        p = jnp.exp(s - lse)                         # (block_q, block_k)
+
+        # dV += P^T @ dO
+        dv_scr[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dP = dO @ V^T
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # (block_q, block_k)
+        ds = p * (dp - di) * sm_scale
+        # dK += dS^T @ Q
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == num_q - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                   dq_ref, dq_scr,
+                   *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+                   num_kv: int):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    should_run = True
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        di = di_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di) * sm_scale
+        dq_scr[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k):
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    num_q = cdiv(n_q, block_q)
+    num_kv = cdiv(n_kv, block_k)
+
+    # di = rowsum(dO * O): tiny elementwise pass, XLA fuses it; shared by
+    # both kernels (guide §7; reference computes D inside the kernel at
+    # flashattention_kernel.cu:217-220).
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                 axis=-1, keepdims=True)             # (b, h, n_q, 1)
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    stat_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, j, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
+                          block_q=block_q, block_k=block_k, num_q=num_q),
+        grid=(b, h, num_kv, num_q),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_kv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, n_kv, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret_mode(),
+    )(q, k, v, do, lse, di)
+
+    q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    stat_spec2 = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
+                          block_q=block_q, block_k=block_k, num_kv=num_kv),
+        grid=(b, h, num_q, num_kv),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2, stat_spec2],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret_mode(),
+    )(q, k, v, do, lse, di)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public differentiable entry point
+# ---------------------------------------------------------------------------
+
+
+def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int):
+    bq = largest_divisor_block(n_q, block_q, _MIN_BLOCK)
+    bk = largest_divisor_block(n_kv, block_k, _MIN_BLOCK)
+    return bq, bk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> Array:
+    """softmax(Q K^T / sqrt(d)) V without materialising the scores matrix.
+
+    Args:
+      q, k, v: (batch, heads, seq, head_dim).  kv seq may differ from q seq.
+      causal: apply the triangular future mask (reference
+        ``flash_attention_causal``, tensor_functions.py:501-516).
+      sm_scale: score scale; defaults to 1/sqrt(head_dim)
+        (flashattention_kernel.cu:278).
+
+    Returns: (batch, heads, seq_q, head_dim).
+    """
+    o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k)
+    return o
+
+
+def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k):
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    bq, bk = _pick_blocks(q.shape[2], k.shape[2], block_q, block_k)
+    if bq is None or bk is None:
+        # Sequence not tileable: fall back to the jnp op-graph (still jitted
+        # & fused by XLA). lse computed for the vjp path.
+        return _reference_fwd_with_lse(q, k, v, causal, scale)
+    return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
+                      block_q=bq, block_k=bk)
+
+
+def _reference_fwd_with_lse(q, k, v, causal, scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if causal:
+        nq, nk = s.shape[-2:]
+        mask = jnp.arange(nk)[None, :] <= jnp.arange(nq)[:, None]
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", (e / l).astype(v.dtype), v)
+    lse = m + jnp.log(l)
+    return o.astype(q.dtype), lse
+
+
+def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k):
+    o, lse = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, res, do):
+    q, k, v, o, lse = res
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    bq, bk = _pick_blocks(q.shape[2], k.shape[2], block_q, block_k)
+    if bq is None or bk is None:
+        def f(q_, k_, v_):
+            return _reference_fwd_with_lse(q_, k_, v_, causal, scale)[0]
+
+        _, vjp = jax.vjp(f, q, k, v)
+        return vjp(do)
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal, sm_scale=scale,
+                            block_q=bq, block_k=bk)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention_reference(q, k, v, causal: bool = False,
+                              sm_scale: Optional[float] = None) -> Array:
+    """Pure-jnp oracle playing the role torch plays in the reference tests
+    (tests/test_flash_attention.py:44-77)."""
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    return _reference_fwd_with_lse(q, k, v, causal, scale)[0]
+
+
+def mha_attention(q, k, v, causal: bool = False, use_flash: bool = True) -> Array:
+    """Multi-head attention entry matching reference MultiHeadAttention
+    dispatch (modules_transfomer.py:109-202): flash path or op-graph path."""
+    if use_flash:
+        return flash_attention(q, k, v, causal)
+    return flash_attention_reference(q, k, v, causal)

@@ -1,0 +1,81 @@
+"""Optimizer semantics vs the reference update rules (minitorch/optim.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashattn_tpu.optim import SGD, Adam, AdamW
+
+
+def test_sgd_matches_reference_rule():
+    p = jnp.asarray([1.0, -2.0, 3.0])
+    g = jnp.asarray([0.5, 0.5, -1.0])
+    opt = SGD(lr=0.1)
+    new_p, _ = opt.step(p, g, opt.init(p))
+    np.testing.assert_allclose(new_p, np.asarray(p) - 0.1 * np.asarray(g))
+
+
+def _reference_adam(p, gs, lr, b1, b2, eps, buggy):
+    """The reference Adam.step loop (optim.py:50-79), numpy."""
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    v_coef = (1 - b1) if buggy else (1 - b2)
+    for t, g in enumerate(gs, start=1):
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + v_coef * g * g
+        denom = np.sqrt(v) + eps
+        step_size = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
+        p = p - step_size * m / denom
+    return p
+
+
+def test_adam_matches_reference_formula_fixed():
+    p0 = np.asarray([1.0, -2.0, 3.0], np.float32)
+    gs = [np.asarray([0.1, -0.2, 0.3], np.float32) * (i + 1) for i in range(5)]
+    opt = Adam(lr=0.01)
+    p, state = jnp.asarray(p0), opt.init(jnp.asarray(p0))
+    for g in gs:
+        p, state = opt.step(p, jnp.asarray(g), state)
+    np.testing.assert_allclose(
+        p, _reference_adam(p0, gs, 0.01, 0.9, 0.999, 1e-8, buggy=False), rtol=1e-5
+    )
+
+
+def test_adam_reproduce_reference_bug_flag():
+    p0 = np.asarray([0.5, 0.5], np.float32)
+    gs = [np.asarray([0.3, -0.7], np.float32)] * 3
+    opt = Adam(lr=0.02, reproduce_reference_bug=True)
+    p, state = jnp.asarray(p0), opt.init(jnp.asarray(p0))
+    for g in gs:
+        p, state = opt.step(p, jnp.asarray(g), state)
+    np.testing.assert_allclose(
+        p, _reference_adam(p0, gs, 0.02, 0.9, 0.999, 1e-8, buggy=True), rtol=1e-5
+    )
+
+
+def test_adam_on_pytree_and_jit():
+    tree = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+
+    def loss(t):
+        return jnp.sum((t["w"] @ jnp.ones((4,)) + t["b"] - 2.0) ** 2)
+
+    opt = Adam(lr=0.05)
+    state = opt.init(tree)
+
+    @jax.jit
+    def step(t, s):
+        g = jax.grad(loss)(t)
+        return opt.step(t, g, s)
+
+    l0 = float(loss(tree))
+    for _ in range(50):
+        tree, state = step(tree, state)
+    assert float(loss(tree)) < l0 * 0.05
+
+
+def test_adamw_decays_weights():
+    p = jnp.ones((3,))
+    g = jnp.zeros((3,))
+    opt = AdamW(lr=0.1, weight_decay=0.1)
+    new_p, _ = opt.step(p, g, opt.init(p))
+    assert float(new_p[0]) < 1.0
