@@ -64,6 +64,12 @@ class MultiHeadAttention(Module):
         self.causal = causal
         self.attn_hidden_dim = n_embd // n_head
         self.attn_impl = attn_impl
+        # Multi-chip wiring (static): set via parallel.sharding.apply_mesh.
+        # GSPMD cannot partition pallas_call, so the flash path switches to
+        # the shard_map shim when a mesh is attached.
+        self.mesh = None
+        self.mesh_batch_axis = None
+        self.mesh_head_axis = None
         kq, kk, kv, ko = jax.random.split(key, 4)
         self.q_projection = Linear(n_embd, n_embd, bias, key=kq, dtype=dtype)
         self.k_projection = Linear(n_embd, n_embd, bias, key=kk, dtype=dtype)
@@ -86,7 +92,16 @@ class MultiHeadAttention(Module):
         """softmax(q k^T / sqrt(hd)) v -> (B,S,E) (reference :109-202)."""
         bs, nh, seq, hd = q.shape
         if self.attn_impl == "flash":
-            out = flash_attention(q, k, v, self.causal)
+            if self.mesh is not None:
+                from ..parallel.sharded_attention import sharded_flash_attention
+
+                out = sharded_flash_attention(
+                    q, k, v, self.causal, mesh=self.mesh,
+                    batch_axis=self.mesh_batch_axis,
+                    head_axis=self.mesh_head_axis,
+                )
+            else:
+                out = flash_attention(q, k, v, self.causal)
         elif self.attn_impl == "fused_softmax":
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
             w = attn_softmax(s, None, self.causal)

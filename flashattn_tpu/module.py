@@ -89,17 +89,25 @@ class Module:
         jax.tree_util.register_pytree_with_keys_class(cls)
 
     # -- pytree protocol ----------------------------------------------------
+    #
+    # Which attributes are pytree children is decided by *value sniffing* the
+    # first time an instance is flattened, then pinned in ``_dyn_keys`` so the
+    # partition stays stable when jax.tree_util.tree_map replaces leaves with
+    # arbitrary objects (shardings, None, ShapeDtypeStructs, ...).
     def tree_flatten_with_keys(self):
-        dyn_items: List[Tuple[Any, Any]] = []
-        static_items: List[Tuple[str, _Static]] = []
-        for k in sorted(self.__dict__.keys()):
-            v = self.__dict__[k]
-            if _is_dynamic(v):
-                dyn_items.append((jax.tree_util.GetAttrKey(k), v))
-            else:
-                static_items.append((k, _Static(v)))
-        dyn_keys = tuple(k.name for k, _ in dyn_items)
-        aux = (dyn_keys, tuple(static_items))
+        dyn_keys = self.__dict__.get("_dyn_keys")
+        if dyn_keys is None:
+            dyn_keys = tuple(sorted(
+                k for k, v in self.__dict__.items()
+                if not k.startswith("_dyn") and _is_dynamic(v)
+            ))
+        dyn_items = [(jax.tree_util.GetAttrKey(k), self.__dict__[k]) for k in dyn_keys]
+        static_items = tuple(
+            (k, _Static(self.__dict__[k]))
+            for k in sorted(self.__dict__.keys())
+            if k not in dyn_keys and not k.startswith("_dyn")
+        )
+        aux = (dyn_keys, static_items)
         return dyn_items, aux
 
     def tree_flatten(self):
@@ -114,6 +122,9 @@ class Module:
             object.__setattr__(obj, k, v)
         for k, sv in static_items:
             object.__setattr__(obj, k, sv.value)
+        # Pin the partition: children stay children even if they are now
+        # non-array objects (sharding specs, None, ...).
+        object.__setattr__(obj, "_dyn_keys", dyn_keys)
         return obj
 
     # -- functional updates ---------------------------------------------------
@@ -122,6 +133,7 @@ class Module:
         obj = object.__new__(type(self))
         obj.__dict__.update(self.__dict__)
         obj.__dict__.update(updates)
+        obj.__dict__.pop("_dyn_keys", None)  # re-sniff: dynamicity may change
         return obj
 
     # -- parameter access (parity with reference module.py:26-70) ----------
@@ -161,6 +173,8 @@ class Module:
     def __repr__(self) -> str:
         lines = [type(self).__name__ + "("]
         for k in sorted(self.__dict__.keys()):
+            if k.startswith("_"):
+                continue
             v = self.__dict__[k]
             if isinstance(v, Module):
                 sub = repr(v).replace("\n", "\n  ")

@@ -48,8 +48,8 @@ from ._utils import DEFAULT_MASK_VALUE, cdiv, largest_divisor_block, use_interpr
 
 Array = jax.Array
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 # Below this sequence length the plain fused-softmax op-graph is faster than
 # the flash schedule; the wrapper falls back to the jnp path.
 _MIN_BLOCK = 8
@@ -80,12 +80,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
-        k = k_ref[0, 0].astype(jnp.float32)          # (block_k, d)
+        # Feed the MXU in the input dtype (bf16 stays bf16 -- 4x the f32
+        # throughput) and accumulate in f32 via preferred_element_type.
+        # q is pre-scaled by sm_scale in the wrapper, so no per-tile rescale.
+        q = q_ref[0, 0]                              # (block_q, d)
+        k = k_ref[0, 0]                              # (block_k, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                            # (block_q, block_k)
-        s = s * sm_scale
 
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
@@ -124,6 +126,23 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k):
     grid = (b, h, cdiv(n_q, block_q), cdiv(n_kv, block_k))
     num_kv = grid[3]
 
+    # Fold the softmax scale into q once (XLA fuses it into the producer)
+    # instead of rescaling every (block_q, block_k) score tile in the kernel.
+    q = (q * jnp.asarray(sm_scale, q.dtype)) if sm_scale != 1.0 else q
+
+    if causal:
+        # Above-diagonal KV blocks are skipped by the kernel; clamp their
+        # index map to the diagonal block so consecutive skipped steps hit
+        # the same block and Pallas elides the K/V DMAs entirely (the
+        # reference's block-skip, flashattention_kernel.cu:511-515, spent
+        # the memory traffic anyway).
+        def kv_index(b_, h_, q_, k_):
+            last = ((q_ + 1) * block_q - 1) // block_k
+            return (b_, h_, jnp.minimum(k_, last), 0)
+    else:
+        def kv_index(b_, h_, q_, k_):
+            return (b_, h_, k_, 0)
+
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, num_kv=num_kv,
@@ -133,8 +152,8 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
@@ -181,10 +200,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
-        k = k_ref[0, 0].astype(jnp.float32)          # (block_k, d)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)        # (block_q, d)
+        # MXU dots run in the input dtype with f32 accumulation.
+        q = q_ref[0, 0]                              # (block_q, d)
+        k = k_ref[0, 0]                              # (block_k, d)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]                            # (block_q, d)
         lse = lse_ref[0, 0]                          # (block_q, 1)
         di = di_ref[0, 0]                            # (block_q, 1)
 
@@ -196,11 +216,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
             s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp(s - lse)                         # (block_q, block_k)
+        p = jnp.exp(s - lse)                         # (block_q, block_k) f32
 
         # dV += P^T @ dO
         dv_scr[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         # dP = dO @ V^T
         dp = jax.lax.dot_general(
@@ -209,7 +230,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         ds = p * (dp - di) * sm_scale
         # dK += dS^T @ Q
         dk_scr[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(qi == num_q - 1)
@@ -235,10 +257,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0]
         di = di_ref[0, 0]
 
@@ -255,7 +277,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - di) * sm_scale
-        dq_scr[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+        dq_scr[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
@@ -274,9 +298,21 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k):
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                  axis=-1, keepdims=True)             # (b, h, n_q, 1)
 
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    # dKV grid is (b, h, kv_block, q_block): for a fixed KV block, q blocks
+    # strictly before the diagonal are skipped -- clamp their index map so
+    # the elided steps re-reference the diagonal block (no DMA).
+    if causal:
+        def q_index(b_, h_, i, j):
+            first = (i * block_k) // block_q
+            return (b_, h_, jnp.maximum(j, first), 0)
+    else:
+        def q_index(b_, h_, i, j):
+            return (b_, h_, j, 0)
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0))
-    stat_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, j, 0))
+    stat_spec = pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b_, h_, i, j: q_index(b_, h_, i, j))
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
@@ -301,8 +337,17 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k):
         interpret=use_interpret_mode(),
     )(q, k, v, do, lse, di)
 
+    # dQ grid is (b, h, q_block, kv_block): above-diagonal KV blocks skipped.
+    if causal:
+        def kv_index2(b_, h_, i, j):
+            last = ((i + 1) * block_q - 1) // block_k
+            return (b_, h_, jnp.minimum(j, last), 0)
+    else:
+        def kv_index2(b_, h_, i, j):
+            return (b_, h_, j, 0)
+
     q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0))
-    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), kv_index2)
     stat_spec2 = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
 
     dq = pl.pallas_call(
@@ -415,6 +460,22 @@ def flash_attention_reference(q, k, v, causal: bool = False,
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     return _reference_fwd_with_lse(q, k, v, causal, scale)[0]
+
+
+def flash_attention_with_lse(
+    q: Array, k: Array, v: Array, causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+):
+    """Forward-only flash attention returning ``(o, lse)`` with lse shaped
+    (b, h, n_q, 1).
+
+    The log-sum-exp residual is what ring attention / context parallelism
+    needs to merge partial results across sequence shards (guide §15-16) --
+    the same (m, l) statistics the reference writes back to HBM
+    (flashattention_kernel.cu:107-108), in FA-2 combined form.
+    """
+    return _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k)
 
 
 def mha_attention(q, k, v, causal: bool = False, use_flash: bool = True) -> Array:

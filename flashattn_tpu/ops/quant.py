@@ -1,0 +1,310 @@
+"""Quantization: int8 tensors, fused dequant matmul, int8 KV-cache attention.
+
+The reference only *declares* a quantized surface (unimplemented lightseq
+prototypes ``launch_layer_norm_i8`` etc., src/includes/kernels.h:30,101-175,
+and test helpers test_utils.py:71-88); BASELINE.json's north star makes it
+real: INT8 weight-only dequant fused into the attention/projection matmuls
+and an INT8 KV-cache dequantised inside the flash-attention inner loop.
+
+Layout choices are TPU-first:
+* symmetric per-channel (absmax/127) scales kept in f32,
+* int8 payloads feed the MXU directly (int8 matmul accumulates in int32 at
+  ~2x bf16 throughput) when both sides are int8, or are dequantised to bf16
+  in VMEM for weight-only mode,
+* KV-cache scales are per (batch, head, token) so the attention inner loop
+  applies them as a rank-1 rescale after the MXU dot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._utils import DEFAULT_MASK_VALUE, cdiv, largest_divisor_block, use_interpret_mode
+
+Array = jax.Array
+
+
+class QuantizedTensor(NamedTuple):
+    """int8 payload + broadcastable f32 scales (values ~= payload * scales)."""
+
+    values: Array  # int8
+    scales: Array  # f32, broadcastable against values
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    def dequantize(self, dtype=jnp.float32) -> Array:
+        return self.values.astype(dtype) * self.scales.astype(dtype)
+
+
+def quantize_int8(x: Array, axis: int = -1) -> QuantizedTensor:
+    """Symmetric per-channel int8 quantisation (absmax / 127) along ``axis``.
+
+    Plain jnp -- XLA fuses the absmax+scale+round chain; use
+    :func:`quantize_int8_stochastic` for the Pallas stochastic-rounding path.
+    """
+    absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q, scale)
+
+
+def _stochastic_quant_kernel(x_ref, seed_ref, q_ref, scale_ref):
+    pltpu.prng_seed(seed_ref[0])
+    x = x_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    scale_ref[...] = scale
+    scaled = x / scale
+    bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    q_ref[...] = pltpu.stochastic_round(scaled, bits, target_dtype=jnp.int8)
+
+
+def quantize_int8_stochastic(x: Array, seed: int | Array = 0) -> QuantizedTensor:
+    """Per-row int8 quantisation with stochastic rounding (Pallas kernel).
+
+    Unbiased rounding matters when quantised tensors feed gradients (e.g.
+    int8 KV-cache during training).  2D input (rows, cols); rows scaled.
+    """
+    n, h = x.shape
+    if use_interpret_mode():
+        # pltpu.prng_seed has no CPU lowering; jnp fallback with the same
+        # semantics (per-row scale, unbiased rounding).
+        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / 127.0).astype(jnp.float32)
+        scaled = x / scale
+        noise = jax.random.uniform(jax.random.PRNGKey(seed if not isinstance(seed, jax.Array) else 0), x.shape) - 0.5
+        q = jnp.clip(jnp.round(scaled + noise), -127, 127).astype(jnp.int8)
+        return QuantizedTensor(q, scale)
+    block = largest_divisor_block(n, 256, minimum=1)
+    seed_arr = jnp.asarray([seed], jnp.int32) if not isinstance(seed, jax.Array) else seed.reshape(1).astype(jnp.int32)
+    q, scales = pl.pallas_call(
+        _stochastic_quant_kernel,
+        grid=(cdiv(n, block),),
+        in_specs=[
+            pl.BlockSpec((block, h), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, h), lambda i: (i, 0)),
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), jnp.int8),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=use_interpret_mode(),
+    )(x, seed_arr)
+    return QuantizedTensor(q, scales)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int8 matmul: y = x @ (w_int8 * scales)
+# Dequant is fused into the MXU K-loop -- w never exists in bf16 in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _wo_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    # Dequantise the weight tile in VMEM: int8 -> input dtype, per-out-channel
+    # scale applied after the dot (scales are per output column).
+    w = w_ref[...].astype(x.dtype)
+    acc_ref[...] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def int8_weight_only_matmul(x: Array, w: QuantizedTensor,
+                            block_m: int = 256, block_n: int = 256,
+                            block_k: int = 512) -> Array:
+    """x (M, K) @ dequant(w) (K, N) with per-output-channel scales (1, N).
+
+    The reference equivalent would be a cuBLAS GEMM on pre-dequantised
+    weights; here dequant happens tile-by-tile in VMEM.
+    """
+    m, k = x.shape
+    k2, n = w.values.shape
+    assert k == k2
+    assert w.scales.shape == (1, n), "weight scales must be per output channel"
+    bm = largest_divisor_block(m, block_m, 8) or m
+    bn = largest_divisor_block(n, block_n, 128) or n
+    bk = largest_divisor_block(k, block_k, 128) or k
+    if m % bm or n % bn or k % bk:
+        return (x @ w.dequantize(x.dtype))  # fallback for ragged shapes
+
+    return pl.pallas_call(
+        functools.partial(_wo_matmul_kernel, n_k=k // bk),
+        grid=(m // bm, n // bn, k // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret_mode(),
+    )(x, w.values, w.scales)
+
+
+# ---------------------------------------------------------------------------
+# Flash attention over an int8 KV-cache.
+#
+# K/V live in HBM as int8 with per-(b, h, token) scales; tiles are
+# dequantised in VMEM inside the online-softmax loop.  Halves KV HBM
+# bandwidth -- the win the north star targets at seq 4K-8K.
+# ---------------------------------------------------------------------------
+
+
+def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr,
+                    *, causal: bool, block_q: int, block_k: int, num_kv: int):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    should_run = True
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]                                   # (bq, d) bf16/f32
+        k8 = k_ref[0, 0]                                  # (bk, d) int8
+        ks = ks_ref[0, 0]                                 # (bk, 1) f32
+
+        # int8 K feeds the MXU in the input dtype; per-token scale is a
+        # rank-1 column rescale of the scores AFTER the dot:
+        #   q @ (k8 * ks)^T == (q @ k8^T) * ks^T
+        s = jax.lax.dot_general(
+            q, k8.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks.reshape(1, -1)
+
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        # v dequant: fold the per-token scale into p (rank-1 row rescale of
+        # the (bq, bk) weights) so the MXU still sees int8-as-bf16 payloads.
+        vs = vs_ref[0, 0].reshape(1, -1)                  # (1, bk)
+        v8 = v_ref[0, 0]                                  # (bk, d) int8
+        p_scaled = (p * vs).astype(q.dtype)
+        pv = jax.lax.dot(p_scaled, v8.astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+def flash_attention_kv_int8(
+    q: Array, k: QuantizedTensor, v: QuantizedTensor,
+    causal: bool = False, sm_scale: Optional[float] = None,
+    block_q: int = 512, block_k: int = 1024,
+):
+    """Flash attention with int8-quantised KV-cache (inference path).
+
+    q: (B, H, Nq, D); k/v payloads (B, H, Nkv, D) int8 with scales
+    (B, H, Nkv, 1).  Returns (o, lse).
+    """
+    b, h, n_q, d = q.shape
+    n_kv = k.values.shape[2]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    bq = largest_divisor_block(n_q, block_q, 8)
+    bk = largest_divisor_block(n_kv, block_k, 8)
+    if bq is None or bk is None:
+        # jnp fallback, still fused by XLA
+        kd = k.dequantize(q.dtype)
+        vd = v.dequantize(q.dtype)
+        from .flash_attention import _reference_fwd_with_lse
+
+        return _reference_fwd_with_lse(q, kd, vd, causal, scale)
+
+    q = q * jnp.asarray(scale, q.dtype)
+    num_kv = cdiv(n_kv, bk)
+
+    if causal:
+        def kv_index(b_, h_, q_, k_):
+            last = ((q_ + 1) * bq - 1) // bk
+            return (b_, h_, jnp.minimum(k_, last), 0)
+    else:
+        def kv_index(b_, h_, q_, k_):
+            return (b_, h_, k_, 0)
+
+    kernel = functools.partial(
+        _kv8_fwd_kernel, causal=causal, block_q=bq, block_k=bk, num_kv=num_kv,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(b, h, cdiv(n_q, bq), num_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, bk, d), kv_index),
+            pl.BlockSpec((1, 1, bk, 1), kv_index),
+            pl.BlockSpec((1, 1, bk, d), kv_index),
+            pl.BlockSpec((1, 1, bk, 1), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n_q, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret_mode(),
+    )(q, k.values, k.scales, v.values, v.scales)
+    return o, lse
+
+
+def quantize_kv(k: Array, v: Array) -> tuple[QuantizedTensor, QuantizedTensor]:
+    """Per-token int8 quantisation of a KV-cache: (B,H,N,D) -> payload+scales."""
+    return quantize_int8(k, axis=-1), quantize_int8(v, axis=-1)

@@ -1,0 +1,3 @@
+from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, batch_sharding, create_mesh, default_mesh, replicated
+from .sharded_attention import ring_flash_attention, sharded_flash_attention
+from .sharding import apply_mesh, shard_model, sharding_tree, tp_spec_for

@@ -1,0 +1,134 @@
+"""Multi-chip attention: head/batch-parallel shard_map and ring attention.
+
+Nothing to mirror in the reference (it is single-GPU, SURVEY.md §2.3); this
+implements the two standard TPU shardings for attention:
+
+* :func:`sharded_flash_attention` -- batch over the DP axis, heads over the
+  TP axis, zero communication inside attention (the collectives happen in the
+  surrounding projections, inserted by GSPMD).  ``pallas_call`` cannot be
+  auto-partitioned by GSPMD, so this is the shard_map shim that makes the
+  Pallas kernel SPMD.
+* :func:`ring_flash_attention` -- sequence (context) parallelism: K/V shards
+  rotate around the ``seq`` axis ring via ``jax.lax.ppermute`` while each
+  device runs the local Pallas flash kernel, partial results merged with the
+  online-softmax lse combine.  Point-to-point neighbor transfers ride ICI and
+  overlap with compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.flash_attention import (
+    flash_attention,
+    flash_attention_with_lse,
+)
+
+Array = jax.Array
+
+
+def sharded_flash_attention(
+    q: Array, k: Array, v: Array, causal: bool = False, *,
+    mesh: Mesh,
+    batch_axis: Optional[str] = "data",
+    head_axis: Optional[str] = "model",
+    sm_scale: Optional[float] = None,
+) -> Array:
+    """Flash attention with batch sharded over ``batch_axis`` and heads over
+    ``head_axis``; seq and head_dim replicated.  Differentiable.
+
+    Zero communication: every (batch-shard, head-shard) is independent
+    (guide §14 "head parallelism first").
+    """
+    spec = P(batch_axis, head_axis, None, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec, check_vma=False,
+    )
+    def _local(q_, k_, v_):
+        return flash_attention(q_, k_, v_, causal, sm_scale)
+
+    return _local(q, k, v)
+
+
+def _merge_partials(o1, lse1, o2, lse2):
+    """Online-softmax merge of two partial attentions (guide §15's
+    cross-chip combine, pairwise form).  Empty partials carry lse=-inf."""
+    m = jnp.maximum(lse1, lse2)
+    # Avoid exp(-inf - -inf) NaN when both sides are empty.
+    m_safe = jnp.where(jnp.isinf(m) & (m < 0), 0.0, m)
+    w1 = jnp.where(jnp.isinf(lse1) & (lse1 < 0), 0.0, jnp.exp(lse1 - m_safe))
+    w2 = jnp.where(jnp.isinf(lse2) & (lse2 < 0), 0.0, jnp.exp(lse2 - m_safe))
+    denom = w1 + w2
+    denom_safe = jnp.where(denom == 0.0, 1.0, denom)
+    o = (w1 * o1 + w2 * o2) / denom_safe
+    lse = m_safe + jnp.log(denom_safe)
+    lse = jnp.where(denom == 0.0, -jnp.inf, lse)
+    return o, lse
+
+
+def ring_flash_attention(
+    q: Array, k: Array, v: Array, causal: bool = False, *,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    batch_axis: Optional[str] = None,
+    head_axis: Optional[str] = None,
+    sm_scale: Optional[float] = None,
+) -> Array:
+    """Context-parallel attention: q/k/v sharded over the sequence dim.
+
+    Each step computes local flash attention against the K/V block currently
+    resident, then rotates K/V one hop around the ring (``ppermute``).  With
+    ``causal=True``, K/V blocks that originate *after* the local queries are
+    skipped entirely via ``lax.cond`` (the SPMD analogue of the reference's
+    block-level causal skip, flashattention_kernel.cu:511-515); the
+    originating-block-equal step uses the causal kernel; earlier blocks use
+    the dense kernel.  Forward pass (serving path).
+    """
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    spec = P(batch_axis, head_axis, seq_axis, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec, check_vma=False,
+    )
+    def _ring(q_, k_, v_):
+        n_dev = jax.lax.axis_size(seq_axis)
+        me = jax.lax.axis_index(seq_axis)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        # Step 0: the local (diagonal) block.
+        o, lse = flash_attention_with_lse(q_, k_, v_, causal, scale)
+
+        def step(s, carry):
+            o_acc, lse_acc, k_blk, v_blk = carry
+            k_blk = jax.lax.ppermute(k_blk, seq_axis, perm)
+            v_blk = jax.lax.ppermute(v_blk, seq_axis, perm)
+            src = (me - s) % n_dev  # origin shard of the block now resident
+
+            def attend(_):
+                return flash_attention_with_lse(q_, k_blk, v_blk, False, scale)
+
+            def skip(_):
+                return (jnp.zeros_like(o_acc),
+                        jnp.full_like(lse_acc, -jnp.inf))
+
+            if causal:
+                # Only blocks from strictly-earlier shards contribute.
+                o_p, lse_p = jax.lax.cond(src < me, attend, skip, None)
+            else:
+                o_p, lse_p = attend(None)
+            o_acc, lse_acc = _merge_partials(o_acc, lse_acc, o_p, lse_p)
+            return (o_acc, lse_acc, k_blk, v_blk)
+
+        o, lse, _, _ = jax.lax.fori_loop(1, n_dev, step, (o, lse, k_, v_))
+        return o.astype(q_.dtype)
+
+    return _ring(q, k, v)

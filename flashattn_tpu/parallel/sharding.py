@@ -1,0 +1,114 @@
+"""Tensor-parallel parameter sharding rules and model/mesh wiring.
+
+Nothing to mirror in the reference (single-GPU); this implements the
+Megatron-style TP layout for the DecoderLM family over a (data, model) mesh:
+
+* QKV projections column-parallel (heads sharded over ``model``),
+* attention output projection row-parallel,
+* FFN linear_in column-parallel / linear_out row-parallel,
+* lm_head + embeddings column-parallel over the embedding/vocab dim,
+* layernorm parameters replicated.
+
+GSPMD inserts the all-reduces after the row-parallel matmuls; the attention
+kernel itself runs communication-free via the shard_map shim
+(:mod:`.sharded_attention`).  The reference's "backend threading"
+(TensorBackend passed through every constructor, SURVEY.md §1) becomes these
+sharding annotations -- the computation graph is untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..module import Module
+from ..models.transformer import MultiHeadAttention
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+Array = jax.Array
+
+# (suffix pattern, spec builder) checked in order; first match wins.
+_TP_RULES = [
+    ("q_projection.weights", lambda m: P(None, m)),
+    ("k_projection.weights", lambda m: P(None, m)),
+    ("v_projection.weights", lambda m: P(None, m)),
+    ("q_projection.bias", lambda m: P(m)),
+    ("k_projection.bias", lambda m: P(m)),
+    ("v_projection.bias", lambda m: P(m)),
+    ("out_projection.weights", lambda m: P(m, None)),
+    ("out_projection.bias", lambda m: P()),
+    ("linear_in.weights", lambda m: P(None, m)),
+    ("linear_in.bias", lambda m: P(m)),
+    ("linear_out.weights", lambda m: P(m, None)),
+    ("linear_out.bias", lambda m: P()),
+    ("lm_head.weights", lambda m: P(None, m)),
+    ("lm_head.bias", lambda m: P(m)),
+    ("token_embeddings.weights", lambda m: P(None, m)),
+    ("position_embeddings.weights", lambda m: P(None, m)),
+]
+
+
+def tp_spec_for(path: str, model_axis: str = MODEL_AXIS) -> P:
+    """PartitionSpec for a dotted parameter path under the TP rules."""
+    for suffix, build in _TP_RULES:
+        if path.endswith(suffix):
+            return build(model_axis)
+    return P()  # replicated (layernorm gamma/beta, etc.)
+
+
+def _path_to_str(path) -> str:
+    parts = []
+    for k in path:
+        if isinstance(k, jax.tree_util.GetAttrKey):
+            parts.append(k.name)
+        elif isinstance(k, jax.tree_util.SequenceKey):
+            parts.append(str(k.idx))
+        elif isinstance(k, jax.tree_util.DictKey):
+            parts.append(str(k.key))
+        else:
+            parts.append(str(k))
+    return ".".join(parts)
+
+
+def sharding_tree(model: Any, mesh: Mesh, model_axis: str = MODEL_AXIS,
+                  rule: Optional[Callable[[str], P]] = None) -> Any:
+    """Model-shaped pytree of NamedShardings from the TP rules."""
+    rule = rule or (lambda path: tp_spec_for(path, model_axis))
+
+    def leaf_sharding(path, leaf):
+        return NamedSharding(mesh, rule(_path_to_str(path)))
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, model)
+
+
+def shard_model(model: Any, mesh: Mesh, model_axis: str = MODEL_AXIS,
+                rule: Optional[Callable[[str], P]] = None) -> Any:
+    """Place every parameter on the mesh per the TP rules (device_put)."""
+    return jax.device_put(model, sharding_tree(model, mesh, model_axis, rule))
+
+
+def apply_mesh(model: Module, mesh: Optional[Mesh],
+               batch_axis: Optional[str] = DATA_AXIS,
+               head_axis: Optional[str] = MODEL_AXIS) -> Module:
+    """Wire the mesh into every MultiHeadAttention so the Pallas kernel runs
+    under shard_map (GSPMD cannot partition pallas_call directly)."""
+
+    def go(v: Any) -> Any:
+        if isinstance(v, MultiHeadAttention):
+            v = v.replace(mesh=mesh, mesh_batch_axis=batch_axis,
+                          mesh_head_axis=head_axis)
+            return v
+        if isinstance(v, Module):
+            updates = {k: go(x) for k, x in v.__dict__.items()}
+            return v.replace(**updates)
+        if isinstance(v, list):
+            return [go(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(go(x) for x in v)
+        if isinstance(v, dict):
+            return {k: go(x) for k, x in v.items()}
+        return v
+
+    return go(model)

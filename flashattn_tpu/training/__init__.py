@@ -1,0 +1,1 @@
+from .trainer import ShardedTrainer, lm_loss, make_eval_step, make_train_step

@@ -1,0 +1,123 @@
+"""Jitted training step + loss, single-chip and multi-chip.
+
+TPU-native re-design of the reference's training inner loop
+(``project/run_machine_translation.py``: loss_fn:164-192, train:195-237).
+The reference runs hundreds of host-dispatched kernel launches per batch
+(SURVEY.md §3.1 "process/device boundary"); here the whole
+forward+backward+Adam update is ONE compiled XLA program, device-resident,
+donated buffers, and shards over a (data, model) mesh via GSPMD + the
+shard_map attention shim.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..nn import functional as F
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+from ..parallel.sharding import apply_mesh, shard_model, sharding_tree
+
+Array = jax.Array
+
+
+def lm_loss(model: Any, tokens: Array, targets: Array,
+            loss_mask: Optional[Array] = None,
+            key: Optional[jax.Array] = None) -> Array:
+    """Masked next-token cross entropy (reference loss_fn:164-192).
+
+    tokens:    (B, S) int input ids
+    targets:   (B, S) int labels (already shifted, like the reference's
+               collate which shifts labels host-side, :143-147)
+    loss_mask: (B, S) 1.0 where the position contributes (reference masks
+               source tokens + padding out of the MT loss)
+    """
+    logits = model(tokens, key=key)
+    n_vocab = logits.shape[-1]
+    losses = F.softmax_loss(
+        logits.reshape(-1, n_vocab), targets.reshape(-1)
+    ).reshape(targets.shape)
+    if loss_mask is None:
+        return jnp.mean(losses)
+    total = jnp.sum(losses * loss_mask)
+    count = jnp.maximum(jnp.sum(loss_mask), 1.0)
+    return total / count
+
+
+def make_train_step(opt: Any,
+                    loss_fn: Callable[..., Array] = lm_loss,
+                    donate: bool = True) -> Callable:
+    """Single-chip (or GSPMD-implicit) jitted train step.
+
+    Returns step(model, opt_state, tokens, targets, loss_mask, key)
+    -> (model, opt_state, loss).
+    """
+
+    def _step(model, opt_state, tokens, targets, loss_mask, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            model, tokens, targets, loss_mask, key
+        )
+        model, opt_state = opt.step(model, grads, opt_state)
+        return model, opt_state, loss
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(loss_fn: Callable[..., Array] = lm_loss) -> Callable:
+    def _eval(model, tokens, targets, loss_mask):
+        return loss_fn(model.eval(), tokens, targets, loss_mask, None)
+
+    return jax.jit(_eval)
+
+
+class ShardedTrainer:
+    """DP x TP training over a named mesh.
+
+    - parameters sharded per the Megatron-style TP rules (sharding.py),
+    - batch sharded over the data axis,
+    - attention kernel run under shard_map (heads over the model axis),
+    - GSPMD inserts gradient/activation collectives; Adam state inherits the
+      parameter shardings.
+    """
+
+    def __init__(self, model: Any, opt: Any, mesh: Mesh,
+                 data_axis: str = DATA_AXIS, model_axis: str = MODEL_AXIS,
+                 loss_fn: Callable[..., Array] = lm_loss):
+        self.mesh = mesh
+        self.opt = opt
+        self.data_axis = data_axis
+        self.model_axis = model_axis
+        self.loss_fn = loss_fn
+
+        model = apply_mesh(model, mesh, batch_axis=data_axis, head_axis=model_axis)
+        self.model = shard_model(model, mesh, model_axis)
+        # zeros_like preserves shardings, so Adam moments inherit the
+        # parameter layout with no extra annotation.
+        self.opt_state = opt.init(self.model)
+        self.batch_sharding = NamedSharding(mesh, P(data_axis))
+
+        def _step(model, opt_state, tokens, targets, loss_mask, key):
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                model, tokens, targets, loss_mask, key
+            )
+            model, opt_state = opt.step(model, grads, opt_state)
+            return model, opt_state, loss
+
+        self._jit_step = jax.jit(_step, donate_argnums=(0, 1))
+
+    def put_batch(self, *arrays):
+        return tuple(jax.device_put(a, self.batch_sharding) for a in arrays)
+
+    def step(self, tokens, targets, loss_mask=None, key=None) -> float:
+        tokens, targets = self.put_batch(tokens, targets)
+        if loss_mask is not None:
+            (loss_mask,) = self.put_batch(loss_mask)
+        self.model, self.opt_state, loss = self._jit_step(
+            self.model, self.opt_state, tokens, targets, loss_mask, key
+        )
+        return loss

@@ -1,0 +1,85 @@
+"""Quantization tier tests: int8 tensors, weight-only matmul, int8 KV attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattn_tpu.ops.flash_attention import flash_attention_reference
+from flashattn_tpu.ops.quant import (
+    QuantizedTensor,
+    flash_attention_kv_int8,
+    int8_weight_only_matmul,
+    quantize_int8,
+    quantize_int8_stochastic,
+    quantize_kv,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 128)) * 3.0
+    q = quantize_int8(x, axis=-1)
+    assert q.values.dtype == jnp.int8
+    err = np.abs(np.asarray(q.dequantize() - x))
+    # max error is half a quantisation step = absmax/127/2 per row
+    bound = np.asarray(jnp.max(jnp.abs(x), axis=-1, keepdims=True)) / 127.0
+    assert (err <= bound * 0.5 + 1e-6).all()
+
+
+def test_quantize_zero_row():
+    x = jnp.zeros((4, 16))
+    q = quantize_int8(x)
+    np.testing.assert_array_equal(np.asarray(q.dequantize()), 0.0)
+
+
+def test_stochastic_quantize_unbiased():
+    x = jnp.full((8, 256), 0.37)
+    qs = [quantize_int8_stochastic(x, seed=i).dequantize() for i in range(8)]
+    mean = np.mean([np.asarray(q).mean() for q in qs])
+    # stochastic rounding is unbiased in expectation
+    np.testing.assert_allclose(mean, 0.37, rtol=0.02)
+
+
+def test_int8_weight_only_matmul_matches_dequant():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (256, 512))
+    w = jax.random.normal(jax.random.PRNGKey(2), (512, 256))
+    wq = quantize_int8(w, axis=0)  # per-output-channel
+    out = int8_weight_only_matmul(x, wq)
+    ref = x @ wq.dequantize()
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_int8_weight_only_matmul_ragged_fallback():
+    x = jax.random.normal(jax.random.PRNGKey(3), (33, 48))
+    w = jax.random.normal(jax.random.PRNGKey(4), (48, 17))
+    wq = quantize_int8(w, axis=0)
+    out = int8_weight_only_matmul(x, wq)
+    np.testing.assert_allclose(out, x @ wq.dequantize(), atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_kv_int8(causal):
+    b, h, n, d = 1, 2, 128, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, h, n, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    kq, vq = quantize_kv(k, v)
+    o, lse = flash_attention_kv_int8(q, kq, vq, causal)
+    # oracle: attention over the dequantised cache (isolates kernel error
+    # from quantisation error)
+    ref = flash_attention_reference(q, kq.dequantize(), vq.dequantize(), causal)
+    np.testing.assert_allclose(o, ref, atol=2e-5, rtol=1e-4)
+    # and the total error vs the fp cache stays within int8 noise
+    full = flash_attention_reference(q, k, v, causal)
+    assert float(jnp.max(jnp.abs(o - full))) < 0.15
+
+
+def test_flash_attention_kv_int8_ragged_fallback():
+    b, h, n, d = 1, 1, 37, 16
+    q = jax.random.normal(jax.random.PRNGKey(6), (b, h, n, d))
+    kq, vq = quantize_kv(q, q)
+    o, lse = flash_attention_kv_int8(q, kq, vq, True)
+    assert o.shape == q.shape
+    assert bool(jnp.isfinite(o).all())

@@ -1,0 +1,149 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The capability gap the reference lacks entirely (SURVEY.md §2.3): DP batch
+sharding, Megatron-style TP over heads/FFN, shard_map'd Pallas attention,
+and ring attention over a sequence axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import flashattn_tpu as ft
+from flashattn_tpu.ops.flash_attention import flash_attention_reference
+from flashattn_tpu.parallel import (
+    apply_mesh,
+    create_mesh,
+    default_mesh,
+    ring_flash_attention,
+    shard_model,
+    sharded_flash_attention,
+    tp_spec_for,
+)
+from flashattn_tpu.training import ShardedTrainer, lm_loss, make_train_step
+
+
+def _qkv(b, h, n, d, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, (b, h, n, d)) for k in ks)
+
+
+def test_default_mesh_shape():
+    mesh = default_mesh(8)
+    assert mesh.devices.size == 8
+    assert set(mesh.axis_names) == {"data", "model"}
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sharded_flash_attention_matches_oracle(causal):
+    mesh = create_mesh((2, 4), ("data", "model"))
+    q, k, v = _qkv(4, 8, 64, 32, seed=1)
+    out = jax.jit(
+        lambda q, k, v: sharded_flash_attention(
+            q, k, v, causal, mesh=mesh, batch_axis="data", head_axis="model")
+    )(q, k, v)
+    np.testing.assert_allclose(
+        out, flash_attention_reference(q, k, v, causal), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_sharded_flash_attention_grads():
+    mesh = create_mesh((2, 4), ("data", "model"))
+    q, k, v = _qkv(2, 4, 32, 16, seed=2)
+
+    def fused(q, k, v):
+        return jnp.sum(sharded_flash_attention(
+            q, k, v, True, mesh=mesh, batch_axis="data", head_axis="model") ** 2)
+
+    def oracle(q, k, v):
+        return jnp.sum(flash_attention_reference(q, k, v, True) ** 2)
+
+    g = jax.jit(jax.grad(fused, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_flash_attention(causal):
+    mesh = create_mesh((8,), ("seq",))
+    q, k, v = _qkv(1, 2, 8 * 16, 16, seed=3)
+    out = jax.jit(
+        lambda q, k, v: ring_flash_attention(q, k, v, causal, mesh=mesh)
+    )(q, k, v)
+    np.testing.assert_allclose(
+        out, flash_attention_reference(q, k, v, causal), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_tp_rules():
+    assert tp_spec_for("layers.0.attention.q_projection.weights") == P(None, "model")
+    assert tp_spec_for("layers.1.attention.out_projection.weights") == P("model", None)
+    assert tp_spec_for("layers.0.ff.linear_in.bias") == P("model")
+    assert tp_spec_for("layers.0.ln_1.gamma") == P()
+    assert tp_spec_for("lm_head.weights") == P(None, "model")
+
+
+def test_shard_model_places_params():
+    mesh = create_mesh((2, 4), ("data", "model"))
+    model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                         attn_impl="flash", key=jax.random.PRNGKey(0))
+    sharded = shard_model(model, mesh)
+    w = sharded.layers[0].attention.q_projection.weights
+    assert w.sharding.spec == P(None, "model")
+    ln = sharded.layers[0].ln_1.gamma
+    assert ln.sharding.spec == P()
+
+
+def test_sharded_model_forward_matches_single_device():
+    mesh = create_mesh((2, 4), ("data", "model"))
+    model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=2,
+                         attn_impl="flash", key=jax.random.PRNGKey(1))
+    idx = jax.random.randint(jax.random.PRNGKey(2), (4, 16), 0, 64)
+    ref_logits = model(idx)
+
+    meshed = apply_mesh(model, mesh)
+    sharded = shard_model(meshed, mesh)
+    idx_s = jax.device_put(idx, NamedSharding(mesh, P("data")))
+    logits = jax.jit(lambda m, i: m(i))(sharded, idx_s)
+    np.testing.assert_allclose(logits, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_trainer_end_to_end():
+    mesh = create_mesh((2, 4), ("data", "model"))
+    model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                         attn_impl="flash", key=jax.random.PRNGKey(3))
+    trainer = ShardedTrainer(model, ft.Adam(lr=5e-3), mesh)
+    data = jax.random.randint(jax.random.PRNGKey(4), (8, 17), 0, 64)
+    tokens, targets = data[:, :-1], data[:, 1:]
+    losses = [float(trainer.step(tokens, targets)) for _ in range(10)]
+    assert losses[-1] < losses[0]
+    # the updated params stay sharded
+    assert trainer.model.layers[0].ff.linear_in.weights.sharding.spec == P(None, "model")
+
+
+def test_single_chip_train_step_factory():
+    model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                         attn_impl="reference", key=jax.random.PRNGKey(5))
+    opt = ft.Adam(lr=5e-3)
+    step = make_train_step(opt)
+    state = opt.init(model)
+    data = jax.random.randint(jax.random.PRNGKey(6), (4, 17), 0, 64)
+    mask = jnp.ones((4, 16))
+    l0 = None
+    for i in range(5):
+        model, state, loss = step(model, state, data[:, :-1], data[:, 1:], mask, None)
+        l0 = l0 or float(loss)
+    assert float(loss) < l0
+
+
+def test_lm_loss_masking():
+    model = ft.DecoderLM(32, 16, 2, 8, p_dropout=0.0, n_layer=1,
+                         attn_impl="reference", key=jax.random.PRNGKey(7))
+    toks = jax.random.randint(jax.random.PRNGKey(8), (2, 8), 0, 32)
+    full = lm_loss(model, toks, toks, jnp.ones((2, 8)))
+    half_mask = jnp.concatenate([jnp.ones((2, 4)), jnp.zeros((2, 4))], axis=1)
+    half = lm_loss(model, toks, toks, half_mask)
+    assert not np.allclose(float(full), float(half))
