@@ -115,6 +115,36 @@ class MultiHeadAttention(Module):
         attn = self.self_attention(q, k, v)
         return self.out_projection(attn)
 
+    # -- KV-cached decode path ---------------------------------------------
+    # The reference's generate() re-runs the whole model per new token
+    # (run_machine_translation.py:300-323, "no KV cache" -- O(len^2) model
+    # invocations).  TPU-native serving keeps a static-shape cache updated
+    # with dynamic_update_slice so the decode step jits once.
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> dict:
+        shape = (batch, self.n_head, max_len, self.attn_hidden_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def forward_decode(self, x: Array, cache: dict, index: Array):
+        """One decode step.  x: (B, 1, E); index: scalar position.
+
+        Returns (out (B, 1, E), updated cache).
+        """
+        bs = x.shape[0]
+        q, k, v = self.project_to_query_key_value(x)  # (B, nh, 1, hd)
+        cache_k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                               (0, 0, index, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                               (0, 0, index, 0))
+        max_len = cache_k.shape[2]
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, cache_k) / math.sqrt(self.attn_hidden_dim)
+        valid = jnp.arange(max_len)[None, None, None, :] <= index
+        s = jnp.where(valid, s, jnp.finfo(s.dtype).min / 2)
+        w = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, cache_v)
+        out = out.transpose(0, 2, 1, 3).reshape(bs, 1, self.n_embd)
+        return self.out_projection(out), {"k": cache_k, "v": cache_v}
+
 
 class FeedForward(Module):
     """GELU MLP n_embd -> middle_dim -> n_embd (reference :233-276)."""
@@ -163,6 +193,12 @@ class TransformerLayer(Module):
         x = x + self.attention(self.ln_1(x), key=k1)
         x = x + self.ff(self.ln_2(x), key=k2)
         return x
+
+    def forward_decode(self, x: Array, cache: dict, index: Array):
+        attn, cache = self.attention.forward_decode(self.ln_1(x), cache, index)
+        x = x + attn
+        x = x + self.ff(self.ln_2(x))
+        return x, cache
 
 
 class DecoderLM(Module):
@@ -214,3 +250,25 @@ class DecoderLM(Module):
             x = layer(x, key=k)
         x = self.ln(x)
         return self.lm_head(x)
+
+    # -- KV-cached decoding --------------------------------------------------
+
+    def init_cache(self, batch: int, max_len: Optional[int] = None,
+                   dtype=jnp.float32) -> list:
+        max_len = max_len or self.n_positions
+        return [layer.attention.init_cache(batch, max_len, dtype)
+                for layer in self.layers]
+
+    def forward_decode(self, idx_tok: Array, caches: list, index: Array):
+        """One decode step.  idx_tok: (B, 1) int ids at position ``index``.
+
+        Returns (logits (B, 1, n_vocab), updated caches).
+        """
+        pos = jnp.asarray(index, jnp.int32).reshape(1, 1)
+        x = self.token_embeddings(idx_tok) + self.position_embeddings(pos)
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer.forward_decode(x, cache, index)
+            new_caches.append(cache)
+        x = self.ln(x)
+        return self.lm_head(x), new_caches

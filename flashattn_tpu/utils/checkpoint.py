@@ -1,0 +1,48 @@
+"""Checkpoint / resume for model + optimizer state.
+
+The reference has NO weight checkpointing (SURVEY.md §5: only the tokenizer
+and eval artifacts persist); this fills that gap with orbax, the TPU-native
+checkpointing library (async-safe, sharding-aware on restore).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+
+
+def save_checkpoint(path: str, model: Any, opt_state: Any = None,
+                    step: int = 0) -> None:
+    """Write model (+ optional optimizer state) to ``path`` (a directory)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {
+        "model": model,
+        "opt_state": opt_state,
+        "step": step,
+    }
+    ckptr.save(path, payload, force=True)
+
+
+def restore_checkpoint(path: str, model_template: Any,
+                       opt_state_template: Any = None) -> Tuple[Any, Any, int]:
+    """Restore (model, opt_state, step).
+
+    Templates provide the pytree structure/shardings (pass a freshly
+    constructed model; its values are replaced by the checkpoint's).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    target = {
+        "model": model_template,
+        "opt_state": opt_state_template,
+        "step": 0,
+    }
+    restored = ckptr.restore(path, item=target)
+    return restored["model"], restored["opt_state"], restored["step"]

