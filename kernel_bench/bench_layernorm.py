@@ -6,6 +6,12 @@ TPU re-staging of reference ``kernel_tests/test_layernorm_fw.py`` /
     PYTHONPATH=.:/root/.axon_site python kernel_bench/bench_layernorm.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 import jax.numpy as jnp
 

@@ -7,6 +7,12 @@ custom-vs-baseline speedup report.  Run on the real chip:
     PYTHONPATH=.:/root/.axon_site python kernel_bench/bench_softmax.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 import jax.numpy as jnp
 

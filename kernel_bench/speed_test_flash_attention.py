@@ -9,6 +9,12 @@ record seconds/call for the naive op-graph path and the Pallas flash path.
         [--quick] [--out speed_test.csv]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import csv
 import itertools
