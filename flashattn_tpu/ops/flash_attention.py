@@ -48,6 +48,14 @@ from ._utils import DEFAULT_MASK_VALUE, cdiv, largest_divisor_block, use_interpr
 
 Array = jax.Array
 
+# The kernels run the online softmax in base 2: exp2 is the VPU-native
+# transcendental (exp costs an extra multiply per element), so log2(e) is
+# folded into the score scale once and the running max m lives in the scaled
+# domain.  l = sum exp2(s2 - m2) = sum exp(s - m) is invariant, so the
+# natural-log lse residual is recovered as m2*ln2 + log(l).
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 # Below this sequence length the plain fused-softmax op-graph is faster than
@@ -98,8 +106,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)                      # (block_q, block_k)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)                     # (block_q, block_k)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scr[...] = m_next
@@ -116,7 +124,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        # m is in the base-2 (scale*log2e) domain; lse returned in nats.
+        lse = m_scr[...] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
@@ -126,9 +135,10 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k):
     grid = (b, h, cdiv(n_q, block_q), cdiv(n_kv, block_k))
     num_kv = grid[3]
 
-    # Fold the softmax scale into q once (XLA fuses it into the producer)
-    # instead of rescaling every (block_q, block_k) score tile in the kernel.
-    q = (q * jnp.asarray(sm_scale, q.dtype)) if sm_scale != 1.0 else q
+    # Fold the softmax scale AND log2(e) into q once (XLA fuses it into the
+    # producer) instead of rescaling every (block_q, block_k) score tile in
+    # the kernel; the kernel's softmax then runs in exp2.
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
 
     if causal:
         # Above-diagonal KV blocks are skipped by the kernel; clamp their
@@ -208,15 +218,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         lse = lse_ref[0, 0]                          # (block_q, 1)
         di = di_ref[0, 0]                            # (block_q, 1)
 
+        # s held in the base-2 domain: p = exp(s_nat - lse) = exp2(s2 - lse2).
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale                                 # (block_q, block_k)
+        ) * (sm_scale * LOG2E)                       # (block_q, block_k)
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
             s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp(s - lse)                         # (block_q, block_k) f32
+        p = jnp.exp2(s - lse * LOG2E)                # (block_q, block_k) f32
 
         # dV += P^T @ dO
         dv_scr[...] += jax.lax.dot_general(
@@ -266,13 +277,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
+        ) * (sm_scale * LOG2E)
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
             s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse * LOG2E)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
