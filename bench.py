@@ -7,53 +7,37 @@ run on V100s) -- re-staged on TPU.  Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 value        = achieved TFLOP/s of the flash-attention forward kernel
-               (batch 4, 8 heads, seq 2048, head_dim 128, causal, bf16)
+               (batch 4, 8 heads, seq 2048, head_dim 128, causal, bf16),
+               counting useful (below-diagonal) flops only.
 vs_baseline  = speedup over the XLA op-graph attention (softmax(qk^T)v, the
                reference's "naive minitorch path" equivalent) at the same
                shape/dtype on the same chip.
 
-Timing methodology: the kernel is chained ``iters`` times inside ONE jitted
-``lax.scan`` (each iteration data-depends on the last) and a single scalar is
-pulled to host -- device wall time, immune to async-dispatch undercounting
-(block_until_ready does not block through the axon relay) and to the slow
-relay transfer path.  Reference points measured on this chip: XLA 8192^3
-bf16 matmul = 121.5 TFLOP/s; jax.experimental's production flash kernel at
-this exact shape = 27.3 TFLOP/s (ours: ~27).
+Timing methodology: the kernel is chained inside ONE jitted ``lax.scan``
+(each iteration data-depends on the last) at two chain lengths (N and 3N);
+per-call time is the slope (t_3N - t_N) / 2N.  A single total/N quotient is
+wrong here: each dispatch through the axon relay carries a constant ~25ms
+round-trip latency which would dominate and understate throughput ~3x.
+
+Reference points measured on this chip with this methodology (v5e-1):
+XLA 8192^3 bf16 matmul = 175 TFLOP/s; XLA naive attention at the bench
+shape = 22.2 TFLOP/s; jax.experimental.pallas production flash kernel
+(default blocks) = 17.4 TFLOP/s; this kernel = ~79 TFLOP/s causal
+(126 TFLOP/s non-causal; 135-138 at seq 4-8K).
 """
 
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-
-def device_loop_time(fn, x, iters=30):
-    """Median-free single measurement of fn chained iters times on device."""
-
-    @jax.jit
-    def loop(x):
-        def body(c, _):
-            return fn(c).astype(x.dtype), None
-
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return out[(0,) * out.ndim].astype(jnp.float32)
-
-    np.asarray(loop(x))  # compile + warm
-    best = float("inf")
-    for _ in range(3):  # best-of-3 to damp relay jitter
-        t0 = time.perf_counter()
-        np.asarray(loop(x))  # one device program, one scalar transfer
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
 
 
 def main():
     import flashattn_tpu as ft
+    from flashattn_tpu.utils.timing import device_loop_time
 
     B, H, N, D = 4, 8, 2048, 128
     causal = True
@@ -61,10 +45,10 @@ def main():
 
     q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), dtype)
 
-    t_flash = device_loop_time(lambda x: ft.flash_attention(x, x, x, causal), q)
+    t_flash = device_loop_time(
+        lambda x: ft.flash_attention(x, x, x, causal), (q,), iters=100)
     t_naive = device_loop_time(
-        lambda x: ft.flash_attention_reference(x, x, x, causal), q
-    )
+        lambda x: ft.flash_attention_reference(x, x, x, causal), (q,), iters=40)
 
     # 2 matmuls x 2 flops, causal halves the useful work.
     flops = 4 * B * H * N * N * D * (0.5 if causal else 1.0)

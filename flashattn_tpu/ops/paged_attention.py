@@ -35,8 +35,16 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
                   q_ref, k_ref, v_ref, ks_ref, vs_ref,
                   o_ref, m_scr, l_scr, acc_scr,
                   *, page_size: int, quantized: bool):
+    """One grid step = one physical page x ALL kv heads.
+
+    Head-blocking matters: with grid (b, h, pages) each step DMAs one 32KB
+    page and does a (group, d)x(d, page) dot -- the per-step pipeline
+    overhead dominates and decode runs at ~13% of HBM bandwidth.  Folding the
+    head axis into the block (grid (b, pages), k block (H, page, d)) makes
+    every DMA H x bigger and every dot an H-batched MXU call.
+    """
     b = pl.program_id(0)
-    i = pl.program_id(2)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
@@ -48,41 +56,145 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
 
     @pl.when(i * page_size < length)
     def _compute():
-        q = q_ref[0, 0]                               # (group, d)
-        k = k_ref[0, 0]                               # (page, d)
-        if quantized:
-            ks = ks_ref[0, 0]                         # (page, 1)
+        q = q_ref[0]                                  # (H, group, d)
+        k = k_ref[:, 0]                               # (H, page, d)
         s = jax.lax.dot_general(
-            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            q, k.astype(q.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                             # (group, page)
+        )                                             # (H, group, page)
         if quantized:
-            s = s * ks.reshape(1, -1)
+            ks = ks_ref[:, 0]                         # (H, page, 1)
+            s = s * ks.reshape(ks.shape[0], 1, -1)
 
-        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page_size
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * page_size
         s = jnp.where(pos < length, s, -1e30)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
 
-        v = v_ref[0, 0]                               # (page, d)
+        v = v_ref[:, 0]                               # (H, page, d)
         if quantized:
-            p = p * vs_ref[0, 0].reshape(1, -1)
-        pv = jax.lax.dot(p.astype(q.dtype), v.astype(q.dtype),
-                         preferred_element_type=jnp.float32)
+            vs = vs_ref[:, 0]                         # (H, page, 1)
+            p = p * vs.reshape(vs.shape[0], 1, -1)
+        pv = jax.lax.dot_general(
+            p.astype(q.dtype), v.astype(q.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                             # (H, group, d)
         acc_scr[...] = acc_scr[...] * alpha + pv
 
-    @pl.when(i == pl.num_programs(2) - 1)
+    @pl.when(i == pl.num_programs(1) - 1)
     def _finalize():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
+                      q_ref, k_hbm, v_hbm, o_ref,
+                      kbuf, vbuf, sems,
+                      *, page_size: int, pages_per_seq: int):
+    """Manual double-buffered page walk (guide: Patterns/Double Buffering).
+
+    One grid step = one sequence; pages stream HBM -> VMEM with two buffers,
+    the next page's DMA in flight while the current page computes.  The page
+    loop has a DYNAMIC trip count (cdiv(length, page_size)), so short
+    sequences in a continuous batch pay only for the pages they have --
+    the pallas-grid version must visit every slot.
+    """
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    n = (length + page_size - 1) // page_size
+    q = q_ref[0]                                      # (H, group, d)
+    h, group, dd = q.shape
+
+    def dma(buf, hbm, i, slot, kind):
+        return pltpu.make_async_copy(
+            hbm.at[:, pages_ref[b, i]], buf.at[slot], sems.at[slot, kind])
+
+    @pl.when(n > 0)
+    def _warmup():
+        dma(kbuf, k_hbm, 0, 0, 0).start()
+        dma(vbuf, v_hbm, 0, 0, 0 + 1).start()
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _prefetch():
+            nxt = 1 - slot
+            dma(kbuf, k_hbm, i + 1, nxt, 0).start()
+            dma(vbuf, v_hbm, i + 1, nxt, 1).start()
+
+        dma(kbuf, k_hbm, i, slot, 0).wait()
+        dma(vbuf, v_hbm, i, slot, 1).wait()
+
+        k = kbuf[slot]                                # (H, page, d)
+        v = vbuf[slot]
+        s = jax.lax.dot_general(
+            q, k.astype(q.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                             # (H, group, page)
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * page_size
+        s = jnp.where(pos < length, s, -1e30)
+
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(q.dtype), v.astype(q.dtype), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return m_next, l_next, acc * alpha + pv
+
+    m0 = jnp.full((h, group, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((h, group, 1), jnp.float32)
+    acc0 = jnp.zeros((h, group, dd), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, acc0))
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices):
+    b, n_kv_heads, group, d = qg.shape
+    _, _, page_size, _ = k_pages.shape
+    pages_per_seq = page_indices.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_kv_heads, group, d),
+                         lambda b_, pages, lens: (b_, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, n_kv_heads, group, d),
+                               lambda b_, pages, lens: (b_, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_kv_heads, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, n_kv_heads, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_dma_kernel, page_size=page_size,
+                          pages_per_seq=pages_per_seq),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_kv_heads, group, d), qg.dtype),
+        interpret=use_interpret_mode(),
+    )(page_indices.astype(jnp.int32), lengths.astype(jnp.int32),
+      qg, k_pages, v_pages)
+    return out
 
 
 def paged_attention(
@@ -95,9 +207,14 @@ def paged_attention(
     k_scales: Optional[Array] = None,   # (n_kv_heads, n_pages, page_size, 1)
     v_scales: Optional[Array] = None,
     sm_scale: Optional[float] = None,
+    pipelined: bool = True,
 ) -> Array:
     """Decode-time attention of one query token per sequence against its
-    paged KV history.  Returns (B, n_q_heads, d)."""
+    paged KV history.  Returns (B, n_q_heads, d).
+
+    ``pipelined=True`` (bf16 pages only) uses the manual double-buffered DMA
+    walk with a dynamic page-count loop; otherwise a pallas-grid schedule
+    visiting every page slot (also the quantized-page path)."""
     b, n_q_heads, d = q.shape
     n_kv_heads, n_pages, page_size, _ = k_pages.shape
     assert n_q_heads % n_kv_heads == 0
@@ -106,28 +223,35 @@ def paged_attention(
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     quantized = k_scales is not None
 
-    # (B, Hq, d) -> (B, Hkv, group, d), prescaled.
-    qg = (q * jnp.asarray(scale, q.dtype)).reshape(b, n_kv_heads, group, d)
+    # (B, Hq, d) -> (B, Hkv, group, d), prescaled; log2(e) folded in so the
+    # kernel's online softmax runs in exp2 (VPU-native).
+    qg = (q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
+          ).reshape(b, n_kv_heads, group, d)
 
-    def q_map(b_, h_, i_, pages, lens):
-        return (b_, h_, 0, 0)
+    if pipelined and not quantized:
+        out = _paged_attention_pipelined(qg, k_pages, v_pages, lengths,
+                                         page_indices)
+        return out.reshape(b, n_q_heads, d)
 
-    def kv_map(b_, h_, i_, pages, lens):
-        return (h_, pages[b_, i_], 0, 0)
+    def q_map(b_, i_, pages, lens):
+        return (b_, 0, 0, 0)
 
-    def o_map(b_, h_, i_, pages, lens):
-        return (b_, h_, 0, 0)
+    def kv_map(b_, i_, pages, lens):
+        return (0, pages[b_, i_], 0, 0)
+
+    def o_map(b_, i_, pages, lens):
+        return (b_, 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, group, d), q_map),
-        pl.BlockSpec((1, 1, page_size, d), kv_map),
-        pl.BlockSpec((1, 1, page_size, d), kv_map),
+        pl.BlockSpec((1, n_kv_heads, group, d), q_map),
+        pl.BlockSpec((n_kv_heads, 1, page_size, d), kv_map),
+        pl.BlockSpec((n_kv_heads, 1, page_size, d), kv_map),
     ]
     args = [qg, k_pages, v_pages]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, page_size, 1), kv_map),
-            pl.BlockSpec((1, 1, page_size, 1), kv_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, 1), kv_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, 1), kv_map),
         ]
         args += [k_scales, v_scales]
 
@@ -143,13 +267,13 @@ def paged_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, n_kv_heads, pages_per_seq),
+        grid=(b, pages_per_seq),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, group, d), o_map),
+        out_specs=pl.BlockSpec((1, n_kv_heads, group, d), o_map),
         scratch_shapes=[
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((group, d), jnp.float32),
+            pltpu.VMEM((n_kv_heads, group, 1), jnp.float32),
+            pltpu.VMEM((n_kv_heads, group, 1), jnp.float32),
+            pltpu.VMEM((n_kv_heads, group, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(

@@ -213,8 +213,8 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -233,7 +233,9 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        # m is in the base-2 domain (log2e folded into the q scale).
+        lse = m_scr[...] * 0.6931471805599453 + jnp.log(
+            jnp.where(l == 0.0, 1.0, l))
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
@@ -260,7 +262,11 @@ def flash_attention_kv_int8(
 
         return _reference_fwd_with_lse(q, kd, vd, causal, scale)
 
-    q = q * jnp.asarray(scale, q.dtype)
+    # Fold log2(e) into the scale: the kernel's online softmax runs in exp2
+    # (VPU-native); l is invariant, lse recovered as m*ln2 + log(l).
+    from .flash_attention import LOG2E
+
+    q = q * jnp.asarray(scale * LOG2E, q.dtype)
     num_kv = cdiv(n_kv, bk)
 
     if causal:

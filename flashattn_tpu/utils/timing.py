@@ -24,39 +24,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def device_loop_time(fn: Callable, args: tuple, iters: int = 20,
+def device_loop_time(fn: Callable, args: tuple, iters: int = 30,
                      repeats: int = 3) -> float:
-    """Seconds per call of fn(*args), timed as one scan-chained device program.
+    """Seconds per call of fn(*args), timed as scan-chained device programs.
 
     The first arg is threaded through the chain (output cast back to its
     dtype/shape via the function's own output), so each iteration
     data-depends on the previous one and cannot be elided.
+
+    Two-point slope measurement: the loop runs at ``iters`` and ``3*iters``
+    chain lengths and the per-call time is the *difference* divided by
+    ``2*iters``.  A single total/iters quotient is wrong on remote-execution
+    relays: each dispatch carries a constant ~25ms host->device round-trip
+    latency that would otherwise be amortised into (and dominate) the
+    per-call figure.  The slope cancels any constant per-dispatch cost.
     """
     x0 = args[0]
     rest = args[1:]
 
-    @jax.jit
-    def loop(x, *rest):
-        def body(c, _):
-            out = fn(c, *rest)
-            out = out[0] if isinstance(out, (tuple, list)) else out
-            # keep the carry shape: broadcast-add a reduced signal if the
-            # output shape differs from the input
-            if out.shape == x.shape and out.dtype == x.dtype:
-                return out, None
-            sig = jnp.sum(out).astype(x.dtype)
-            return c + sig * 1e-12, None
+    def make_loop(length):
+        @jax.jit
+        def loop(x, *rest):
+            def body(c, _):
+                out = fn(c, *rest)
+                out = out[0] if isinstance(out, (tuple, list)) else out
+                # keep the carry shape: broadcast-add a reduced signal if the
+                # output shape differs from the input
+                if out.shape == x.shape and out.dtype == x.dtype:
+                    return out, None
+                sig = jnp.sum(out).astype(x.dtype)
+                return c + sig * 1e-12, None
 
-        final, _ = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(final).astype(jnp.float32)
+            final, _ = jax.lax.scan(body, x, None, length=length)
+            return jnp.sum(final).astype(jnp.float32)
 
-    np.asarray(loop(x0, *rest))  # compile + warm
-    best = float("inf")
+        return loop
+
+    loop1, loop3 = make_loop(iters), make_loop(3 * iters)
+    np.asarray(loop1(x0, *rest))  # compile + warm
+    np.asarray(loop3(x0, *rest))
+    t1 = t3 = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        np.asarray(loop(x0, *rest))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        np.asarray(loop1(x0, *rest))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(loop3(x0, *rest))
+        t3 = min(t3, time.perf_counter() - t0)
+    return max(t3 - t1, 1e-9) / (2 * iters)
 
 
 @dataclasses.dataclass
