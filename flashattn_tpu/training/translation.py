@@ -43,7 +43,12 @@ class MTConfig:
     model_max_length: int = 40
     n_epochs: int = 1
     batch_size: int = 128
-    learning_rate: float = 0.02
+    # The reference defaults to 0.02 (run_machine_translation.py:365) but its
+    # Adam second moment decays with beta1 (optim.py:68) which damps the
+    # effective step; with a CORRECT Adam 0.02 diverges on this workload
+    # (measured: loss stuck >5, BLEU 0) while 0.005 reaches BLEU ~29 in
+    # 5 epochs on the synthetic corpus.
+    learning_rate: float = 0.005
     samples_per_epoch: int = 20000
     n_vocab: int = 10000
     n_embd: int = 256
