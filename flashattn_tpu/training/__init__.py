@@ -1,1 +1,7 @@
-from .trainer import ShardedTrainer, lm_loss, make_eval_step, make_train_step
+from .trainer import (
+    ShardedTrainer,
+    lm_loss,
+    make_eval_step,
+    make_train_scan,
+    make_train_step,
+)

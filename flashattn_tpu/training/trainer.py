@@ -68,6 +68,40 @@ def make_train_step(opt: Any,
     return jax.jit(_step, donate_argnums=donate_argnums)
 
 
+def make_train_scan(opt: Any,
+                    loss_fn: Callable[..., Array] = lm_loss,
+                    donate: bool = True) -> Callable:
+    """Multi-step train dispatch: lax.scan over a stack of batches.
+
+    Returns scan(model, opt_state, tokens, targets, loss_mask, key) where
+    tokens/targets/loss_mask carry a leading (n_steps,) axis; runs every step
+    device-side in ONE dispatch and returns (model, opt_state, losses).
+
+    This is the relay/host-latency amortiser: a per-step Python loop pays the
+    host->device round trip (tens of ms on remote-execution setups) once per
+    batch; scanning K steps pays it once per K batches.  The reference's
+    train loop (run_machine_translation.py:195-237) is the opposite extreme —
+    hundreds of dispatches per batch.
+    """
+
+    def _scan(model, opt_state, tokens, targets, loss_mask, key):
+        keys = jax.random.split(key, tokens.shape[0])
+
+        def body(carry, batch):
+            model, opt_state = carry
+            tok, tgt, msk, k = batch
+            loss, grads = jax.value_and_grad(loss_fn)(model, tok, tgt, msk, k)
+            model, opt_state = opt.step(model, grads, opt_state)
+            return (model, opt_state), loss
+
+        (model, opt_state), losses = jax.lax.scan(
+            body, (model, opt_state), (tokens, targets, loss_mask, keys))
+        return model, opt_state, losses
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(_scan, donate_argnums=donate_argnums)
+
+
 def make_eval_step(loss_fn: Callable[..., Array] = lm_loss) -> Callable:
     def _eval(model, tokens, targets, loss_mask):
         return loss_fn(model.eval(), tokens, targets, loss_mask, None)

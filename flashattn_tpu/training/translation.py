@@ -61,6 +61,10 @@ class MTConfig:
     workdir: Optional[str] = None
     synthetic_size: int = 20000  # offline fallback corpus size
     use_native_loader: bool = True  # C++ collate + prefetch (native/)
+    # Batches per device dispatch (lax.scan over steps).  Each host->device
+    # dispatch costs a round trip (tens of ms through remote relays); scanning
+    # K steps per dispatch amortises it K-fold.
+    steps_per_dispatch: int = 8
 
     def resolve_workdir(self) -> str:
         wd = self.workdir or (
@@ -203,61 +207,69 @@ def tokenize_corpus(examples, tokenizer, src_key, tgt_key):
     ]
 
 
-def train_epoch_native(model, opt_state, step_fn, loader, n_steps, key, desc=""):
+def _dispatch_chunk(model, opt_state, scan_fn, batches, key):
+    """Stack K collated batches and run them as ONE device dispatch."""
+    tokens = jnp.asarray(np.stack([b["input_ids"] for b in batches]))
+    labels = jnp.asarray(np.stack([b["labels"] for b in batches]))
+    weights = jnp.asarray(np.stack([b["label_token_weights"] for b in batches]))
+    key, sub = jax.random.split(key)
+    model, opt_state, losses = scan_fn(model, opt_state, tokens, labels,
+                                       weights, sub)
+    return model, opt_state, key, np.asarray(losses), tokens.size
+
+
+def train_epoch_native(model, opt_state, scan_fn, loader, n_steps, key,
+                       steps_per_dispatch=8, desc=""):
     """One epoch over the C++ prefetching loader (no per-batch Python
-    collate on the critical path)."""
+    collate on the critical path); steps grouped into scan dispatches."""
     import tqdm
 
     losses = []
-    prog = tqdm.trange(n_steps, desc=f"Training ({desc})")
+    spd = max(1, min(steps_per_dispatch, n_steps))
+    n_chunks = n_steps // spd
+    prog = tqdm.trange(n_chunks, desc=f"Training ({desc})")
     for _ in prog:
-        batch = loader.next_batch()
-        key, sub = jax.random.split(key)
+        batches = [loader.next_batch() for _ in range(spd)]
         t0 = time.time()
-        model, opt_state, loss = step_fn(
-            model, opt_state,
-            jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["labels"]),
-            jnp.asarray(batch["label_token_weights"]),
-            sub,
-        )
-        loss = float(loss)
+        model, opt_state, key, chunk_losses, n_tok = _dispatch_chunk(
+            model, opt_state, scan_fn, batches, key)
         dt = time.time() - t0
-        losses.append(loss)
-        prog.set_postfix(loss=f"{loss:.4f}",
-                         tokens_per_sec=f"{batch['input_ids'].size / dt:,.0f}")
+        losses.extend(chunk_losses.tolist())
+        prog.set_postfix(loss=f"{chunk_losses[-1]:.4f}",
+                         tokens_per_sec=f"{n_tok / dt:,.0f}")
     return model, opt_state, key, float(np.mean(losses)) if losses else float("nan")
 
 
-def train_epoch(model, opt, opt_state, step_fn, examples, n_samples, collate_fn,
-                batch_size, key, desc=""):
-    """One epoch (reference train :195-237): jitted step, tokens/sec metric."""
+def train_epoch(model, opt, opt_state, scan_fn, examples, n_samples, collate_fn,
+                batch_size, key, steps_per_dispatch=8, desc=""):
+    """One epoch (reference train :195-237): scan-dispatched jitted steps,
+    tokens/sec metric."""
     import tqdm
 
     examples = list(examples)
     random.shuffle(examples)
     examples = examples[:n_samples]
     # drop ragged tail so the jitted step compiles for one batch shape
-    usable = (len(examples) // batch_size) * batch_size
+    n_steps = len(examples) // batch_size
+    spd = max(1, min(steps_per_dispatch, n_steps))
+    n_chunks = n_steps // spd
 
     losses = []
-    prog = tqdm.trange(0, usable, batch_size, desc=f"Training ({desc})")
-    for i in prog:
-        batch = collate_fn(examples=examples[i:i + batch_size])
-        key, sub = jax.random.split(key)
+    prog = tqdm.trange(n_chunks, desc=f"Training ({desc})")
+    for c in prog:
+        start = c * spd * batch_size
+        batches = [
+            collate_fn(examples=examples[start + j * batch_size:
+                                         start + (j + 1) * batch_size])
+            for j in range(spd)
+        ]
         t0 = time.time()
-        model, opt_state, loss = step_fn(
-            model, opt_state,
-            jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["labels"]),
-            jnp.asarray(batch["label_token_weights"]),
-            sub,
-        )
-        loss = float(loss)  # forces completion (device sync)
+        model, opt_state, key, chunk_losses, n_tok = _dispatch_chunk(
+            model, opt_state, scan_fn, batches, key)
         dt = time.time() - t0
-        losses.append(loss)
-        prog.set_postfix(loss=f"{loss:.4f}",
-                         tokens_per_sec=f"{batch['input_ids'].size / dt:,.0f}")
+        losses.extend(chunk_losses.tolist())
+        prog.set_postfix(loss=f"{chunk_losses[-1]:.4f}",
+                         tokens_per_sec=f"{n_tok / dt:,.0f}")
     return model, opt_state, key, float(np.mean(losses)) if losses else float("nan")
 
 
@@ -337,7 +349,7 @@ def run(config: MTConfig) -> Dict:
     import functools
 
     import flashattn_tpu as ft
-    from .trainer import lm_loss, make_train_step
+    from .trainer import lm_loss, make_train_scan
 
     workdir = config.resolve_workdir()
     np.random.seed(config.seed)
@@ -363,7 +375,7 @@ def run(config: MTConfig) -> Dict:
     )
     opt = ft.Adam(lr=config.learning_rate)
     opt_state = opt.init(model)
-    step_fn = make_train_step(opt, lm_loss)
+    scan_fn = make_train_scan(opt, lm_loss)
 
     @jax.jit
     def eval_fn(model, tokens, targets, mask):
@@ -392,12 +404,14 @@ def run(config: MTConfig) -> Dict:
             n_steps = min(config.samples_per_epoch,
                           len(dataset["train"])) // config.batch_size
             model, opt_state, key, train_loss = train_epoch_native(
-                model, opt_state, step_fn, loader, n_steps, key, desc,
+                model, opt_state, scan_fn, loader, n_steps, key,
+                config.steps_per_dispatch, desc,
             )
         else:
             model, opt_state, key, train_loss = train_epoch(
-                model, opt, opt_state, step_fn, dataset["train"],
-                config.samples_per_epoch, collate_fn, config.batch_size, key, desc,
+                model, opt, opt_state, scan_fn, dataset["train"],
+                config.samples_per_epoch, collate_fn, config.batch_size, key,
+                config.steps_per_dispatch, desc,
             )
         val_loss = evaluate_loss(model, eval_fn, dataset["validation"],
                                  config.batch_size, collate_fn, desc)

@@ -139,6 +139,44 @@ def test_single_chip_train_step_factory():
     assert float(loss) < l0
 
 
+def test_train_scan_matches_sequential_steps():
+    """make_train_scan (K steps in one dispatch) must equal K sequential
+    make_train_step calls with the same per-step PRNG keys."""
+    from flashattn_tpu.training import make_train_scan
+
+    def build():
+        m = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                         attn_impl="reference", key=jax.random.PRNGKey(5))
+        opt = ft.Adam(lr=5e-3)
+        return m, opt, opt.init(m)
+
+    K = 4
+    data = jax.random.randint(jax.random.PRNGKey(6), (K, 4, 17), 0, 64)
+    toks, tgts = data[:, :, :-1], data[:, :, 1:]
+    mask = jnp.ones((K, 4, 16))
+    key = jax.random.PRNGKey(9)
+    keys = jax.random.split(key, K)
+
+    m1, opt1, s1 = build()
+    step = make_train_step(opt1, donate=False)
+    seq_losses = []
+    for i in range(K):
+        m1, s1, loss = step(m1, s1, toks[i], tgts[i], mask[i], keys[i])
+        seq_losses.append(float(loss))
+
+    m2, opt2, s2 = build()
+    scan = make_train_scan(opt2, donate=False)
+    m2, s2, losses = scan(m2, s2, toks, tgts, mask, key)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses),
+                               rtol=1e-5, atol=1e-6)
+    # params agree up to XLA fusion-order noise in the Adam update
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_lm_loss_masking():
     model = ft.DecoderLM(32, 16, 2, 8, p_dropout=0.0, n_layer=1,
                          attn_impl="reference", key=jax.random.PRNGKey(7))
