@@ -27,7 +27,7 @@ from .nn import functional as F
 from .nn.basic import Dropout, Embedding, FusedLayerNorm, LayerNorm1d, Linear
 from .ops.flash_attention import flash_attention, flash_attention_reference
 from .ops.layernorm import layernorm, layernorm_reference
-from .ops.softmax import attn_softmax, attn_softmax_reference
+from .ops.softmax import attn_softmax, attn_softmax_pallas, attn_softmax_reference
 from .models.transformer import (
     DecoderLM,
     FeedForward,
@@ -55,6 +55,7 @@ __all__ = [
     "layernorm",
     "layernorm_reference",
     "attn_softmax",
+    "attn_softmax_pallas",
     "attn_softmax_reference",
     "DecoderLM",
     "FeedForward",

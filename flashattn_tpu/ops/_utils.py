@@ -42,3 +42,13 @@ def largest_divisor_block(n: int, target: int, minimum: int = 8) -> int | None:
             return b
         b //= 2
     return None
+
+
+def ragged_row_block(n: int, target: int = 128) -> int:
+    """Row-block size for ROW-INDEPENDENT kernels: a multiple of the sublane
+    tile (Mosaic requires the second-to-last block dim divisible by 8 or equal
+    to the array dim), gridded with cdiv so the last block may be ragged.
+    Out-of-bounds rows read garbage and have their writes dropped — only safe
+    when rows don't interact; kernels that REDUCE over rows must mask the
+    ragged tail explicitly (see layernorm backward)."""
+    return min(target, round_up(n, NUM_SUBLANES))

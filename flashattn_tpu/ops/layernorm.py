@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._utils import cdiv, largest_divisor_block, use_interpret_mode
+from ._utils import cdiv, ragged_row_block, use_interpret_mode
 
 Array = jax.Array
 
@@ -94,7 +94,7 @@ def _ln_fwd(x: Array, gamma: Array, beta: Array, eps: float, block_rows: int):
 
 
 def _ln_bwd_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref,
-                   dx_ref, dg_ref, db_ref):
+                   dx_ref, dg_ref, db_ref, *, n_rows: int, block_rows: int):
     i = pl.program_id(0)
 
     x = x_ref[...].astype(jnp.float32)
@@ -111,8 +111,18 @@ def _ln_bwd_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref,
         dg_ref[...] = jnp.zeros_like(dg_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    dg_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    # The last block may be ragged: rows past n_rows hold garbage (possibly
+    # NaN via rstd) and must not leak into the cross-row reductions.
+    if n_rows % block_rows:
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + i * block_rows
+        valid = rows < n_rows
+        dg_ref[...] += jnp.sum(jnp.where(valid, dy * xhat, 0.0),
+                               axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(jnp.where(valid, dy, 0.0),
+                               axis=0, keepdims=True)
+    else:
+        dg_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
 
     dyg = dy * gamma
     h = x.shape[-1]
@@ -126,7 +136,7 @@ def _ln_bwd(x, dy, mean, rstd, gamma, block_rows: int):
     n, h = x.shape
     grid = (cdiv(n, block_rows),)
     dx, dg, db = pl.pallas_call(
-        _ln_bwd_kernel,
+        functools.partial(_ln_bwd_kernel, n_rows=n, block_rows=block_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_rows, h), lambda i: (i, 0)),
@@ -157,8 +167,10 @@ def _ln_bwd(x, dy, mean, rstd, gamma, block_rows: int):
 _DEFAULT_BLOCK_ROWS = 256
 
 
-def _pick_block_rows(n: int) -> int | None:
-    return largest_divisor_block(n, _DEFAULT_BLOCK_ROWS, minimum=1)
+def _pick_block_rows(n: int) -> int:
+    # Ragged last block allowed; bwd masks the tail rows out of the
+    # dgamma/dbeta reductions.
+    return ragged_row_block(n, _DEFAULT_BLOCK_ROWS)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -178,13 +190,7 @@ def _layernorm_fwd_impl(x, gamma, beta, eps):
     x2 = x.reshape(-1, h)
     n = x2.shape[0]
     block = _pick_block_rows(n)
-    if block is None:  # unreachable (block>=1 always divides); kept for safety
-        mean = jnp.mean(x2, axis=-1, keepdims=True)
-        var = jnp.var(x2, axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + eps)
-        y2 = (x2 - mean) * rstd * gamma + beta
-    else:
-        y2, mean, rstd = _ln_fwd(x2, gamma, beta, eps, block)
+    y2, mean, rstd = _ln_fwd(x2, gamma, beta, eps, block)
     return y2.reshape(shape), mean, rstd
 
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ._utils import DEFAULT_MASK_VALUE, cdiv, largest_divisor_block, use_interpret_mode
+from ._utils import DEFAULT_MASK_VALUE, cdiv, ragged_row_block, use_interpret_mode
 
 Array = jax.Array
 
@@ -60,8 +60,9 @@ def _softmax_bwd_kernel(out_ref, dout_ref, dinp_ref):
 
 
 def _row_block(from_len: int) -> int:
-    b = largest_divisor_block(from_len, _DEFAULT_BLOCK_ROWS, minimum=1)
-    return b if b is not None else 1
+    # Rows are independent in both fw and bw, so a ragged last block is safe
+    # (OOB writes dropped).  8-aligned keeps Mosaic's sublane constraint.
+    return ragged_row_block(from_len, _DEFAULT_BLOCK_ROWS)
 
 
 def _fwd_impl(inp: Array, mask: Optional[Array], causal: bool) -> Array:
@@ -106,15 +107,31 @@ def _softmax_fwd_nomask_kernel(x_ref, out_ref, *, causal: bool, block_rows: int)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def attn_softmax(inp: Array, mask: Optional[Array] = None, causal: bool = False) -> Array:
+def attn_softmax_pallas(inp: Array, mask: Optional[Array] = None,
+                        causal: bool = False) -> Array:
+    """The hand-written Pallas fused softmax (fw/bw kernels above)."""
+    return _fwd_impl(inp, mask, causal)
+
+
+def attn_softmax(inp: Array, mask: Optional[Array] = None,
+                 causal: bool = False, impl: str = "auto") -> Array:
     """Fused masked softmax over the last dim of ``(B, H, F, T)`` scores.
 
     ``mask`` is an *additive* mask broadcastable as (B|1, H|1, F|1, T);
     ``causal=True`` additionally applies the triangular future mask in-kernel.
     Matches reference ``Attn_Softmax`` (tensor_functions.py:435-451) semantics
     with its in-place/saved-tensor defect fixed.
+
+    ``impl="auto"`` uses the XLA op-graph path: measured on v5e, XLA's own
+    softmax fusion matches the Pallas kernel at aligned shapes and beats it
+    at unaligned ones (SURVEY.md §7: this kernel tier "becomes XLA" — the
+    reference needed a hand kernel only because its baseline was per-op CUDA
+    launches, softmax_kernel.cu:232-292).  ``impl="pallas"`` selects the
+    hand-written kernel, which also lifts the reference's to_len<=1024 cap.
     """
-    return _fwd_impl(inp, mask, causal)
+    if impl == "pallas":
+        return attn_softmax_pallas(inp, mask, causal)
+    return attn_softmax_reference(inp, mask, causal)
 
 
 def _attn_softmax_vjp_fwd(inp, mask, causal):
@@ -139,7 +156,7 @@ def _attn_softmax_vjp_bwd(causal, res, dout):
     return dinp, None
 
 
-attn_softmax.defvjp(_attn_softmax_vjp_fwd, _attn_softmax_vjp_bwd)
+attn_softmax_pallas.defvjp(_attn_softmax_vjp_fwd, _attn_softmax_vjp_bwd)
 
 
 def attn_softmax_reference(inp: Array, mask: Optional[Array] = None, causal: bool = False) -> Array:

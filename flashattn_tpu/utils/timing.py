@@ -60,18 +60,32 @@ def device_loop_time(fn: Callable, args: tuple, iters: int = 30,
 
         return loop
 
-    loop1, loop3 = make_loop(iters), make_loop(3 * iters)
-    np.asarray(loop1(x0, *rest))  # compile + warm
-    np.asarray(loop3(x0, *rest))
-    t1 = t3 = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(loop1(x0, *rest))
-        t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
+    def measure(n):
+        loop1, loop3 = make_loop(n), make_loop(3 * n)
+        np.asarray(loop1(x0, *rest))  # compile + warm
         np.asarray(loop3(x0, *rest))
-        t3 = min(t3, time.perf_counter() - t0)
-    return max(t3 - t1, 1e-9) / (2 * iters)
+        t1 = t3 = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(loop1(x0, *rest))
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(loop3(x0, *rest))
+            t3 = min(t3, time.perf_counter() - t0)
+        return max(t3 - t1, 1e-9)
+
+    # Adaptive: a slope below ~10ms of device work is drowned in relay
+    # jitter (ms-scale) — rescale the chain until the signal dominates.
+    MIN_SIGNAL = 10e-3
+    MAX_ITERS = 50000
+    delta = measure(iters)
+    for _ in range(3):
+        if delta >= MIN_SIGNAL or iters >= MAX_ITERS:
+            break
+        scale = min(int(2 * MIN_SIGNAL / max(delta, 2e-4)) + 1, 100)
+        iters = min(iters * scale, MAX_ITERS)
+        delta = measure(iters)
+    return delta / (2 * iters)
 
 
 @dataclasses.dataclass

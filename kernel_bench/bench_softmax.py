@@ -34,7 +34,7 @@ def softmax_fw(kt: KernelBench):
         0.0, -1e9).astype(jnp.float32)
 
     def custom(x, mask):
-        return attn_softmax(x, mask, True)
+        return attn_softmax(x, mask, True, impl="pallas")
 
     def baseline(x, mask):
         return attn_softmax_reference(x, mask, True)
@@ -49,7 +49,7 @@ def softmax_bw(kt: KernelBench):
     dy = jax.random.normal(jax.random.PRNGKey(2), x.shape)
 
     def custom(x, dy):
-        return jax.grad(lambda t: jnp.sum(attn_softmax(t, None, True) * dy))(x)
+        return jax.grad(lambda t: jnp.sum(attn_softmax(t, None, True, impl="pallas") * dy))(x)
 
     def baseline(x, dy):
         return jax.grad(

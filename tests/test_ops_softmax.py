@@ -6,7 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from flashattn_tpu import attn_softmax, attn_softmax_reference
+import functools
+
+from flashattn_tpu import attn_softmax as _attn_softmax, attn_softmax_reference
+
+# pin the Pallas kernel path: this file tests the hand-written kernel
+attn_softmax = functools.partial(_attn_softmax, impl="pallas")
 
 SHAPES = [(1, 2, 8, 16), (2, 4, 64, 96), (2, 2, 128, 128), (1, 1, 17, 33),
           (1, 2, 64, 2048)]  # last one exceeds the reference's 1024 cap
