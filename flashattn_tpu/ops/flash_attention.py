@@ -427,7 +427,11 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k):
 
 
 def _reference_fwd_with_lse(q, k, v, causal, scale):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    # preferred_element_type keeps bf16 scores in f32 end-to-end — without it
+    # the einsum rounds s to bf16 and the ORACLE is less accurate than the
+    # kernel (seen as ~4e-2 "kernel error" at seq 2048 bf16).
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
     if causal:
         nq, nk = s.shape[-2:]
         mask = jnp.arange(nk)[None, :] <= jnp.arange(nq)[:, None]
@@ -435,7 +439,8 @@ def _reference_fwd_with_lse(q, k, v, causal, scale):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.einsum("bhqk,bhkd->bhqd", (e / l).astype(v.dtype), v)
+    o = jnp.einsum("bhqk,bhkd->bhqd", (e / l).astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
     lse = m + jnp.log(l)
     return o.astype(q.dtype), lse
 

@@ -228,7 +228,10 @@ def paged_attention(
     qg = (q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
           ).reshape(b, n_kv_heads, group, d)
 
-    if pipelined and not quantized:
+    # The manual-DMA path slices pages out of the (possibly VMEM-resident)
+    # pool; Mosaic requires the minor dim of such slices to be lane-tile
+    # aligned, so gate on d % 128 (the grid path handles sub-tile head dims).
+    if pipelined and not quantized and d % 128 == 0:
         out = _paged_attention_pipelined(qg, k_pages, v_pages, lengths,
                                          page_indices)
         return out.reshape(b, n_q_heads, d)

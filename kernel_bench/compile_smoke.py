@@ -1,0 +1,144 @@
+"""Compiled-mode smoke battery: every Pallas kernel at adversarial shapes.
+
+The pytest suite runs on the virtual CPU mesh in interpret mode
+(tests/conftest.py), which skips Mosaic lowering — block-shape constraint
+violations only surface when compiling on a real chip (this caught
+attn_softmax/layernorm failing at unaligned shapes).  Run this ON TPU after
+touching any kernel:
+
+    python kernel_bench/compile_smoke.py
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, got, want, tol):
+    """tol bounds max|diff| / max|want| — relative, so bf16 output rounding
+    (1 ulp = 0.8% of magnitude) doesn't read as kernel error."""
+    w = jnp.asarray(want, jnp.float32)
+    d = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32) - w)))
+    rel = d / (float(jnp.max(jnp.abs(w))) + 1e-9)
+    status = "OK " if rel < tol else "FAIL"
+    print(f"{status} {name}: max|diff|={d:.2e} rel={rel:.2e} (tol {tol})")
+    return rel < tol
+
+
+def main():
+    import flashattn_tpu as ft
+    from flashattn_tpu.ops.layernorm import layernorm
+    from flashattn_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_reference)
+    from flashattn_tpu.ops.quant import (
+        QuantizedTensor, flash_attention_kv_int8, int8_weight_only_matmul,
+        quantize_int8)
+    from flashattn_tpu.ops.softmax import attn_softmax, attn_softmax_reference
+
+    ok = True
+    key = jax.random.PRNGKey(0)
+
+    # -- flash attention: ragged/odd seqs, cross-attn, decode, dtypes ------
+    for (nq, nkv, dtype, causal) in [
+        (8, 8, jnp.float32, True),
+        (37, 37, jnp.float32, True),        # non-tileable -> jnp fallback
+        (327, 327, jnp.float32, True),      # full-dim blocks
+        (654, 654, jnp.bfloat16, False),
+        (2048, 2048, jnp.bfloat16, True),
+        (128, 1024, jnp.float32, False),    # cross-attention
+        (1, 512, jnp.bfloat16, False),      # single-query decode shape
+    ]:
+        q = jax.random.normal(key, (2, 4, nq, 64), dtype)
+        k = jax.random.normal(key, (2, 4, nkv, 64), dtype)
+        o = ft.flash_attention(q, k, k, causal)
+        ref = ft.flash_attention_reference(q, k, k, causal)
+        ok &= check(f"flash fwd nq={nq} nkv={nkv} {dtype.__name__} c={causal}",
+                    o, ref, 2e-2)
+        if nq == nkv:
+            g = jax.grad(lambda q: jnp.sum(
+                ft.flash_attention(q, k, k, causal).astype(jnp.float32)))(q)
+            gr = jax.grad(lambda q: jnp.sum(
+                ft.flash_attention_reference(q, k, k, causal).astype(jnp.float32)))(q)
+            ok &= check(f"flash bwd nq={nq} {dtype.__name__}", g, gr, 5e-2)
+
+    # -- fused softmax (pallas path) at odd shapes --------------------------
+    for shape in [(7, 8, 327, 327), (1, 1, 17, 33), (2, 2, 1, 2048),
+                  (3, 8, 49, 49)]:
+        x = jax.random.normal(key, shape) * 3.0
+        o = attn_softmax(x, None, True, impl="pallas")
+        ok &= check(f"softmax pallas {shape}", o,
+                    attn_softmax_reference(x, None, True), 1e-5)
+        g = jax.grad(lambda x: jnp.sum(
+            attn_softmax(x, None, True, impl="pallas") ** 2))(x)
+        gr = jax.grad(lambda x: jnp.sum(
+            attn_softmax_reference(x, None, True) ** 2))(x)
+        ok &= check(f"softmax pallas bwd {shape}", g, gr, 1e-4)
+
+    # -- layernorm at odd rows/hidden (beyond reference envelopes) ----------
+    for (n, h) in [(123, 517), (7, 4096 + 128), (2303, 1024), (8, 8)]:
+        x = jax.random.normal(key, (n, h))
+        gmm = jax.random.normal(jax.random.PRNGKey(2), (h,))
+        bt = jax.random.normal(jax.random.PRNGKey(3), (h,))
+        o = layernorm(x, gmm, bt)
+        mu = x.mean(-1, keepdims=True)
+        ref = (x - mu) / jnp.sqrt(x.var(-1, keepdims=True) + 1e-5) * gmm + bt
+        ok &= check(f"layernorm {n}x{h}", o, ref, 1e-4)
+        grads = jax.grad(lambda x, g, b: jnp.sum(layernorm(x, g, b) ** 2),
+                         argnums=(0, 1, 2))(x, gmm, bt)
+        ref_grads = jax.grad(
+            lambda x, g, b: jnp.sum(
+                ((x - x.mean(-1, keepdims=True))
+                 / jnp.sqrt(x.var(-1, keepdims=True) + 1e-5) * g + b) ** 2),
+            argnums=(0, 1, 2))(x, gmm, bt)
+        for gg, rr, nm in zip(grads, ref_grads, "xgb"):
+            ok &= check(f"layernorm bwd d{nm} {n}x{h}", gg, rr, 5e-3)
+
+    # -- int8 weight-only matmul + int8 KV flash ----------------------------
+    x = jax.random.normal(key, (256, 512), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(5), (512, 384), jnp.bfloat16)
+    wq = quantize_int8(w, axis=0)
+    o = int8_weight_only_matmul(x, wq)
+    # f32 ground truth: dequantising to bf16 first would make the BASELINE
+    # the lossy side (w rounds at 4e-3 relative).
+    truth = jnp.dot(x.astype(jnp.float32),
+                    wq.values.astype(jnp.float32) * wq.scales)
+    rel = float(jnp.max(jnp.abs(o.astype(jnp.float32) - truth))
+                / jnp.max(jnp.abs(truth)))
+    print(("OK " if rel < 2e-2 else "FAIL") +
+          f" int8 weight-only matmul: rel={rel:.2e} (tol 2e-2)")
+    ok &= rel < 2e-2
+    q = jax.random.normal(key, (2, 4, 327, 64), jnp.float32)
+    kq = quantize_int8(q, axis=-1)
+    o, _ = flash_attention_kv_int8(q, kq, kq, True)
+    ref = ft.flash_attention_reference(q, kq.dequantize(jnp.float32),
+                                       kq.dequantize(jnp.float32), True)
+    ok &= check("int8-KV flash odd seq", o, ref, 3e-2)
+
+    # -- paged attention: GQA, short lengths, both variants, int8 pages -----
+    Hq, Hkv, D, page = 8, 4, 64, 128
+    kp = jax.random.normal(key, (Hkv, 64, page, D), jnp.bfloat16)
+    qd = jax.random.normal(key, (4, Hq, D), jnp.bfloat16)
+    lengths = jnp.asarray([1, 130, 128 * 7, 128 * 16], jnp.int32)
+    pidx = jnp.arange(4 * 16, dtype=jnp.int32).reshape(4, 16)
+    ref = paged_attention_reference(qd, kp, kp, lengths, pidx)
+    for pipe in [True, False]:
+        o = paged_attention(qd, kp, kp, lengths, pidx, pipelined=pipe)
+        ok &= check(f"paged decode GQA pipelined={pipe}", o, ref, 2e-2)
+    ks = jnp.max(jnp.abs(kp.astype(jnp.float32)), -1, keepdims=True) / 127.0
+    kp8 = jnp.round(kp.astype(jnp.float32) / ks).astype(jnp.int8)
+    ref8 = paged_attention_reference(qd, kp8, kp8, lengths, pidx,
+                                     k_scales=ks, v_scales=ks)
+    o8 = paged_attention(qd, kp8, kp8, lengths, pidx, k_scales=ks, v_scales=ks)
+    ok &= check("paged decode int8 pages", o8, ref8, 2e-2)
+
+    print("\nALL OK" if ok else "\nFAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
