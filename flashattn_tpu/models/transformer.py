@@ -33,6 +33,7 @@ from ..module import Module
 from ..nn import functional as F
 from ..nn.basic import Dropout, Embedding, FusedLayerNorm, LayerNorm1d, Linear
 from ..ops.flash_attention import flash_attention, flash_attention_reference
+from ..ops.paged_attention import paged_attention
 from ..ops.softmax import attn_softmax
 
 Array = jax.Array
@@ -145,6 +146,43 @@ class MultiHeadAttention(Module):
         out = out.transpose(0, 2, 1, 3).reshape(bs, 1, self.n_embd)
         return self.out_projection(out), {"k": cache_k, "v": cache_v}
 
+    # -- paged decode (serving path: non-contiguous per-sequence KV pages) --
+
+    def init_page_pool(self, total_pages: int, page_size: int,
+                       dtype=jnp.float32) -> dict:
+        shape = (self.n_head, total_pages, page_size, self.attn_hidden_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def forward_decode_paged(self, x: Array, pool: dict, page_table: Array,
+                             lengths: Array):
+        """One decode step against a paged KV pool.
+
+        x: (B, 1, E); page_table: (B, pages_per_seq) int32 physical page ids;
+        lengths: (B,) tokens already in each sequence's cache (the new token
+        lands at position ``lengths``).  Returns (out (B,1,E), updated pool).
+        """
+        bs = x.shape[0]
+        page_size = pool["k"].shape[2]
+        q, k, v = self.project_to_query_key_value(x)      # (B, nh, 1, hd)
+
+        slot = lengths // page_size                        # (B,) table column
+        page_ids = jnp.take_along_axis(page_table, slot[:, None], axis=1)[:, 0]
+        offs = lengths % page_size
+        # scatter the new token's K/V into its page: pool (nh, P, page, hd)
+        k_new = k[:, :, 0].transpose(1, 0, 2).astype(pool["k"].dtype)  # (nh,B,hd)
+        v_new = v[:, :, 0].transpose(1, 0, 2).astype(pool["v"].dtype)
+        pool = {
+            "k": pool["k"].at[:, page_ids, offs].set(k_new),
+            "v": pool["v"].at[:, page_ids, offs].set(v_new),
+        }
+
+        out = paged_attention(
+            q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
+            sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+        )                                                  # (B, nh, hd)
+        out = out.reshape(bs, 1, self.n_embd)
+        return self.out_projection(out), pool
+
 
 class FeedForward(Module):
     """GELU MLP n_embd -> middle_dim -> n_embd (reference :233-276)."""
@@ -199,6 +237,14 @@ class TransformerLayer(Module):
         x = x + attn
         x = x + self.ff(self.ln_2(x))
         return x, cache
+
+    def forward_decode_paged(self, x: Array, pool: dict, page_table: Array,
+                             lengths: Array):
+        attn, pool = self.attention.forward_decode_paged(
+            self.ln_1(x), pool, page_table, lengths)
+        x = x + attn
+        x = x + self.ff(self.ln_2(x))
+        return x, pool
 
 
 class DecoderLM(Module):
@@ -272,3 +318,26 @@ class DecoderLM(Module):
             new_caches.append(cache)
         x = self.ln(x)
         return self.lm_head(x), new_caches
+
+    # -- paged decoding (serving: continuous batching over page pools) ------
+
+    def init_page_pools(self, total_pages: int, page_size: int,
+                        dtype=jnp.float32) -> list:
+        return [layer.attention.init_page_pool(total_pages, page_size, dtype)
+                for layer in self.layers]
+
+    def forward_decode_paged(self, idx_tok: Array, pools: list,
+                             page_table: Array, lengths: Array):
+        """One decode step over paged KV pools with PER-SEQUENCE positions.
+
+        idx_tok: (B, 1) int ids; lengths: (B,) tokens already cached (the new
+        token's position).  Returns (logits (B, 1, n_vocab), updated pools).
+        """
+        pos = lengths.astype(jnp.int32)[:, None]           # (B, 1)
+        x = self.token_embeddings(idx_tok) + self.position_embeddings(pos)
+        new_pools = []
+        for layer, pool in zip(self.layers, pools):
+            x, pool = layer.forward_decode_paged(x, pool, page_table, lengths)
+            new_pools.append(pool)
+        x = self.ln(x)
+        return self.lm_head(x), new_pools

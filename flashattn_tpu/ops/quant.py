@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._utils import DEFAULT_MASK_VALUE, cdiv, largest_divisor_block, use_interpret_mode
+from ._utils import (
+    DEFAULT_MASK_VALUE,
+    cdiv,
+    largest_divisor_block,
+    ragged_row_block,
+    use_interpret_mode,
+)
 
 Array = jax.Array
 
@@ -56,6 +62,25 @@ def quantize_int8(x: Array, axis: int = -1) -> QuantizedTensor:
     return QuantizedTensor(q, scale)
 
 
+FP8_MAX = 448.0  # float8_e4m3fn finfo.max
+
+
+def quantize_fp8(x: Array, axis: int = -1) -> QuantizedTensor:
+    """Symmetric per-channel FP8 (e4m3) quantisation (absmax / 448).
+
+    Same :class:`QuantizedTensor` container as int8 — every consumer
+    (weight-only matmul, quantised-KV flash attention, paged int8 pages)
+    dequantises via ``payload.astype(compute_dtype) * scales``, which is
+    dtype-generic, so fp8 payloads flow through the same kernels.  FP8 keeps
+    ~2 decimal digits of mantissa vs int8's uniform grid: better for
+    long-tailed activations/KV, same 2x HBM saving.
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / FP8_MAX).astype(jnp.float32)
+    q = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return QuantizedTensor(q, scale)
+
+
 def _stochastic_quant_kernel(x_ref, seed_ref, q_ref, scale_ref):
     pltpu.prng_seed(seed_ref[0])
     x = x_ref[...].astype(jnp.float32)
@@ -63,8 +88,13 @@ def _stochastic_quant_kernel(x_ref, seed_ref, q_ref, scale_ref):
     scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
     scale_ref[...] = scale
     scaled = x / scale
+    # pltpu.stochastic_round only targets bf16/fp8; int8 stochastic rounding
+    # is floor(x + u), u ~ U[0,1) built from the top 23 PRNG bits (exact in
+    # f32, E[floor(x+u)] = x).  Mosaic has no uint32->f32 cast; go via int32
+    # (23-bit value stays positive).
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-    q_ref[...] = pltpu.stochastic_round(scaled, bits, target_dtype=jnp.int8)
+    u = (bits >> 9).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 23))
+    q_ref[...] = jnp.clip(jnp.floor(scaled + u), -127, 127).astype(jnp.int8)
 
 
 def quantize_int8_stochastic(x: Array, seed: int | Array = 0) -> QuantizedTensor:
@@ -83,7 +113,8 @@ def quantize_int8_stochastic(x: Array, seed: int | Array = 0) -> QuantizedTensor
         noise = jax.random.uniform(jax.random.PRNGKey(seed if not isinstance(seed, jax.Array) else 0), x.shape) - 0.5
         q = jnp.clip(jnp.round(scaled + noise), -127, 127).astype(jnp.int8)
         return QuantizedTensor(q, scale)
-    block = largest_divisor_block(n, 256, minimum=1)
+    # Ragged last block is safe: rows are independent and OOB writes dropped.
+    block = ragged_row_block(n, 256)
     seed_arr = jnp.asarray([seed], jnp.int32) if not isinstance(seed, jax.Array) else seed.reshape(1).astype(jnp.int32)
     q, scales = pl.pallas_call(
         _stochastic_quant_kernel,

@@ -119,6 +119,24 @@ def main():
                                        kq.dequantize(jnp.float32), True)
     ok &= check("int8-KV flash odd seq", o, ref, 3e-2)
 
+    # fp8 (e4m3) payloads through the same kernels
+    from flashattn_tpu.ops.quant import quantize_fp8, quantize_int8_stochastic
+
+    kq8 = quantize_fp8(q, axis=-1)
+    o, _ = flash_attention_kv_int8(q, kq8, kq8, True)
+    ref = ft.flash_attention_reference(q, kq8.dequantize(jnp.float32),
+                                       kq8.dequantize(jnp.float32), True)
+    ok &= check("fp8-KV flash odd seq", o, ref, 3e-2)
+    wq8 = quantize_fp8(w, axis=0)
+    o = int8_weight_only_matmul(x, wq8)
+    truth8 = jnp.dot(x.astype(jnp.float32),
+                     wq8.values.astype(jnp.float32) * wq8.scales)
+    ok &= check("fp8 weight-only matmul", o, truth8, 2e-2)
+    # stochastic quantisation at rows with no 8-aligned divisor
+    xs = jax.random.normal(key, (654, 64))
+    sq = quantize_int8_stochastic(xs, seed=3)
+    ok &= check("stochastic int8 654 rows", sq.dequantize(), xs, 2e-2)
+
     # -- paged attention: GQA, short lengths, both variants, int8 pages -----
     Hq, Hkv, D, page = 8, 4, 64, 128
     kp = jax.random.normal(key, (Hkv, 64, page, D), jnp.bfloat16)

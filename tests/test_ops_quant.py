@@ -83,3 +83,51 @@ def test_flash_attention_kv_int8_ragged_fallback():
     o, lse = flash_attention_kv_int8(q, kq, vq, True)
     assert o.shape == q.shape
     assert bool(jnp.isfinite(o).all())
+
+
+def test_quantize_fp8_roundtrip():
+    from flashattn_tpu.ops.quant import quantize_fp8
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (64, 128)) * 5.0
+    xq = quantize_fp8(x, axis=-1)
+    assert xq.values.dtype == jnp.float8_e4m3fn
+    # e4m3 keeps ~2 significant digits; relative error bounded by ~6%
+    err = jnp.max(jnp.abs(xq.dequantize() - x)) / jnp.max(jnp.abs(x))
+    assert float(err) < 0.07
+
+
+def test_flash_attention_kv_fp8():
+    """fp8 payloads flow through the same quantised-KV kernel as int8."""
+    from flashattn_tpu.ops.quant import quantize_fp8
+
+    b, h, n, d = 1, 2, 128, 32
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(ks[0], (b, h, n, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    kq, vq = quantize_fp8(k, axis=-1), quantize_fp8(v, axis=-1)
+    o, lse = flash_attention_kv_int8(q, kq, vq, True)
+    ref = flash_attention_reference(q, kq.dequantize(), vq.dequantize(), True)
+    np.testing.assert_allclose(o, ref, atol=5e-5, rtol=1e-3)
+    full = flash_attention_reference(q, k, v, True)
+    assert float(jnp.max(jnp.abs(o - full))) < 0.15
+
+
+def test_fp8_weight_only_matmul():
+    from flashattn_tpu.ops.quant import quantize_fp8
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (32, 64))
+    w = jax.random.normal(jax.random.PRNGKey(10), (64, 128))
+    wq = quantize_fp8(w, axis=0)
+    out = int8_weight_only_matmul(x, wq)
+    np.testing.assert_allclose(out, x @ wq.dequantize(), atol=1e-4, rtol=1e-4)
+
+
+def test_quantize_int8_stochastic_unaligned_rows():
+    """654 rows has no 8-aligned divisor <= 256: ragged-block regression."""
+    from flashattn_tpu.ops.quant import quantize_int8_stochastic
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (654, 64))
+    xq = quantize_int8_stochastic(x, seed=3)
+    err = jnp.max(jnp.abs(xq.dequantize() - x))
+    assert float(err) < 0.1

@@ -1,0 +1,93 @@
+"""Continuous-batching engine vs dense-context decoding.
+
+The engine (paged KV pools, mid-flight admission, page reuse) must compute
+the SAME next-token logits the plain full-context forward computes at every
+position.  Logits comparison is teacher-forced (the full token trajectory is
+submitted as the prompt), which avoids greedy-argmax tie flips on a
+random-init model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flashattn_tpu as ft
+from flashattn_tpu.serving import ContinuousBatchingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ft.DecoderLM(64, 32, 4, 256, p_dropout=0.0, n_layer=2,
+                        attn_impl="reference", key=jax.random.PRNGKey(0)).eval()
+
+
+def _dense_logits(model, tokens):
+    """(T, vocab) next-token logits from one full-context forward."""
+    return np.asarray(model(jnp.asarray([tokens], jnp.int32))[0])
+
+
+def _assert_engine_matches_dense(model, trajectories, max_batch, page_size,
+                                 pages_per_seq):
+    eng = ContinuousBatchingEngine(model, max_batch=max_batch,
+                                   page_size=page_size,
+                                   pages_per_seq=pages_per_seq,
+                                   collect_logits=True)
+    reqs = [eng.submit(t, 1) for t in trajectories]
+    eng.run()
+    assert all(r.done for r in reqs)
+    assert eng.pool.n_free == eng.pool.total  # every page returned
+    for t, r in zip(trajectories, reqs):
+        got = np.stack(r.logits)              # (T, vocab): logits per position
+        want = _dense_logits(model, t)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_engine_matches_dense_logits(model):
+    trajectories = [[1, 5, 9, 11, 2], [2, 8], [3, 3, 3, 3, 3, 7, 50, 1]]
+    _assert_engine_matches_dense(model, trajectories, max_batch=4,
+                                 page_size=16, pages_per_seq=4)
+
+
+def test_engine_midflight_admission_and_slot_reuse(model):
+    """More requests than slots: later requests admitted as earlier retire,
+    reusing freed pages — logits must stay exact."""
+    rng = np.random.default_rng(0)
+    trajectories = [list(rng.integers(1, 60, size=6 + i)) for i in range(5)]
+    _assert_engine_matches_dense(model, trajectories, max_batch=2,
+                                 page_size=16, pages_per_seq=3)
+
+
+def test_engine_page_boundary_crossing(model):
+    """Trajectory spanning several pages (page_size 8, 4 pages)."""
+    rng = np.random.default_rng(1)
+    trajectories = [list(rng.integers(1, 60, size=27))]
+    _assert_engine_matches_dense(model, trajectories, max_batch=1,
+                                 page_size=8, pages_per_seq=4)
+
+
+def test_engine_greedy_generation(model):
+    """End-to-end greedy generation matches the dense loop (short horizon to
+    stay clear of argmax near-ties on a random-init model)."""
+    prompt, n_new = [1, 5, 9], 4
+
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = model(jnp.asarray([toks], jnp.int32))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    want = toks[len(prompt):]
+
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                   pages_per_seq=4)
+    r = eng.submit(prompt, n_new)
+    eng.run()
+    assert r.generated == want
+
+
+def test_engine_eos_stops(model):
+    logits = model(jnp.asarray([[4, 2]], jnp.int32))
+    first = int(jnp.argmax(logits[0, -1]))
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                   pages_per_seq=3)
+    r = eng.submit([4, 2], 10, eos_id=first)
+    eng.run()
+    assert r.generated == [first]
