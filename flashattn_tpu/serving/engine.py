@@ -84,7 +84,8 @@ class ContinuousBatchingEngine:
 
     def __init__(self, model, *, max_batch: int = 8, page_size: int = 128,
                  pages_per_seq: int = 16, total_pages: Optional[int] = None,
-                 dtype=jnp.float32, collect_logits: bool = False):
+                 dtype=jnp.float32, collect_logits: bool = False,
+                 steps_per_dispatch: int = 8):
         self.model = model.eval()
         self.max_batch = max_batch
         self.page_size = page_size
@@ -107,6 +108,7 @@ class ContinuousBatchingEngine:
         self._uid = 0
 
         self.collect_logits = collect_logits
+        self.steps_per_dispatch = steps_per_dispatch
 
         @jax.jit
         def _step(model, pools, tokens, table, lengths):
@@ -116,6 +118,25 @@ class ContinuousBatchingEngine:
             return pools, jnp.argmax(logits[:, 0], axis=-1), out
 
         self._jit_step = _step
+
+        # Multi-step decode: when every active slot is past prefill and K
+        # steps away from any scheduling event (page boundary, retirement),
+        # scan K greedy steps device-side in ONE dispatch — each host
+        # dispatch costs a round trip (~25ms through remote relays).
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def _step_many(model, pools, tokens, table, lengths, n_steps):
+            def body(carry, _):
+                pools, tokens, lengths = carry
+                logits, pools = model.forward_decode_paged(
+                    tokens[:, None], pools, table, lengths)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                return (pools, nxt, lengths + 1), nxt
+
+            (pools, _, _), sampled = jax.lax.scan(
+                body, (pools, tokens, lengths), None, length=n_steps)
+            return pools, sampled                      # sampled: (K, B)
+
+        self._jit_step_many = _step_many
 
     # -- public API ----------------------------------------------------------
 
@@ -155,6 +176,56 @@ class ContinuousBatchingEngine:
         self.slots[i] = None
         self.page_table[i, 0] = self._trash_page  # idle writes go to trash
 
+    def _decode_chunk_len(self, active: List[int]) -> int:
+        """How many pure-decode steps can run device-side before ANY host
+        scheduling event (admission, page boundary, retirement-by-count)."""
+        if self.collect_logits or self.steps_per_dispatch <= 1:
+            return 1
+        if self.queue and any(s is None for s in self.slots):
+            return 1  # an admission is pending
+        k = self.steps_per_dispatch
+        for i in active:
+            slot = self.slots[i]
+            req = slot.request
+            if slot.prompt_cursor < len(req.prompt):
+                return 1  # still prefilling (host forces prompt tokens)
+            k = min(k,
+                    req.max_new_tokens - len(req.generated),
+                    self.page_size - (slot.length % self.page_size),
+                    self.pages_per_seq * self.page_size - slot.length)
+        # power of two keeps the jit cache to log2(steps_per_dispatch) entries
+        return max(1, 1 << (max(k, 1).bit_length() - 1))
+
+    def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
+        self.pools, sampled = self._jit_step_many(
+            self.model, self.pools, jnp.asarray(tokens),
+            jnp.asarray(self.page_table), jnp.asarray(lengths),
+            n_steps=n_steps)
+        sampled = np.asarray(sampled)                  # (K, B)
+        for i in active:
+            slot = self.slots[i]
+            req = slot.request
+            slot.length += n_steps
+            slot.next_input = int(sampled[-1, i])
+            for t in range(n_steps):
+                tok = int(sampled[t, i])
+                req.generated.append(tok)
+                if req.eos_id is not None and tok == req.eos_id:
+                    # tokens sampled after EOS inside the chunk are discarded
+                    self._retire(i)
+                    break
+            else:
+                if (len(req.generated) >= req.max_new_tokens
+                        or slot.length + 1 >= self.pages_per_seq * self.page_size):
+                    self._retire(i)
+                elif (slot.length % self.page_size == 0
+                      and slot.length // self.page_size < self.pages_per_seq):
+                    # chunk ended exactly on a page boundary: next token
+                    # needs a fresh page
+                    page = self.pool.alloc()
+                    slot.pages.append(page)
+                    self.page_table[i, len(slot.pages) - 1] = page
+
     def step(self) -> bool:
         """One engine iteration: admit, decode one token per active slot,
         advance/retire.  Returns False when idle (nothing queued or active)."""
@@ -168,6 +239,11 @@ class ContinuousBatchingEngine:
         for i in active:
             tokens[i] = self.slots[i].next_input
             lengths[i] = self.slots[i].length
+
+        n_steps = self._decode_chunk_len(active)
+        if n_steps > 1:
+            self._run_chunk(active, tokens, lengths, n_steps)
+            return True
 
         self.pools, sampled, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),

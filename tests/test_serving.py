@@ -91,3 +91,30 @@ def test_engine_eos_stops(model):
     r = eng.submit([4, 2], 10, eos_id=first)
     eng.run()
     assert r.generated == [first]
+
+
+def test_chunked_decode_matches_single_step(model):
+    """steps_per_dispatch=8 (device-side scan chunks) must produce exactly
+    the tokens of steps_per_dispatch=1, including EOS truncation mid-chunk
+    and page-boundary crossings at chunk edges."""
+    rng = np.random.default_rng(2)
+    prompts = [list(rng.integers(1, 60, size=3)) for _ in range(3)]
+
+    def run(spd):
+        eng = ContinuousBatchingEngine(model, max_batch=4, page_size=8,
+                                       pages_per_seq=4,
+                                       steps_per_dispatch=spd)
+        reqs = [eng.submit(p, 21) for p in prompts]
+        # one request with an eos likely to fire mid-chunk
+        logits = model(jnp.asarray([prompts[0]], jnp.int32))
+        seq = list(prompts[0])
+        for _ in range(5):
+            seq.append(int(jnp.argmax(model(
+                jnp.asarray([seq], jnp.int32))[0, -1])))
+        eos = seq[len(prompts[0]) + 4]  # 5th generated token
+        reqs.append(eng.submit(prompts[0], 21, eos_id=eos))
+        eng.run()
+        assert eng.pool.n_free == eng.pool.total
+        return [r.generated for r in reqs]
+
+    assert run(8) == run(1)
