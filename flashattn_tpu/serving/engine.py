@@ -68,6 +68,7 @@ class Request:
     # one row per consumed position, prefill included
     logits: List[np.ndarray] = dataclasses.field(default_factory=list)
     done: bool = False
+    truncated: bool = False  # stopped early (KV page pool exhausted)
 
 
 @dataclasses.dataclass
@@ -110,7 +111,7 @@ class ContinuousBatchingEngine:
         self.collect_logits = collect_logits
         self.steps_per_dispatch = steps_per_dispatch
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def _step(model, pools, tokens, table, lengths):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
@@ -123,7 +124,8 @@ class ContinuousBatchingEngine:
         # steps away from any scheduling event (page boundary, retirement),
         # scan K greedy steps device-side in ONE dispatch — each host
         # dispatch costs a round trip (~25ms through remote relays).
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("n_steps",))
         def _step_many(model, pools, tokens, table, lengths, n_steps):
             def body(carry, _):
                 pools, tokens, lengths = carry
@@ -140,8 +142,19 @@ class ContinuousBatchingEngine:
 
     # -- public API ----------------------------------------------------------
 
+    @property
+    def capacity(self) -> int:
+        """KV positions per sequence (pages_per_seq * page_size)."""
+        return self.pages_per_seq * self.page_size
+
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_id: Optional[int] = None) -> Request:
+        if not prompt:
+            raise ValueError("prompt must be non-empty")
+        if len(prompt) >= self.capacity:
+            raise ValueError(
+                f"prompt of {len(prompt)} tokens exceeds per-sequence KV "
+                f"capacity {self.capacity} (pages_per_seq * page_size)")
         req = Request(list(prompt), max_new_tokens, eos_id, uid=self._uid)
         self._uid += 1
         self.queue.append(req)
@@ -216,15 +229,19 @@ class ContinuousBatchingEngine:
                     break
             else:
                 if (len(req.generated) >= req.max_new_tokens
-                        or slot.length + 1 >= self.pages_per_seq * self.page_size):
+                        or slot.length >= self.capacity):
                     self._retire(i)
                 elif (slot.length % self.page_size == 0
                       and slot.length // self.page_size < self.pages_per_seq):
                     # chunk ended exactly on a page boundary: next token
-                    # needs a fresh page
-                    page = self.pool.alloc()
-                    slot.pages.append(page)
-                    self.page_table[i, len(slot.pages) - 1] = page
+                    # needs a fresh page (truncate on pool exhaustion)
+                    if self.pool.n_free == 0:
+                        req.truncated = True
+                        self._retire(i)
+                    else:
+                        page = self.pool.alloc()
+                        slot.pages.append(page)
+                        self.page_table[i, len(slot.pages) - 1] = page
 
     def step(self) -> bool:
         """One engine iteration: admit, decode one token per active slot,
@@ -258,10 +275,15 @@ class ContinuousBatchingEngine:
             slot = self.slots[i]
             req = slot.request
             slot.length += 1
-            # allocate the next page just-in-time
+            # allocate the next page just-in-time; on pool
+            # exhaustion truncate THIS sequence (state stays consistent)
             if (slot.length % self.page_size == 0
                     and slot.length // self.page_size < self.pages_per_seq
                     and not (req.done)):
+                if self.pool.n_free == 0:
+                    req.truncated = True
+                    self._retire(i)
+                    continue
                 page = self.pool.alloc()
                 slot.pages.append(page)
                 self.page_table[i, len(slot.pages) - 1] = page
@@ -276,7 +298,7 @@ class ContinuousBatchingEngine:
             req.generated.append(tok)
             slot.next_input = tok
             hit_eos = req.eos_id is not None and tok == req.eos_id
-            out_of_room = slot.length + 1 >= self.pages_per_seq * self.page_size
+            out_of_room = slot.length >= self.capacity
             if (len(req.generated) >= req.max_new_tokens or hit_eos
                     or out_of_room):
                 self._retire(i)

@@ -226,10 +226,13 @@ def train_epoch_native(model, opt_state, scan_fn, loader, n_steps, key,
 
     losses = []
     spd = max(1, min(steps_per_dispatch, n_steps))
-    n_chunks = n_steps // spd
-    prog = tqdm.trange(n_chunks, desc=f"Training ({desc})")
-    for _ in prog:
-        batches = [loader.next_batch() for _ in range(spd)]
+    # full chunks plus one tail chunk so no step is silently dropped
+    chunk_sizes = [spd] * (n_steps // spd)
+    if n_steps % spd:
+        chunk_sizes.append(n_steps % spd)
+    prog = tqdm.tqdm(chunk_sizes, desc=f"Training ({desc})")
+    for size in prog:
+        batches = [loader.next_batch() for _ in range(size)]
         t0 = time.time()
         model, opt_state, key, chunk_losses, n_tok = _dispatch_chunk(
             model, opt_state, scan_fn, batches, key)
@@ -252,16 +255,21 @@ def train_epoch(model, opt, opt_state, scan_fn, examples, n_samples, collate_fn,
     # drop ragged tail so the jitted step compiles for one batch shape
     n_steps = len(examples) // batch_size
     spd = max(1, min(steps_per_dispatch, n_steps))
-    n_chunks = n_steps // spd
+    # full chunks plus one tail chunk so no batch is silently dropped
+    chunk_sizes = [spd] * (n_steps // spd)
+    if n_steps % spd:
+        chunk_sizes.append(n_steps % spd)
 
     losses = []
-    prog = tqdm.trange(n_chunks, desc=f"Training ({desc})")
-    for c in prog:
-        start = c * spd * batch_size
+    step0 = 0
+    prog = tqdm.tqdm(chunk_sizes, desc=f"Training ({desc})")
+    for size in prog:
+        start = step0 * batch_size
+        step0 += size
         batches = [
             collate_fn(examples=examples[start + j * batch_size:
                                          start + (j + 1) * batch_size])
-            for j in range(spd)
+            for j in range(size)
         ]
         t0 = time.time()
         model, opt_state, key, chunk_losses, n_tok = _dispatch_chunk(

@@ -147,6 +147,15 @@ def main():
     for pipe in [True, False]:
         o = paged_attention(qd, kp, kp, lengths, pidx, pipelined=pipe)
         ok &= check(f"paged decode GQA pipelined={pipe}", o, ref, 2e-2)
+    # D=128: the pipelined manual-DMA kernel is the default path for
+    # lane-aligned head dims — it must be compiled and checked here (the
+    # D=64 cases above silently take the grid path).
+    kp128 = jax.random.normal(key, (Hkv, 64, page, 128), jnp.bfloat16)
+    qd128 = jax.random.normal(key, (4, Hq, 128), jnp.bfloat16)
+    ref128 = paged_attention_reference(qd128, kp128, kp128, lengths, pidx)
+    o128 = paged_attention(qd128, kp128, kp128, lengths, pidx, pipelined=True)
+    ok &= check("paged decode D=128 pipelined (manual DMA)", o128, ref128, 2e-2)
+
     ks = jnp.max(jnp.abs(kp.astype(jnp.float32)), -1, keepdims=True) / 127.0
     kp8 = jnp.round(kp.astype(jnp.float32) / ks).astype(jnp.int8)
     ref8 = paged_attention_reference(qd, kp8, kp8, lengths, pidx,

@@ -95,9 +95,14 @@ def main() -> None:
         with_tokens(lambda idx: jnp.sum(jax.tree_util.tree_leaves(
             grad(model, idx, targets))[0])),
         (carry0,), iters=args.iters)
-    t_s = device_loop_time(
-        with_tokens(lambda idx: train_step(model, state, idx, targets)[2]),
-        (carry0,), iters=args.iters)
+    def full_step(idx):
+        # depend on the UPDATED params, not just the loss — otherwise XLA
+        # dead-code-eliminates the backward pass and optimizer update and
+        # this phase times a forward-only program
+        m2, s2, loss = train_step(model, state, idx, targets)
+        return loss + jnp.sum(jax.tree_util.tree_leaves(m2)[0]) * 1e-12
+
+    t_s = device_loop_time(with_tokens(full_step), (carry0,), iters=args.iters)
 
     toks = args.batch * args.seq
     print(f"attn={args.attn} batch={args.batch} seq={args.seq} "

@@ -118,3 +118,46 @@ def test_chunked_decode_matches_single_step(model):
         return [r.generated for r in reqs]
 
     assert run(8) == run(1)
+
+
+def test_submit_rejects_oversized_prompt(model):
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=8,
+                                   pages_per_seq=2)
+    with pytest.raises(ValueError, match="capacity"):
+        eng.submit(list(range(1, 17)), 4)   # 16 tokens == capacity
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.submit([], 4)
+
+
+def test_generation_to_exact_capacity(model):
+    """A sequence can fill every KV position: prompt 2 + 14 generated on a
+    16-slot cache (off-by-one here truncated the final token)."""
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=8,
+                                   pages_per_seq=2, steps_per_dispatch=1)
+    r = eng.submit([7, 9], 14)
+    eng.run()
+    assert len(r.generated) == 14 and not r.truncated
+
+
+def test_pool_exhaustion_truncates_gracefully(model):
+    """Over-committed pool: a sequence crossing a page boundary with no free
+    pages is truncated (flagged), never corrupting other requests."""
+    # 2 slots x up to 3 pages each, but only 4 physical pages
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=8,
+                                   pages_per_seq=3, total_pages=4,
+                                   steps_per_dispatch=1,
+                                   collect_logits=True)
+    rng = np.random.default_rng(3)
+    tra = [list(rng.integers(1, 60, size=2)) for _ in range(2)]
+    reqs = [eng.submit(t, 20) for t in tra]
+    eng.run()
+    assert all(r.done for r in reqs)
+    assert any(r.truncated for r in reqs)
+    assert eng.pool.n_free == eng.pool.total
+    # the non-truncated request's logits still match dense exactly
+    survivors = [(t, r) for t, r in zip(tra, reqs) if not r.truncated]
+    for t, r in survivors:
+        full = t + r.generated
+        want = _dense_logits(model, full[:len(r.logits)])
+        np.testing.assert_allclose(np.stack(r.logits), want,
+                                   atol=1e-4, rtol=1e-4)
