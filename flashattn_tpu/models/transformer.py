@@ -150,8 +150,16 @@ class MultiHeadAttention(Module):
 
     def init_page_pool(self, total_pages: int, page_size: int,
                        dtype=jnp.float32) -> dict:
+        """Per-layer paged KV pool.  ``dtype`` of int8 / float8_e4m3fn builds
+        a QUANTIZED pool: payloads + per-token f32 scales (BASELINE
+        configs[3], "FP8/INT8 paged KV-cache")."""
         shape = (self.n_head, total_pages, page_size, self.attn_hidden_dim)
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        pool = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        if dtype in (jnp.int8, jnp.float8_e4m3fn):
+            sshape = shape[:-1] + (1,)
+            pool["ks"] = jnp.ones(sshape, jnp.float32)
+            pool["vs"] = jnp.ones(sshape, jnp.float32)
+        return pool
 
     def forward_decode_paged(self, x: Array, pool: dict, page_table: Array,
                              lengths: Array):
@@ -163,23 +171,49 @@ class MultiHeadAttention(Module):
         """
         bs = x.shape[0]
         page_size = pool["k"].shape[2]
+        quantized = "ks" in pool
         q, k, v = self.project_to_query_key_value(x)      # (B, nh, 1, hd)
 
         slot = lengths // page_size                        # (B,) table column
         page_ids = jnp.take_along_axis(page_table, slot[:, None], axis=1)[:, 0]
         offs = lengths % page_size
         # scatter the new token's K/V into its page: pool (nh, P, page, hd)
-        k_new = k[:, :, 0].transpose(1, 0, 2).astype(pool["k"].dtype)  # (nh,B,hd)
-        v_new = v[:, :, 0].transpose(1, 0, 2).astype(pool["v"].dtype)
-        pool = {
-            "k": pool["k"].at[:, page_ids, offs].set(k_new),
-            "v": pool["v"].at[:, page_ids, offs].set(v_new),
-        }
-
-        out = paged_attention(
-            q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
-            sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-        )                                                  # (B, nh, hd)
+        k_new = k[:, :, 0].transpose(1, 0, 2)              # (nh, B, hd)
+        v_new = v[:, :, 0].transpose(1, 0, 2)
+        if quantized:
+            qmax = 127.0 if pool["k"].dtype == jnp.int8 else 448.0
+            def enc(t):
+                absmax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
+                                 keepdims=True)
+                scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
+                payload = t.astype(jnp.float32) / scale
+                if pool["k"].dtype == jnp.int8:
+                    payload = jnp.clip(jnp.round(payload), -127, 127)
+                return payload.astype(pool["k"].dtype), scale
+            k_pay, k_sc = enc(k_new)
+            v_pay, v_sc = enc(v_new)
+            pool = {
+                "k": pool["k"].at[:, page_ids, offs].set(k_pay),
+                "v": pool["v"].at[:, page_ids, offs].set(v_pay),
+                "ks": pool["ks"].at[:, page_ids, offs].set(k_sc),
+                "vs": pool["vs"].at[:, page_ids, offs].set(v_sc),
+            }
+            out = paged_attention(
+                q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
+                k_scales=pool["ks"], v_scales=pool["vs"],
+                sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+            )
+        else:
+            pool = {
+                "k": pool["k"].at[:, page_ids, offs].set(
+                    k_new.astype(pool["k"].dtype)),
+                "v": pool["v"].at[:, page_ids, offs].set(
+                    v_new.astype(pool["v"].dtype)),
+            }
+            out = paged_attention(
+                q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
+                sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+            )                                              # (B, nh, hd)
         out = out.reshape(bs, 1, self.n_embd)
         return self.out_projection(out), pool
 

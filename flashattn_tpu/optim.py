@@ -24,6 +24,49 @@ def _tree_zeros_like(tree: Any) -> Any:
     return jax.tree_util.tree_map(jnp.zeros_like, tree)
 
 
+def global_norm(tree: Any) -> jax.Array:
+    """L2 norm over every leaf of a gradient pytree."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in leaves))
+
+
+def clip_by_global_norm(tree: Any, max_norm: float) -> Any:
+    """Scale the whole gradient pytree so its global L2 norm <= max_norm.
+
+    The stabiliser the reference lacks (its MT run rides an Adam whose
+    second-moment bug damps steps); with a correct Adam, un-clipped training
+    on the MT workload destabilises after a few epochs."""
+    norm = global_norm(tree)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-9))
+    # Non-finite gradients (loss spike / overflow) would otherwise poison
+    # every parameter permanently: skip the whole update instead.  Select
+    # zeros rather than multiplying (NaN * 0 == NaN).
+    finite = jnp.isfinite(norm)
+    return jax.tree_util.tree_map(
+        lambda l: jnp.where(finite, l * scale.astype(l.dtype),
+                            jnp.zeros_like(l)), tree)
+
+
+def warmup_cosine(peak_lr: float, warmup_steps: int, total_steps: int,
+                  final_frac: float = 0.1):
+    """LR schedule: linear warmup to ``peak_lr`` then cosine decay to
+    ``final_frac * peak_lr``.  Pass as ``Adam(lr=warmup_cosine(...))``.
+
+    The stabiliser half of the MT recipe (with grad clipping): constant-lr
+    Adam on the MT workload spikes and NaNs after a few epochs."""
+
+    def schedule(step):
+        s = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
+        warm = peak_lr * s / max(warmup_steps, 1)
+        prog = jnp.clip((s - warmup_steps) / max(total_steps - warmup_steps, 1),
+                        0.0, 1.0)
+        cos = final_frac + (1 - final_frac) * 0.5 * (1 + jnp.cos(jnp.pi * prog))
+        return jnp.where(s < warmup_steps, warm, peak_lr * cos)
+
+    return schedule
+
+
 class SGD:
     """Plain SGD (reference optim.py:140-151)."""
 
@@ -54,9 +97,11 @@ class Adam:
         p <- p - lr * sqrt(1-b2^t)/(1-b1^t) * m / denom
     """
 
-    def __init__(self, lr: float = 1e-3, beta1: float = 0.9, beta2: float = 0.999,
+    def __init__(self, lr=1e-3, beta1: float = 0.9, beta2: float = 0.999,
                  eps: float = 1e-8, weight_decay: float = 0.0,
                  reproduce_reference_bug: bool = False):
+        # lr: float, or a schedule ``step (int32 array) -> float array``
+        # (e.g. :func:`warmup_cosine`)
         self.lr = lr
         self.beta1 = beta1
         self.beta2 = beta2
@@ -90,7 +135,8 @@ class Adam:
         tf = t.astype(jnp.float32)
         bias1 = 1.0 - b1**tf
         bias2 = 1.0 - b2**tf
-        step_size = self.lr * jnp.sqrt(bias2) / bias1
+        lr = self.lr(t) if callable(self.lr) else self.lr
+        step_size = lr * jnp.sqrt(bias2) / bias1
 
         new_model = jax.tree_util.tree_map(
             lambda p, m, v: p - step_size * m / (jnp.sqrt(v) + self.eps),

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..nn import functional as F
+from ..optim import clip_by_global_norm
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 from ..parallel.sharding import apply_mesh, shard_model, sharding_tree
 
@@ -50,17 +51,20 @@ def lm_loss(model: Any, tokens: Array, targets: Array,
 
 def make_train_step(opt: Any,
                     loss_fn: Callable[..., Array] = lm_loss,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    grad_clip: Optional[float] = None) -> Callable:
     """Single-chip (or GSPMD-implicit) jitted train step.
 
     Returns step(model, opt_state, tokens, targets, loss_mask, key)
-    -> (model, opt_state, loss).
+    -> (model, opt_state, loss).  ``grad_clip`` applies global-norm clipping.
     """
 
     def _step(model, opt_state, tokens, targets, loss_mask, key):
         loss, grads = jax.value_and_grad(loss_fn)(
             model, tokens, targets, loss_mask, key
         )
+        if grad_clip is not None:
+            grads = clip_by_global_norm(grads, grad_clip)
         model, opt_state = opt.step(model, grads, opt_state)
         return model, opt_state, loss
 
@@ -70,7 +74,8 @@ def make_train_step(opt: Any,
 
 def make_train_scan(opt: Any,
                     loss_fn: Callable[..., Array] = lm_loss,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    grad_clip: Optional[float] = None) -> Callable:
     """Multi-step train dispatch: lax.scan over a stack of batches.
 
     Returns scan(model, opt_state, tokens, targets, loss_mask, key) where
@@ -91,6 +96,8 @@ def make_train_scan(opt: Any,
             model, opt_state = carry
             tok, tgt, msk, k = batch
             loss, grads = jax.value_and_grad(loss_fn)(model, tok, tgt, msk, k)
+            if grad_clip is not None:
+                grads = clip_by_global_norm(grads, grad_clip)
             model, opt_state = opt.step(model, grads, opt_state)
             return (model, opt_state), loss
 

@@ -49,6 +49,12 @@ class MTConfig:
     # (measured: loss stuck >5, BLEU 0) while 0.005 reaches BLEU ~29 in
     # 5 epochs on the synthetic corpus.
     learning_rate: float = 0.005
+    # Global-norm gradient clipping; un-clipped training at this lr
+    # destabilises after a few epochs (measured: BLEU 23.6 at epoch 2, then
+    # loss blow-ups). 0 disables.
+    grad_clip: float = 1.0
+    # "cosine" = linear warmup (5% of steps) + cosine decay; "constant"
+    lr_schedule: str = "cosine"
     samples_per_epoch: int = 20000
     n_vocab: int = 10000
     n_embd: int = 256
@@ -381,9 +387,20 @@ def run(config: MTConfig) -> Dict:
         use_fused_layernorm=config.use_fused_layernorm,
         key=jax.random.PRNGKey(config.seed),
     )
-    opt = ft.Adam(lr=config.learning_rate)
+    if config.lr_schedule == "cosine":
+        from ..optim import warmup_cosine
+
+        total_steps = max(1, config.n_epochs
+                          * (config.samples_per_epoch // config.batch_size))
+        lr = warmup_cosine(config.learning_rate,
+                           warmup_steps=max(10, total_steps // 20),
+                           total_steps=total_steps)
+    else:
+        lr = config.learning_rate
+    opt = ft.Adam(lr=lr)
     opt_state = opt.init(model)
-    scan_fn = make_train_scan(opt, lm_loss)
+    scan_fn = make_train_scan(opt, lm_loss,
+                              grad_clip=config.grad_clip or None)
 
     @jax.jit
     def eval_fn(model, tokens, targets, mask):

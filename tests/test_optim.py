@@ -79,3 +79,41 @@ def test_adamw_decays_weights():
     opt = AdamW(lr=0.1, weight_decay=0.1)
     new_p, _ = opt.step(p, g, opt.init(p))
     assert float(new_p[0]) < 1.0
+
+
+def test_clip_by_global_norm():
+    from flashattn_tpu.optim import clip_by_global_norm, global_norm
+
+    tree = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.zeros((2, 2))}
+    np.testing.assert_allclose(float(global_norm(tree)), 5.0, rtol=1e-6)
+    clipped = clip_by_global_norm(tree, 1.0)
+    np.testing.assert_allclose(float(global_norm(clipped)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(clipped["a"]), [0.6, 0.8], rtol=1e-6)
+    # under the threshold: unchanged
+    same = clip_by_global_norm(tree, 10.0)
+    np.testing.assert_allclose(np.asarray(same["a"]), [3.0, 4.0], rtol=1e-6)
+
+
+def test_warmup_cosine_schedule():
+    from flashattn_tpu.optim import Adam, warmup_cosine
+
+    sched = warmup_cosine(0.01, warmup_steps=10, total_steps=100)
+    assert float(sched(jnp.asarray(0))) == 0.0
+    np.testing.assert_allclose(float(sched(jnp.asarray(10))), 0.01, rtol=1e-5)
+    assert float(sched(jnp.asarray(5))) < 0.01
+    # decays toward final_frac * peak
+    np.testing.assert_allclose(float(sched(jnp.asarray(100))), 0.001, rtol=1e-4)
+    # Adam accepts a schedule
+    m = {"w": jnp.ones((3,))}
+    opt = Adam(lr=sched)
+    s = opt.init(m)
+    m2, s = opt.step(m, {"w": jnp.ones((3,))}, s)
+    assert bool(jnp.all(jnp.isfinite(m2["w"])))
+
+
+def test_clip_skips_nonfinite_update():
+    from flashattn_tpu.optim import clip_by_global_norm
+
+    tree = {"a": jnp.asarray([jnp.nan, 1.0])}
+    clipped = clip_by_global_norm(tree, 1.0)
+    np.testing.assert_array_equal(np.asarray(clipped["a"]), [0.0, 0.0])

@@ -161,3 +161,25 @@ def test_pool_exhaustion_truncates_gracefully(model):
         want = _dense_logits(model, full[:len(r.logits)])
         np.testing.assert_allclose(np.stack(r.logits), want,
                                    atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kv_dtype", ["int8", "fp8"])
+def test_engine_quantized_kv_pages(model, kv_dtype):
+    """INT8/FP8 paged KV inside the engine (BASELINE configs[3]): logits
+    track the dense forward within quantisation noise."""
+    dtype = jnp.int8 if kv_dtype == "int8" else jnp.float8_e4m3fn
+    rng = np.random.default_rng(4)
+    trajectories = [list(rng.integers(1, 60, size=10)) for _ in range(2)]
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                   pages_per_seq=3, dtype=dtype,
+                                   collect_logits=True)
+    reqs = [eng.submit(t, 1) for t in trajectories]
+    eng.run()
+    for t, r in zip(trajectories, reqs):
+        got = np.stack(r.logits)
+        want = _dense_logits(model, t)
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert rel < 0.08, rel  # int8/fp8 KV noise, not kernel error
+        # greedy argmax still overwhelmingly agrees
+        agree = np.mean(np.argmax(got, -1) == np.argmax(want, -1))
+        assert agree >= 0.8, agree
