@@ -389,7 +389,13 @@ def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int):
     return bq, bk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+# Below this KV length XLA's fused op-graph attention beats the flash
+# schedule (measured sweep, PERF.md: flash 0.09-0.5x at seq 128-512, 1.8-12x
+# at seq >= 2048); "auto" dispatches on it.
+MIN_KERNEL_KV_LEN = 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention(
     q: Array,
     k: Array,
@@ -398,6 +404,7 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    impl: str = "auto",
 ) -> Array:
     """softmax(Q K^T / sqrt(d)) V without materialising the scores matrix.
 
@@ -407,23 +414,37 @@ def flash_attention(
         ``flash_attention_causal``, tensor_functions.py:501-516).
       sm_scale: score scale; defaults to 1/sqrt(head_dim)
         (flashattention_kernel.cu:278).
+      impl: "auto" uses the Pallas kernel at kv_len >= 1024 and XLA's fused
+        op-graph below (where the kernel's grid overhead loses to XLA —
+        measured, PERF.md); "pallas" / "reference" force a path.
 
     Returns: (batch, heads, seq_q, head_dim).
     """
-    o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k)
+    o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k, impl)
     return o
 
 
-def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k):
+def _use_kernel(q, k, block_q, block_k, impl):
+    if impl == "reference":
+        return None
+    bq, bk = _pick_blocks(q.shape[2], k.shape[2], block_q, block_k)
+    if bq is None or bk is None:   # not tileable at all
+        return None
+    if impl == "auto" and k.shape[2] < MIN_KERNEL_KV_LEN:
+        return None
+    return bq, bk
+
+
+def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
+                     impl="auto"):
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
-    bq, bk = _pick_blocks(q.shape[2], k.shape[2], block_q, block_k)
-    if bq is None or bk is None:
-        # Sequence not tileable: fall back to the jnp op-graph (still jitted
-        # & fused by XLA). lse computed for the vjp path.
+    blocks = _use_kernel(q, k, block_q, block_k, impl)
+    if blocks is None:
+        # jnp op-graph path (jitted & fused by XLA); lse kept for the vjp.
         return _reference_fwd_with_lse(q, k, v, causal, scale)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
-                      block_q=bq, block_k=bk)
+                      block_q=blocks[0], block_k=blocks[1])
 
 
 def _reference_fwd_with_lse(q, k, v, causal, scale):
@@ -445,24 +466,25 @@ def _reference_fwd_with_lse(q, k, v, causal, scale):
     return o.astype(q.dtype), lse
 
 
-def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k):
-    o, lse = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k)
+def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k, impl):
+    o, lse = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
+                              impl)
     return o, (q, k, v, o, lse)
 
 
-def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, res, do):
+def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, res, do):
     q, k, v, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
-    bq, bk = _pick_blocks(q.shape[2], k.shape[2], block_q, block_k)
-    if bq is None or bk is None:
+    blocks = _use_kernel(q, k, block_q, block_k, impl)
+    if blocks is None:
         def f(q_, k_, v_):
             return _reference_fwd_with_lse(q_, k_, v_, causal, scale)[0]
 
         _, vjp = jax.vjp(f, q, k, v)
         return vjp(do)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal, sm_scale=scale,
-                            block_q=bq, block_k=bk)
+                            block_q=blocks[0], block_k=blocks[1])
     return dq, dk, dv
 
 
@@ -482,6 +504,7 @@ def flash_attention_with_lse(
     q: Array, k: Array, v: Array, causal: bool = False,
     sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+    impl: str = "auto",
 ):
     """Forward-only flash attention returning ``(o, lse)`` with lse shaped
     (b, h, n_q, 1).
@@ -491,7 +514,7 @@ def flash_attention_with_lse(
     the same (m, l) statistics the reference writes back to HBM
     (flashattention_kernel.cu:107-108), in FA-2 combined form.
     """
-    return _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k)
+    return _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k, impl)
 
 
 def mha_attention(q, k, v, causal: bool = False, use_flash: bool = True) -> Array:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.flash_attention import (
+    _flash_bwd,
     flash_attention,
     flash_attention_with_lse,
 )
@@ -89,15 +90,33 @@ def ring_flash_attention(
     skipped entirely via ``lax.cond`` (the SPMD analogue of the reference's
     block-level causal skip, flashattention_kernel.cu:511-515); the
     originating-block-equal step uses the causal kernel; earlier blocks use
-    the dense kernel.  Forward pass (serving path).
+    the dense kernel.
+
+    DIFFERENTIABLE: the custom vjp runs the reverse ring — per (q-shard,
+    kv-block) pair the split dKV/dQ Pallas kernels produce partial grads;
+    dK/dV accumulators travel around the ring WITH their blocks and arrive
+    home after a full revolution (the blockwise-parallel transformer /
+    ring-attention backward).
     """
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    return _ring_fa(q, k, v, causal, mesh, seq_axis, batch_axis, head_axis,
+                    scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ring_fa(q, k, v, causal, mesh, seq_axis, batch_axis, head_axis, scale):
+    o, _ = _ring_fwd(q, k, v, causal, mesh, seq_axis, batch_axis, head_axis,
+                     scale)
+    return o
+
+
+def _ring_fwd(q, k, v, causal, mesh, seq_axis, batch_axis, head_axis, scale):
     spec = P(batch_axis, head_axis, seq_axis, None)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
-        out_specs=spec, check_vma=False,
+        out_specs=(spec, spec), check_vma=False,
     )
     def _ring(q_, k_, v_):
         n_dev = jax.lax.axis_size(seq_axis)
@@ -129,6 +148,74 @@ def ring_flash_attention(
             return (o_acc, lse_acc, k_blk, v_blk)
 
         o, lse, _, _ = jax.lax.fori_loop(1, n_dev, step, (o, lse, k_, v_))
-        return o.astype(q_.dtype)
+        return o.astype(q_.dtype), lse
 
     return _ring(q, k, v)
+
+
+def _ring_fa_fwd(q, k, v, causal, mesh, seq_axis, batch_axis, head_axis,
+                 scale):
+    o, lse = _ring_fwd(q, k, v, causal, mesh, seq_axis, batch_axis, head_axis,
+                       scale)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_fa_bwd(causal, mesh, seq_axis, batch_axis, head_axis, scale,
+                 res, do):
+    q, k, v, o, lse = res
+    spec = P(batch_axis, head_axis, seq_axis, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec, spec), check_vma=False,
+    )
+    def _ring_bwd(q_, k_, v_, o_, lse_, do_):
+        n_dev = jax.lax.axis_size(seq_axis)
+        me = jax.lax.axis_index(seq_axis)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def pair_bwd(k_blk, v_blk, blk_causal):
+            # blockwise FA backward against the GLOBAL (o, lse): exactly the
+            # single-chip split-kernel bwd on one (q-shard, kv-block) pair
+            return _flash_bwd(q_, k_blk, v_blk, o_, lse_, do_,
+                              causal=blk_causal, sm_scale=scale,
+                              block_q=min(512, q_.shape[2]),
+                              block_k=min(1024, k_blk.shape[2]))
+
+        # Diagonal block: local triangle (or dense when not causal).
+        dq, dk_acc, dv_acc = pair_bwd(k_, v_, causal)
+
+        def step(s, carry):
+            dq, k_blk, v_blk, dk_acc, dv_acc = carry
+            # accumulators rotate WITH their block
+            k_blk = jax.lax.ppermute(k_blk, seq_axis, perm)
+            v_blk = jax.lax.ppermute(v_blk, seq_axis, perm)
+            dk_acc = jax.lax.ppermute(dk_acc, seq_axis, perm)
+            dv_acc = jax.lax.ppermute(dv_acc, seq_axis, perm)
+            src = (me - s) % n_dev
+
+            def contrib(_):
+                return pair_bwd(k_blk, v_blk, False)
+
+            def skip(_):
+                return (jnp.zeros_like(dq), jnp.zeros_like(dk_acc),
+                        jnp.zeros_like(dv_acc))
+
+            if causal:
+                dq_p, dk_p, dv_p = jax.lax.cond(src < me, contrib, skip, None)
+            else:
+                dq_p, dk_p, dv_p = contrib(None)
+            return (dq + dq_p, k_blk, v_blk, dk_acc + dk_p, dv_acc + dv_p)
+
+        dq, _, _, dk_acc, dv_acc = jax.lax.fori_loop(
+            1, n_dev, step, (dq, k_, v_, dk_acc, dv_acc))
+        # one final hop completes the revolution: accumulators return home
+        dk_acc = jax.lax.ppermute(dk_acc, seq_axis, perm)
+        dv_acc = jax.lax.ppermute(dv_acc, seq_axis, perm)
+        return dq.astype(q_.dtype), dk_acc.astype(k_.dtype), dv_acc.astype(v_.dtype)
+
+    return _ring_bwd(q, k, v, o, lse, do)
+
+
+_ring_fa.defvjp(_ring_fa_fwd, _ring_fa_bwd)

@@ -55,13 +55,13 @@ def main():
     ]:
         q = jax.random.normal(key, (2, 4, nq, 64), dtype)
         k = jax.random.normal(key, (2, 4, nkv, 64), dtype)
-        o = ft.flash_attention(q, k, k, causal)
+        o = ft.flash_attention(q, k, k, causal, impl="pallas")
         ref = ft.flash_attention_reference(q, k, k, causal)
         ok &= check(f"flash fwd nq={nq} nkv={nkv} {dtype.__name__} c={causal}",
                     o, ref, 2e-2)
         if nq == nkv:
             g = jax.grad(lambda q: jnp.sum(
-                ft.flash_attention(q, k, k, causal).astype(jnp.float32)))(q)
+                ft.flash_attention(q, k, k, causal, impl="pallas").astype(jnp.float32)))(q)
             gr = jax.grad(lambda q: jnp.sum(
                 ft.flash_attention_reference(q, k, k, causal).astype(jnp.float32)))(q)
             ok &= check(f"flash bwd nq={nq} {dtype.__name__}", g, gr, 5e-2)

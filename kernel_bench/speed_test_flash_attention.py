@@ -28,8 +28,11 @@ from flashattn_tpu.utils.timing import device_loop_time
 
 
 def sweep(quick: bool, out_path: str, dtype=jnp.bfloat16):
-    if quick:
+    if quick == "quick":
         batches, seqs, embds, heads = [4], [512, 2048], [512], [8]
+    elif quick == "medium":
+        # representative slice of the reference grid, ~30 configs
+        batches, seqs, embds, heads = [8], [128, 512, 2048, 4096], [256, 512], [4, 8]
     else:
         # reference grid: batch=64, N in 2^7..2^12, n_embd 2^6..2^11, nh 2..16
         # scaled to one v5e chip's HBM (batch 8)
@@ -81,8 +84,11 @@ def sweep(quick: bool, out_path: str, dtype=jnp.bfloat16):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--quick", action="store_const", const="quick",
+                dest="preset", default="full")
+    ap.add_argument("--medium", action="store_const", const="medium",
+                dest="preset")
     ap.add_argument("--out", default="speed_test.csv")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}")
-    sweep(args.quick, args.out)
+    sweep(args.preset, args.out)

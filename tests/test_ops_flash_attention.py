@@ -13,7 +13,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from flashattn_tpu import flash_attention, flash_attention_reference
+import functools
+
+from flashattn_tpu import flash_attention as _flash_attention, flash_attention_reference
+
+# pin the Pallas kernel: this file tests the kernel (auto dispatches small
+# seqs to the XLA path)
+flash_attention = functools.partial(_flash_attention, impl="pallas")
 from flashattn_tpu.autodiff import grad_check
 
 # (batch, heads, seq, head_dim); the 48/33 cases exercise the

@@ -78,6 +78,27 @@ def test_ring_flash_attention(causal):
     )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_flash_attention_grads(causal):
+    """SP training path: gradients through the ring (dK/dV accumulators
+    complete a full revolution) match the dense oracle."""
+    mesh = create_mesh((8,), ("seq",))
+    q, k, v = _qkv(1, 2, 8 * 16, 16, seed=9)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(q, k, v, causal, mesh=mesh) ** 2)
+
+    def dense_loss(q, k, v):
+        return jnp.sum(flash_attention_reference(q, k, v, causal) ** 2)
+
+    g = jax.jit(jax.grad(ring_loss, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
 def test_tp_rules():
     assert tp_spec_for("layers.0.attention.q_projection.weights") == P(None, "model")
     assert tp_spec_for("layers.1.attention.out_projection.weights") == P("model", None)
