@@ -198,11 +198,21 @@ class MultiHeadAttention(Module):
                 "ks": pool["ks"].at[:, page_ids, offs].set(k_sc),
                 "vs": pool["vs"].at[:, page_ids, offs].set(v_sc),
             }
-            out = paged_attention(
-                q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
-                k_scales=pool["ks"], v_scales=pool["vs"],
-                sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-            )
+            if self.mesh is not None:
+                from ..parallel.sharded_attention import sharded_paged_attention
+
+                out = sharded_paged_attention(
+                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
+                    mesh=self.mesh, head_axis=self.mesh_head_axis,
+                    k_scales=pool["ks"], v_scales=pool["vs"],
+                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                )
+            else:
+                out = paged_attention(
+                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
+                    k_scales=pool["ks"], v_scales=pool["vs"],
+                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                )
         else:
             pool = {
                 "k": pool["k"].at[:, page_ids, offs].set(
@@ -210,10 +220,19 @@ class MultiHeadAttention(Module):
                 "v": pool["v"].at[:, page_ids, offs].set(
                     v_new.astype(pool["v"].dtype)),
             }
-            out = paged_attention(
-                q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
-                sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-            )                                              # (B, nh, hd)
+            if self.mesh is not None:
+                from ..parallel.sharded_attention import sharded_paged_attention
+
+                out = sharded_paged_attention(
+                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
+                    mesh=self.mesh, head_axis=self.mesh_head_axis,
+                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                )
+            else:
+                out = paged_attention(
+                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
+                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                )                                          # (B, nh, hd)
         out = out.reshape(bs, 1, self.n_embd)
         return self.out_projection(out), pool
 

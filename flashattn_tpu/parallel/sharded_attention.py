@@ -58,6 +58,47 @@ def sharded_flash_attention(
     return _local(q, k, v)
 
 
+def sharded_paged_attention(
+    q: Array, k_pages: Array, v_pages: Array, lengths: Array,
+    page_indices: Array, *,
+    mesh: Mesh,
+    head_axis: Optional[str] = "model",
+    k_scales: Optional[Array] = None,
+    v_scales: Optional[Array] = None,
+    sm_scale: Optional[float] = None,
+) -> Array:
+    """Paged decode with KV-head-sharded page pools (BASELINE configs[4]
+    "tensor-sharded weights+KV").  Each model-axis shard owns a slice of the
+    KV heads AND their pages; page tables/lengths replicate.  Zero
+    communication inside attention — the collectives live in the projections.
+    """
+    from ..ops.paged_attention import paged_attention
+
+    q_spec = P(None, head_axis, None)
+    pool_spec = P(head_axis, None, None, None)
+    rep = P()
+
+    specs = [q_spec, pool_spec, pool_spec, rep, rep]
+    args = [q, k_pages, v_pages, lengths, page_indices]
+    if k_scales is not None:
+        specs += [pool_spec, pool_spec]
+        args += [k_scales, v_scales]
+
+        def _local(q_, kp_, vp_, lens_, table_, ks_, vs_):
+            return paged_attention(q_, kp_, vp_, lens_, table_,
+                                   k_scales=ks_, v_scales=vs_,
+                                   sm_scale=sm_scale)
+    else:
+        def _local(q_, kp_, vp_, lens_, table_):
+            return paged_attention(q_, kp_, vp_, lens_, table_,
+                                   sm_scale=sm_scale)
+
+    return jax.shard_map(
+        _local, mesh=mesh, in_specs=tuple(specs), out_specs=q_spec,
+        check_vma=False,
+    )(*args)
+
+
 def _merge_partials(o1, lse1, o2, lse2):
     """Online-softmax merge of two partial attentions (guide §15's
     cross-chip combine, pairwise form).  Empty partials carry lse=-inf."""

@@ -86,8 +86,19 @@ class ContinuousBatchingEngine:
     def __init__(self, model, *, max_batch: int = 8, page_size: int = 128,
                  pages_per_seq: int = 16, total_pages: Optional[int] = None,
                  dtype=jnp.float32, collect_logits: bool = False,
-                 steps_per_dispatch: int = 8):
+                 steps_per_dispatch: int = 8, mesh=None,
+                 head_axis: str = "model"):
         self.model = model.eval()
+        self.mesh = mesh
+        if mesh is not None:
+            # TP-sharded serving (BASELINE configs[4]): weights per the
+            # Megatron rules, KV pools sharded over the heads axis, paged
+            # attention under shard_map.
+            from ..parallel.sharding import apply_mesh, shard_model
+
+            m = apply_mesh(self.model, mesh, batch_axis=None,
+                           head_axis=head_axis)
+            self.model = shard_model(m, mesh, head_axis)
         self.max_batch = max_batch
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
@@ -101,6 +112,12 @@ class ContinuousBatchingEngine:
         self._trash_page = total_pages
         self.pools = self.model.init_page_pools(total_pages + 1, page_size,
                                                 dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pool_sharding = NamedSharding(mesh, P(head_axis, None, None, None))
+            self.pools = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, pool_sharding), self.pools)
         self.page_table = np.full((max_batch, pages_per_seq),
                                   self._trash_page, np.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_batch

@@ -55,6 +55,10 @@ class MTConfig:
     grad_clip: float = 1.0
     # "cosine" = linear warmup (5% of steps) + cosine decay; "constant"
     lr_schedule: str = "cosine"
+    # checkpoint/resume (the aux subsystem the reference lacks, SURVEY.md §5):
+    # save model+opt_state per epoch under <workdir>/ckpt; resume if present
+    save_checkpoints: bool = True
+    resume: bool = False
     samples_per_epoch: int = 20000
     n_vocab: int = 10000
     n_embd: int = 256
@@ -422,8 +426,17 @@ def run(config: MTConfig) -> Dict:
             print(f"[translation] native loader unavailable "
                   f"({type(e).__name__}: {e}); using Python collate")
 
+    start_epoch = 0
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    if config.resume and os.path.isdir(ckpt_dir):
+        from ..utils.checkpoint import restore_checkpoint
+
+        model, opt_state, start_epoch = restore_checkpoint(
+            ckpt_dir, model, opt_state)
+        print(f"[translation] resumed from {ckpt_dir} at epoch {start_epoch}")
+
     results = {}
-    for epoch in range(config.n_epochs):
+    for epoch in range(start_epoch, config.n_epochs):
         desc = f"epoch_{epoch}"
         if loader is not None:
             n_steps = min(config.samples_per_epoch,
@@ -456,6 +469,11 @@ def run(config: MTConfig) -> Dict:
                    "validation_loss": val_loss, **eval_scores}
         print(json.dumps(results))
         json.dump(results, open(f"{workdir}/eval_results_epoch{epoch}.json", "w"))
+
+        if config.save_checkpoints:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(ckpt_dir, model, opt_state, step=epoch + 1)
     return results
 
 

@@ -183,3 +183,22 @@ def test_engine_quantized_kv_pages(model, kv_dtype):
         # greedy argmax still overwhelmingly agrees
         agree = np.mean(np.argmax(got, -1) == np.argmax(want, -1))
         assert agree >= 0.8, agree
+
+
+def test_engine_tp_sharded(model):
+    """TP-sharded serving (mesh over heads): logits identical to the
+    unsharded engine / dense forward."""
+    from flashattn_tpu.parallel import create_mesh
+
+    mesh = create_mesh((4,), ("model",))
+    rng = np.random.default_rng(5)
+    trajectories = [list(rng.integers(1, 60, size=7)) for _ in range(2)]
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                   pages_per_seq=3, mesh=mesh,
+                                   collect_logits=True)
+    reqs = [eng.submit(t, 1) for t in trajectories]
+    eng.run()
+    for t, r in zip(trajectories, reqs):
+        got = np.stack(r.logits)
+        want = _dense_logits(model, t)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
