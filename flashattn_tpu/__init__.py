@@ -25,7 +25,11 @@ from .module import Module, Parameter
 from .optim import SGD, Adam, AdamW
 from .nn import functional as F
 from .nn.basic import Dropout, Embedding, FusedLayerNorm, LayerNorm1d, Linear
-from .ops.flash_attention import flash_attention, flash_attention_reference
+from .ops.flash_attention import (
+    flash_attention,
+    flash_attention_reference,
+    flash_attention_varlen,
+)
 from .ops.layernorm import layernorm, layernorm_reference
 from .ops.softmax import attn_softmax, attn_softmax_pallas, attn_softmax_reference
 from .models.transformer import (
@@ -52,6 +56,7 @@ __all__ = [
     "Linear",
     "flash_attention",
     "flash_attention_reference",
+    "flash_attention_varlen",
     "layernorm",
     "layernorm_reference",
     "attn_softmax",

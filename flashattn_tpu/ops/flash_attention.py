@@ -68,7 +68,7 @@ _MIN_BLOCK = 8
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, causal: bool, sm_scale: float, block_q: int, block_k: int,
                 num_kv: int):
@@ -81,10 +81,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # Causal: skip KV blocks strictly above the diagonal.
+    # Causal: skip KV blocks strictly above the diagonal; varlen: skip KV
+    # blocks entirely past this row's valid prefix.
     should_run = True
+    row_len = None
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    if len_ref is not None:
+        row_len = len_ref[pl.program_id(0)]
+        should_run &= ki * block_k < row_len
 
     @pl.when(should_run)
     def _compute():
@@ -97,10 +102,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                            # (block_q, block_k)
 
-        if causal:
+        if causal or len_ref is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            keep = jnp.ones(s.shape, jnp.bool_)
+            if causal:
+                keep &= cols <= rows
+            if len_ref is not None:  # per-batch valid KV prefix
+                keep &= cols < row_len
+            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]                          # (block_q, 1)
         l_prev = l_scr[...]
@@ -108,6 +118,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next)                     # (block_q, block_k)
+        if len_ref is not None:
+            # fully-masked rows: m == MASK makes every p entry exp2(0) == 1;
+            # zero them so l stays 0 and the empty-row guard yields 0 output
+            p = jnp.where(keep, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scr[...] = m_next
@@ -129,7 +143,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
-def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k):
+def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
+               kv_lengths=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     grid = (b, h, cdiv(n_q, block_q), cdiv(n_kv, block_k))
@@ -153,36 +168,84 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k):
         def kv_index(b_, h_, q_, k_):
             return (b_, h_, k_, 0)
 
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, n_q, 1), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+
+    if kv_lengths is None:
+        kernel = functools.partial(
+            _fwd_kernel, None, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k, num_kv=num_kv,
+        )
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+                pl.BlockSpec((1, 1, block_k, d), kv_index),
+                pl.BlockSpec((1, 1, block_k, d), kv_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            interpret=use_interpret_mode(),
+        )(q, k, v)
+        return o, lse
+
+    # varlen path: lengths ride scalar prefetch so both the kernel body AND
+    # the index maps can read them (blocks past the valid prefix are clamped
+    # so their DMAs are elided, like the causal block-skip).
+    def kv_index_len(b_, h_, q_, k_, lens):
+        k_ = jnp.minimum(k_, jnp.maximum(lens[b_] - 1, 0) // block_k)
+        if causal:
+            last = ((q_ + 1) * block_q - 1) // block_k
+            k_ = jnp.minimum(k_, last)
+        return (b_, h_, k_, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_, k_, lens: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_index_len),
+            pl.BlockSpec((1, 1, block_k, d), kv_index_len),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_, k_, lens: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b_, h_, q_, k_, lens: (b_, h_, q_, 0)),
+        ],
+        scratch_shapes=scratch_shapes,
+    )
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, num_kv=num_kv,
     )
     o, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
-            pl.BlockSpec((1, 1, block_k, d), kv_index),
-            pl.BlockSpec((1, 1, block_k, d), kv_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n_q, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=compiler_params,
         interpret=use_interpret_mode(),
-    )(q, k, v)
+    )(kv_lengths.astype(jnp.int32), q, k, v)
     return o, lse
 
 
@@ -191,7 +254,7 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref,
                     dk_scr, dv_scr,
                     *, causal: bool, sm_scale: float, block_q: int, block_k: int,
@@ -205,8 +268,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     should_run = True
+    row_len = None
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    if len_ref is not None:
+        row_len = len_ref[pl.program_id(0)]
+        should_run &= ki * block_k < row_len
 
     @pl.when(should_run)
     def _compute():
@@ -222,12 +289,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)                       # (block_q, block_k)
-        if causal:
+        if causal or len_ref is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            keep = jnp.ones(s.shape, jnp.bool_)
+            if causal:
+                keep &= cols <= rows
+            if len_ref is not None:
+                keep &= cols < row_len
+            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
         p = jnp.exp2(s - lse * LOG2E)                # (block_q, block_k) f32
+        if len_ref is not None:
+            # empty rows carry lse = -inf -> exp2(+inf); zero them instead
+            p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
 
         # dV += P^T @ dO
         dv_scr[...] += jax.lax.dot_general(
@@ -251,7 +326,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr,
                    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
                    num_kv: int):
@@ -263,8 +338,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
     should_run = True
+    row_len = None
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    if len_ref is not None:
+        row_len = len_ref[pl.program_id(0)]
+        should_run &= ki * block_k < row_len
 
     @pl.when(should_run)
     def _compute():
@@ -278,12 +357,19 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)
-        if causal:
+        if causal or len_ref is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            keep = jnp.ones(s.shape, jnp.bool_)
+            if causal:
+                keep &= cols <= rows
+            if len_ref is not None:
+                keep &= cols < row_len
+            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
         p = jnp.exp2(s - lse * LOG2E)
+        if len_ref is not None:
+            p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -297,11 +383,48 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k):
+def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
+               kv_lengths=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     num_q = cdiv(n_q, block_q)
     num_kv = cdiv(n_kv, block_k)
+
+    # varlen: lengths ride scalar prefetch (PrefetchScalarGridSpec); index
+    # maps gain a trailing lens arg, kernels get len_ref as first ref.
+    varlen = kv_lengths is not None
+    len_args = [kv_lengths.astype(jnp.int32)] if varlen else []
+
+    def adapt(index_map):
+        # plain grid: 4 args; scalar-prefetch grid: 4 args + lens
+        return (lambda *a: index_map(*a[:4])) if varlen else index_map
+
+    def bind(kern, **kw):
+        return (functools.partial(kern, **kw) if varlen
+                else functools.partial(kern, None, **kw))
+
+    def make_call(kernel, grid, in_specs, out_specs, out_shape,
+                  scratch_shapes):
+        params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"))
+        in_specs = [pl.BlockSpec(s.block_shape, adapt(s.index_map))
+                    for s in in_specs]
+        out_specs = [pl.BlockSpec(s.block_shape, adapt(s.index_map))
+                     for s in out_specs]
+        if varlen:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=out_specs, scratch_shapes=scratch_shapes)
+            return pl.pallas_call(kernel, grid_spec=grid_spec,
+                                  out_shape=out_shape,
+                                  compiler_params=params,
+                                  interpret=use_interpret_mode())
+        return pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
+                              out_specs=out_specs, out_shape=out_shape,
+                              scratch_shapes=scratch_shapes,
+                              compiler_params=params,
+                              interpret=use_interpret_mode())
 
     # di = rowsum(dO * O): tiny elementwise pass, XLA fuses it; shared by
     # both kernels (guide §7; reference computes D inside the kernel at
@@ -325,9 +448,9 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k):
     stat_spec = pl.BlockSpec((1, 1, block_q, 1),
                              lambda b_, h_, i, j: q_index(b_, h_, i, j))
 
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
-                          block_q=block_q, block_k=block_k, num_q=num_q),
+    dk, dv = make_call(
+        bind(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
+             block_q=block_q, block_k=block_k, num_q=num_q),
         grid=(b, h, num_kv, num_q),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
         out_specs=[
@@ -342,11 +465,7 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k):
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=use_interpret_mode(),
-    )(q, k, v, do, lse, di)
+    )(*len_args, q, k, v, do, lse, di)
 
     # dQ grid is (b, h, q_block, kv_block): above-diagonal KV blocks skipped.
     if causal:
@@ -361,19 +480,17 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k):
     kv_spec2 = pl.BlockSpec((1, 1, block_k, d), kv_index2)
     stat_spec2 = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
-                          block_q=block_q, block_k=block_k, num_kv=num_kv),
+    (dq,) = make_call(
+        bind(_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
+             block_q=block_q, block_k=block_k, num_kv=num_kv),
         grid=(b, h, num_q, num_kv),
-        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2, stat_spec2],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2,
+                  stat_spec2],
+        out_specs=[pl.BlockSpec((1, 1, block_q, d),
+                                lambda b_, h_, i, j: (b_, h_, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype)],
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=use_interpret_mode(),
-    )(q, k, v, do, lse, di)
+    )(*len_args, q, k, v, do, lse, di)
 
     return dq, dk, dv
 
@@ -447,7 +564,7 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
                       block_q=blocks[0], block_k=blocks[1])
 
 
-def _reference_fwd_with_lse(q, k, v, causal, scale):
+def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None):
     # preferred_element_type keeps bf16 scores in f32 end-to-end — without it
     # the einsum rounds s to bf16 and the ORACLE is less accurate than the
     # kernel (seen as ~4e-2 "kernel error" at seq 2048 bf16).
@@ -457,12 +574,20 @@ def _reference_fwd_with_lse(q, k, v, causal, scale):
         nq, nk = s.shape[-2:]
         mask = jnp.arange(nk)[None, :] <= jnp.arange(nq)[:, None]
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    if kv_lengths is not None:
+        nk = s.shape[-1]
+        valid = jnp.arange(nk)[None, None, None, :] < kv_lengths[:, None, None, None]
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
+    if kv_lengths is not None:
+        # rows with no valid keys output 0 (same convention as the kernel)
+        e = jnp.where(valid, e, 0.0)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.einsum("bhqk,bhkd->bhqd", (e / l).astype(v.dtype), v,
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = jnp.einsum("bhqk,bhkd->bhqd", (e / l_safe).astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
-    lse = m + jnp.log(l)
+    lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
     return o.astype(q.dtype), lse
 
 
@@ -492,12 +617,80 @@ flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def flash_attention_reference(q, k, v, causal: bool = False,
-                              sm_scale: Optional[float] = None) -> Array:
+                              sm_scale: Optional[float] = None,
+                              kv_lengths: Optional[Array] = None) -> Array:
     """Pure-jnp oracle playing the role torch plays in the reference tests
     (tests/test_flash_attention.py:44-77)."""
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
-    return _reference_fwd_with_lse(q, k, v, causal, scale)[0]
+    return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths)[0]
+
+
+# ---------------------------------------------------------------------------
+# Variable-length (padded batch) entry point
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_attention_varlen(
+    q: Array, k: Array, v: Array, kv_lengths: Array,
+    causal: bool = False, sm_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+    impl: str = "auto",
+) -> Array:
+    """Flash attention over a PADDED batch: ``kv_lengths`` (B,) int32 gives
+    each row's valid KV prefix; keys/values at positions >= length are
+    masked out of the softmax in-kernel (no (B,H,Nq,Nkv) mask materialised
+    — the capability the reference's fused softmax provides via an additive
+    HBM mask, softmax_kernel.cu:232-292, fused here into the flash loop).
+
+    Enables batched prefill (one step attends a whole ragged batch of
+    prompts) and padded-batch training.  Differentiable in q/k/v.
+    """
+    o, _ = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
+                       block_k, impl)
+    return o
+
+
+def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
+                impl):
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    blocks = _use_kernel(q, k, block_q, block_k, impl)
+    if blocks is None:
+        return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths)
+    return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
+                      block_q=blocks[0], block_k=blocks[1],
+                      kv_lengths=kv_lengths)
+
+
+def _varlen_vjp_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
+                    impl):
+    o, lse = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
+                         block_k, impl)
+    return o, (q, k, v, kv_lengths, o, lse)
+
+
+def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, res, do):
+    q, k, v, kv_lengths, o, lse = res
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    blocks = _use_kernel(q, k, block_q, block_k, impl)
+    if blocks is None:
+        def f(q_, k_, v_):
+            return _reference_fwd_with_lse(q_, k_, v_, causal, scale,
+                                           kv_lengths)[0]
+
+        _, vjp = jax.vjp(f, q, k, v)
+        dq, dk, dv = vjp(do)
+        return dq, dk, dv, None
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal,
+                            sm_scale=scale, block_q=blocks[0],
+                            block_k=blocks[1], kv_lengths=kv_lengths)
+    return dq, dk, dv, None
+
+
+flash_attention_varlen.defvjp(_varlen_vjp_fwd, _varlen_vjp_bwd)
 
 
 def flash_attention_with_lse(

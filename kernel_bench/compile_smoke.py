@@ -66,6 +66,21 @@ def main():
                 ft.flash_attention_reference(q, k, k, causal).astype(jnp.float32)))(q)
             ok &= check(f"flash bwd nq={nq} {dtype.__name__}", g, gr, 5e-2)
 
+    # varlen flash: per-row KV-prefix masking, empty-row convention
+    from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+    qv = jax.random.normal(key, (3, 2, 1024, 64), jnp.float32)
+    lens = jnp.asarray([1024, 300, 0], jnp.int32)
+    ov = flash_attention_varlen(qv, qv, qv, lens, True, impl="pallas")
+    refv = ft.flash_attention_reference(qv, qv, qv, True, kv_lengths=lens)
+    ok &= check("varlen flash fwd", ov[:2], refv[:2], 2e-2)
+    ok &= check("varlen flash empty row", ov[2], jnp.zeros_like(ov[2]), 1e-9)
+    gv = jax.grad(lambda q: jnp.sum(flash_attention_varlen(
+        q, q, q, lens, True, impl="pallas")))(qv)
+    gr = jax.grad(lambda q: jnp.sum(ft.flash_attention_reference(
+        q, q, q, True, kv_lengths=lens)))(qv)
+    ok &= check("varlen flash bwd", gv, gr, 5e-2)
+
     # -- fused softmax (pallas path) at odd shapes --------------------------
     for shape in [(7, 8, 327, 327), (1, 1, 17, 33), (2, 2, 1, 2048),
                   (3, 8, 49, 49)]:

@@ -110,3 +110,67 @@ def test_causal_first_row_attends_only_self():
     q, k, v = _qkv((1, 1, 32, 16), seed=23)
     out = flash_attention(q, k, v, True)
     np.testing.assert_allclose(out[0, 0, 0], v[0, 0, 0], atol=1e-5)
+
+
+class TestVarlen:
+    """flash_attention_varlen: per-row KV-prefix masking fused in-kernel."""
+
+    def _args(self, b=3, h=2, n=128, d=32, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(ks[0], (b, h, n, d))
+        k = jax.random.normal(ks[1], (b, h, n, d))
+        v = jax.random.normal(ks[2], (b, h, n, d))
+        lengths = jnp.asarray([n, n // 2, 17], jnp.int32)
+        return q, k, v, lengths
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward(self, causal):
+        from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+        q, k, v, lengths = self._args()
+        got = flash_attention_varlen(q, k, v, lengths, causal, impl="pallas")
+        want = flash_attention_reference(q, k, v, causal, kv_lengths=lengths)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_backward(self):
+        from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+        q, k, v, lengths = self._args(seed=1)
+        dy = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+        def loss_k(q, k, v):
+            return jnp.sum(flash_attention_varlen(
+                q, k, v, lengths, True, impl="pallas") * dy)
+
+        def loss_r(q, k, v):
+            return jnp.sum(flash_attention_reference(
+                q, k, v, True, kv_lengths=lengths) * dy)
+
+        g = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, nm in zip(g, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-3,
+                                       err_msg=f"d{nm}")
+        # grads w.r.t. masked-out K/V positions are zero
+        dk = np.asarray(g[1])
+        assert np.abs(dk[2, :, 17:]).max() == 0.0
+
+    def test_zero_length_row(self):
+        from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+        q, k, v, _ = self._args(seed=2)
+        lengths = jnp.asarray([128, 1, 0], jnp.int32)
+        out = flash_attention_varlen(q, k, v, lengths, False, impl="pallas")
+        assert bool(jnp.isfinite(out).all())
+        # a zero-length row attends nothing -> zeros (empty-softmax guard)
+        np.testing.assert_array_equal(np.asarray(out[2]), 0.0)
+
+    def test_auto_dispatch_small_seq(self):
+        from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+        q, k, v, lengths = self._args(n=64, seed=3)
+        lengths = jnp.asarray([64, 30, 5], jnp.int32)
+        got = flash_attention_varlen(q, k, v, lengths, True)  # auto -> jnp
+        want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
