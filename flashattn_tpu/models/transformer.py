@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from ..module import Module
 from ..nn import functional as F
 from ..nn.basic import Dropout, Embedding, FusedLayerNorm, LayerNorm1d, Linear
-from ..ops.flash_attention import flash_attention, flash_attention_reference
+from ..ops.flash_attention import (
+    flash_attention,
+    flash_attention_reference,
+    flash_attention_varlen,
+)
 from ..ops.paged_attention import paged_attention
 from ..ops.softmax import attn_softmax
 
@@ -160,6 +164,68 @@ class MultiHeadAttention(Module):
             pool["ks"] = jnp.ones(sshape, jnp.float32)
             pool["vs"] = jnp.ones(sshape, jnp.float32)
         return pool
+
+    def forward_prefill_paged(self, x: Array, pool: dict, page_table: Array,
+                              prompt_lens: Array):
+        """Batched PREFILL into a paged KV pool: process whole (padded)
+        prompts in one step.  x: (B, S, E); prompt_lens: (B,) valid tokens
+        per row (0 = idle row, routed to the trash page by the caller's
+        table).  Writes all S positions' K/V into the pages and returns
+        (out (B, S, E), pool) — attention is causal + varlen-masked, so
+        padding rows/positions never contaminate live ones.
+        """
+        bs, seq, _ = x.shape
+        page_size = pool["k"].shape[2]
+        quantized = "ks" in pool
+        q, k, v = self.project_to_query_key_value(x)   # (B, nh, S, hd)
+
+        # scatter all S tokens' K/V: position p of row b lands in page
+        # table[b, p // page] at offset p % page
+        pos = jnp.arange(seq, dtype=jnp.int32)
+        cols = pos // page_size                        # (S,)
+        page_ids = page_table[:, :][:, cols]           # (B, S)
+        offs = jnp.broadcast_to(pos % page_size, (bs, seq))
+        flat_pages = page_ids.reshape(-1)
+        flat_offs = offs.reshape(-1)
+        # (nh, B*S, hd)
+        k_new = k.transpose(1, 0, 2, 3).reshape(k.shape[1], -1, k.shape[3])
+        v_new = v.transpose(1, 0, 2, 3).reshape(v.shape[1], -1, v.shape[3])
+        if quantized:
+            qmax = 127.0 if pool["k"].dtype == jnp.int8 else 448.0
+
+            def enc(t):
+                absmax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
+                                 keepdims=True)
+                scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
+                payload = t.astype(jnp.float32) / scale
+                if pool["k"].dtype == jnp.int8:
+                    payload = jnp.clip(jnp.round(payload), -127, 127)
+                return payload.astype(pool["k"].dtype), scale
+
+            k_pay, k_sc = enc(k_new)
+            v_pay, v_sc = enc(v_new)
+            pool = {
+                "k": pool["k"].at[:, flat_pages, flat_offs].set(k_pay),
+                "v": pool["v"].at[:, flat_pages, flat_offs].set(v_pay),
+                "ks": pool["ks"].at[:, flat_pages, flat_offs].set(k_sc),
+                "vs": pool["vs"].at[:, flat_pages, flat_offs].set(v_sc),
+            }
+        else:
+            pool = {
+                "k": pool["k"].at[:, flat_pages, flat_offs].set(
+                    k_new.astype(pool["k"].dtype)),
+                "v": pool["v"].at[:, flat_pages, flat_offs].set(
+                    v_new.astype(pool["v"].dtype)),
+            }
+
+        # prefill attention: causal within the prompt, per-row valid prefix
+        # (the cache holds nothing older, so attending q/k/v directly is
+        # exact); fp-precision q/k/v regardless of pool quantisation
+        out = flash_attention_varlen(
+            q, k, v, prompt_lens, True,
+            1.0 / math.sqrt(self.attn_hidden_dim))
+        out = out.transpose(0, 2, 1, 3).reshape(bs, seq, self.n_embd)
+        return self.out_projection(out), pool
 
     def forward_decode_paged(self, x: Array, pool: dict, page_table: Array,
                              lengths: Array):
@@ -299,6 +365,14 @@ class TransformerLayer(Module):
         x = x + self.ff(self.ln_2(x))
         return x, pool
 
+    def forward_prefill_paged(self, x: Array, pool: dict, page_table: Array,
+                              prompt_lens: Array):
+        attn, pool = self.attention.forward_prefill_paged(
+            self.ln_1(x), pool, page_table, prompt_lens)
+        x = x + attn
+        x = x + self.ff(self.ln_2(x))
+        return x, pool
+
 
 class DecoderLM(Module):
     """Decoder-only pre-LN transformer LM (reference :365-470).
@@ -391,6 +465,23 @@ class DecoderLM(Module):
         new_pools = []
         for layer, pool in zip(self.layers, pools):
             x, pool = layer.forward_decode_paged(x, pool, page_table, lengths)
+            new_pools.append(pool)
+        x = self.ln(x)
+        return self.lm_head(x), new_pools
+
+    def forward_prefill_paged(self, tokens: Array, pools: list,
+                              page_table: Array, prompt_lens: Array):
+        """Batched prefill: tokens (B, S) padded prompts; writes every
+        position's K/V into the pages and returns (logits (B, S, n_vocab),
+        pools).  Rows with prompt_lens == 0 are idle (route their table to a
+        trash page)."""
+        bs, seq = tokens.shape
+        pos = jnp.arange(seq, dtype=jnp.int32)[None, :]
+        x = self.token_embeddings(tokens) + self.position_embeddings(pos)
+        new_pools = []
+        for layer, pool in zip(self.layers, pools):
+            x, pool = layer.forward_prefill_paged(x, pool, page_table,
+                                                  prompt_lens)
             new_pools.append(pool)
         x = self.ln(x)
         return self.lm_head(x), new_pools

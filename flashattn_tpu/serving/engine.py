@@ -157,6 +157,21 @@ class ContinuousBatchingEngine:
 
         self._jit_step_many = _step_many
 
+        # Batched prefill: one dispatch consumes whole (padded) prompts —
+        # vs the reference's per-token full-model re-runs
+        # (run_machine_translation.py:300-323).
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _prefill_step(model, pools, tokens, table, lens):
+            logits, pools = model.forward_prefill_paged(tokens, pools, table,
+                                                        lens)
+            last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
+            chosen = jnp.take_along_axis(
+                logits, last[:, None, None], axis=1)[:, 0]      # (B, V)
+            sampled = jnp.argmax(chosen, -1).astype(jnp.int32)
+            return pools, sampled, (logits if collect_logits else None)
+
+        self._jit_prefill = _prefill_step
+
     # -- public API ----------------------------------------------------------
 
     @property
@@ -186,17 +201,76 @@ class ContinuousBatchingEngine:
 
     # -- scheduler ------------------------------------------------------------
 
-    def _admit(self) -> None:
+    def _admit(self) -> List[int]:
+        """Admit queued requests into free slots; allocate every page the
+        prompt needs up front (batched prefill fills them in one dispatch).
+        Returns the newly admitted slot ids."""
+        admitted = []
         for i in range(self.max_batch):
             if self.slots[i] is not None or not self.queue:
                 continue
-            if self.pool.n_free == 0:
+            need = max(1, -(-len(self.queue[0].prompt) // self.page_size))
+            if self.pool.n_free < need:
                 break
             req = self.queue.pop(0)
-            first = self.pool.alloc()
-            self.page_table[i, 0] = first
-            self.slots[i] = _Slot(req, [first], length=0,
+            pages = [self.pool.alloc() for _ in range(need)]
+            self.page_table[i, :need] = pages
+            self.slots[i] = _Slot(req, pages, length=0,
                                   next_input=req.prompt[0], prompt_cursor=1)
+            admitted.append(i)
+        return admitted
+
+    def _prefill(self, admitted: List[int]) -> None:
+        """One batched prefill dispatch for the newly admitted slots: every
+        prompt position's K/V lands in its pages, the last position's logits
+        seed generation.  Other slots' rows are idle (prompt_lens 0) and
+        their writes routed to the trash page."""
+        s_max = max(len(self.slots[i].request.prompt) for i in admitted)
+        s_pad = max(8, 1 << (s_max - 1).bit_length())  # pow2 buckets the jit
+        s_pad = min(s_pad, self.capacity)
+
+        tokens = np.zeros((self.max_batch, s_pad), np.int32)
+        lens = np.zeros((self.max_batch,), np.int32)
+        table = np.full_like(self.page_table, self._trash_page)
+        for i in admitted:
+            p = self.slots[i].request.prompt
+            tokens[i, :len(p)] = p
+            lens[i] = len(p)
+            table[i] = self.page_table[i]
+
+        self.pools, sampled, logits = self._jit_prefill(
+            self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
+            jnp.asarray(lens))
+        sampled = np.asarray(sampled)
+        if self.collect_logits:
+            logits = np.asarray(logits)
+
+        for i in admitted:
+            slot = self.slots[i]
+            req = slot.request
+            n = len(req.prompt)
+            if self.collect_logits:
+                for t in range(n):
+                    req.logits.append(logits[i, t])
+            slot.length = n
+            slot.prompt_cursor = n
+            tok = int(sampled[i])
+            req.generated.append(tok)
+            slot.next_input = tok
+            # next decode write position is n; page already allocated iff
+            # n < pages * page (submit() guarantees n < capacity)
+            if n % self.page_size == 0 and n // self.page_size >= len(slot.pages):
+                if self.pool.n_free == 0:
+                    req.truncated = True
+                    self._retire(i)
+                    continue
+                page = self.pool.alloc()
+                slot.pages.append(page)
+                self.page_table[i, len(slot.pages) - 1] = page
+            hit_eos = req.eos_id is not None and tok == req.eos_id
+            if (len(req.generated) >= req.max_new_tokens or hit_eos
+                    or slot.length >= self.capacity):
+                self._retire(i)
 
     def _retire(self, i: int) -> None:
         slot = self.slots[i]
@@ -261,9 +335,12 @@ class ContinuousBatchingEngine:
                         self.page_table[i, len(slot.pages) - 1] = page
 
     def step(self) -> bool:
-        """One engine iteration: admit, decode one token per active slot,
-        advance/retire.  Returns False when idle (nothing queued or active)."""
-        self._admit()
+        """One engine iteration: admit (+ batched prefill), decode one token
+        per active slot, advance/retire.  Returns False when idle."""
+        admitted = self._admit()
+        if admitted:
+            self._prefill(admitted)
+            return True
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
             return bool(self.queue)
