@@ -45,6 +45,18 @@ Array = jax.Array
 AttnImpl = Literal["flash", "fused_softmax", "reference"]
 
 
+def _quantize_kv(t, dtype):
+    """Per-token symmetric quantisation for paged-pool writes: payload in
+    ``dtype`` (int8 absmax/127 or fp8-e4m3 absmax/448) + f32 scales."""
+    qmax = 127.0 if dtype == jnp.int8 else 448.0
+    absmax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
+    payload = t.astype(jnp.float32) / scale
+    if dtype == jnp.int8:
+        payload = jnp.clip(jnp.round(payload), -127, 127)
+    return payload.astype(dtype), scale
+
+
 def _split(key: Optional[jax.Array], n: int):
     if key is None:
         return [None] * n
@@ -191,19 +203,8 @@ class MultiHeadAttention(Module):
         k_new = k.transpose(1, 0, 2, 3).reshape(k.shape[1], -1, k.shape[3])
         v_new = v.transpose(1, 0, 2, 3).reshape(v.shape[1], -1, v.shape[3])
         if quantized:
-            qmax = 127.0 if pool["k"].dtype == jnp.int8 else 448.0
-
-            def enc(t):
-                absmax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
-                                 keepdims=True)
-                scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
-                payload = t.astype(jnp.float32) / scale
-                if pool["k"].dtype == jnp.int8:
-                    payload = jnp.clip(jnp.round(payload), -127, 127)
-                return payload.astype(pool["k"].dtype), scale
-
-            k_pay, k_sc = enc(k_new)
-            v_pay, v_sc = enc(v_new)
+            k_pay, k_sc = _quantize_kv(k_new, pool["k"].dtype)
+            v_pay, v_sc = _quantize_kv(v_new, pool["v"].dtype)
             pool = {
                 "k": pool["k"].at[:, flat_pages, flat_offs].set(k_pay),
                 "v": pool["v"].at[:, flat_pages, flat_offs].set(v_pay),
@@ -220,10 +221,22 @@ class MultiHeadAttention(Module):
 
         # prefill attention: causal within the prompt, per-row valid prefix
         # (the cache holds nothing older, so attending q/k/v directly is
-        # exact); fp-precision q/k/v regardless of pool quantisation
-        out = flash_attention_varlen(
-            q, k, v, prompt_lens, True,
-            1.0 / math.sqrt(self.attn_hidden_dim))
+        # exact); fp-precision q/k/v regardless of pool quantisation.
+        # Under a mesh the Pallas kernel must run through shard_map (GSPMD
+        # cannot partition pallas_call).
+        if self.mesh is not None:
+            from ..parallel.sharded_attention import sharded_flash_attention
+
+            out = sharded_flash_attention(
+                q, k, v, True, mesh=self.mesh,
+                batch_axis=self.mesh_batch_axis,
+                head_axis=self.mesh_head_axis,
+                sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                kv_lengths=prompt_lens)
+        else:
+            out = flash_attention_varlen(
+                q, k, v, prompt_lens, True,
+                1.0 / math.sqrt(self.attn_hidden_dim))
         out = out.transpose(0, 2, 1, 3).reshape(bs, seq, self.n_embd)
         return self.out_projection(out), pool
 
@@ -247,17 +260,8 @@ class MultiHeadAttention(Module):
         k_new = k[:, :, 0].transpose(1, 0, 2)              # (nh, B, hd)
         v_new = v[:, :, 0].transpose(1, 0, 2)
         if quantized:
-            qmax = 127.0 if pool["k"].dtype == jnp.int8 else 448.0
-            def enc(t):
-                absmax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
-                                 keepdims=True)
-                scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
-                payload = t.astype(jnp.float32) / scale
-                if pool["k"].dtype == jnp.int8:
-                    payload = jnp.clip(jnp.round(payload), -127, 127)
-                return payload.astype(pool["k"].dtype), scale
-            k_pay, k_sc = enc(k_new)
-            v_pay, v_sc = enc(v_new)
+            k_pay, k_sc = _quantize_kv(k_new, pool["k"].dtype)
+            v_pay, v_sc = _quantize_kv(v_new, pool["v"].dtype)
             pool = {
                 "k": pool["k"].at[:, page_ids, offs].set(k_pay),
                 "v": pool["v"].at[:, page_ids, offs].set(v_pay),

@@ -155,7 +155,10 @@ class AdamW(Adam):
 
     def step(self, model: Any, grads: Any, state: AdamState):
         if self.decoupled_weight_decay:
+            # resolve a schedule lr at the step ABOUT to be taken (t = step+1,
+            # matching Adam.step's bias-correction counter)
+            lr = self.lr(state.step + 1) if callable(self.lr) else self.lr
             model = jax.tree_util.tree_map(
-                lambda p: p * (1.0 - self.lr * self.decoupled_weight_decay), model
+                lambda p: p * (1.0 - lr * self.decoupled_weight_decay), model
             )
         return super().step(model, grads, state)

@@ -39,23 +39,40 @@ def sharded_flash_attention(
     batch_axis: Optional[str] = "data",
     head_axis: Optional[str] = "model",
     sm_scale: Optional[float] = None,
+    kv_lengths: Optional[Array] = None,
 ) -> Array:
     """Flash attention with batch sharded over ``batch_axis`` and heads over
     ``head_axis``; seq and head_dim replicated.  Differentiable.
 
     Zero communication: every (batch-shard, head-shard) is independent
-    (guide §14 "head parallelism first").
+    (guide §14 "head parallelism first").  ``kv_lengths`` (B,) selects the
+    varlen kernel (per-row valid KV prefix) — used by TP-sharded batched
+    prefill.
     """
+    from ..ops.flash_attention import flash_attention_varlen
+
     spec = P(batch_axis, head_axis, None, None)
 
+    if kv_lengths is None:
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )
+        def _local(q_, k_, v_):
+            return flash_attention(q_, k_, v_, causal, sm_scale)
+
+        return _local(q, k, v)
+
+    len_spec = P(batch_axis)
+
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec, len_spec),
         out_specs=spec, check_vma=False,
     )
-    def _local(q_, k_, v_):
-        return flash_attention(q_, k_, v_, causal, sm_scale)
+    def _local_varlen(q_, k_, v_, lens_):
+        return flash_attention_varlen(q_, k_, v_, lens_, causal, sm_scale)
 
-    return _local(q, k, v)
+    return _local_varlen(q, k, v, kv_lengths)
 
 
 def sharded_paged_attention(
@@ -218,11 +235,17 @@ def _ring_fa_bwd(causal, mesh, seq_axis, batch_axis, head_axis, scale,
 
         def pair_bwd(k_blk, v_blk, blk_causal):
             # blockwise FA backward against the GLOBAL (o, lse): exactly the
-            # single-chip split-kernel bwd on one (q-shard, kv-block) pair
+            # single-chip split-kernel bwd on one (q-shard, kv-block) pair.
+            # Block sizes must DIVIDE the shard (like the fwd's _pick_blocks):
+            # a cdiv grid would read past the shard — undefined contents on
+            # TPU pollute dk/dv.  Fall back to full-dim blocks (always legal).
+            from ..ops.flash_attention import _pick_blocks
+
+            bq, bk = _pick_blocks(q_.shape[2], k_blk.shape[2], 512, 1024)
             return _flash_bwd(q_, k_blk, v_blk, o_, lse_, do_,
                               causal=blk_causal, sm_scale=scale,
-                              block_q=min(512, q_.shape[2]),
-                              block_k=min(1024, k_blk.shape[2]))
+                              block_q=bq or q_.shape[2],
+                              block_k=bk or k_blk.shape[2])
 
         # Diagonal block: local triangle (or dense when not causal).
         dq, dk_acc, dv_acc = pair_bwd(k_, v_, causal)

@@ -16,9 +16,10 @@ Design (vLLM-style scheduling, TPU-shaped execution):
   sampled tokens) admits queued requests into free slots mid-flight, allocates
   physical pages from a free list as sequences cross page boundaries, and
   retires finished sequences, returning their pages to the pool;
-* prefill feeds prompt tokens through the same decode step (teacher-forced),
-  so admission never recompiles — one program serves every mix of prefill
-  and decode.
+* admission runs ONE batched prefill dispatch over the newly admitted
+  slots (varlen flash attention; all prompt positions' K/V scatter into
+  their pages), then slots join the decode step; prompt lengths bucket to
+  powers of two so the prefill jit cache stays small.
 """
 
 from __future__ import annotations
@@ -187,6 +188,11 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"prompt of {len(prompt)} tokens exceeds per-sequence KV "
                 f"capacity {self.capacity} (pages_per_seq * page_size)")
+        need = max(1, -(-len(prompt) // self.page_size))
+        if need > self.pool.total:
+            raise ValueError(
+                f"prompt needs {need} pages but the pool only has "
+                f"{self.pool.total}; request can never be admitted")
         req = Request(list(prompt), max_new_tokens, eos_id, uid=self._uid)
         self._uid += 1
         self.queue.append(req)
@@ -278,7 +284,9 @@ class ContinuousBatchingEngine:
         self.finished.append(slot.request)
         self.pool.release(slot.pages)
         self.slots[i] = None
-        self.page_table[i, 0] = self._trash_page  # idle writes go to trash
+        # reset the WHOLE row: stale columns would route a later prefill's
+        # padding-position scatters into pages owned by live requests
+        self.page_table[i, :] = self._trash_page
 
     def _decode_chunk_len(self, active: List[int]) -> int:
         """How many pure-decode steps can run device-side before ANY host
@@ -291,8 +299,6 @@ class ContinuousBatchingEngine:
         for i in active:
             slot = self.slots[i]
             req = slot.request
-            if slot.prompt_cursor < len(req.prompt):
-                return 1  # still prefilling (host forces prompt tokens)
             k = min(k,
                     req.max_new_tokens - len(req.generated),
                     self.page_size - (slot.length % self.page_size),
@@ -381,12 +387,6 @@ class ContinuousBatchingEngine:
                 page = self.pool.alloc()
                 slot.pages.append(page)
                 self.page_table[i, len(slot.pages) - 1] = page
-
-            if slot.prompt_cursor < len(req.prompt):
-                # still prefilling: force the next prompt token
-                slot.next_input = req.prompt[slot.prompt_cursor]
-                slot.prompt_cursor += 1
-                continue
 
             tok = int(sampled[i])
             req.generated.append(tok)

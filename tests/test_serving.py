@@ -202,3 +202,39 @@ def test_engine_tp_sharded(model):
         got = np.stack(r.logits)
         want = _dense_logits(model, t)
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_slot_reuse_with_shrinking_prompt(model):
+    """Regression (review): a retired slot's stale page-table columns must
+    not route a later prefill's padding positions into live pages."""
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=4,
+                                   pages_per_seq=4, collect_logits=True)
+    rng = np.random.default_rng(6)
+    long_p = list(rng.integers(1, 60, size=13))   # 4 pages
+    eng.submit(long_p, 2)
+    eng.run()
+    short_p = list(rng.integers(1, 60, size=9))   # 3 pages; s_pad 16 > 12
+    r = eng.submit(short_p, 5)
+    eng.run()
+    # teacher-force compare decode logits against dense
+    full = short_p + r.generated
+    want = _dense_logits(model, full)[len(short_p) - 1:len(full) - 1]
+    got = np.stack(r.logits)[len(short_p) - 1:]
+    np.testing.assert_allclose(got[:len(want)], want, atol=1e-4, rtol=1e-4)
+
+
+def test_submit_rejects_pool_impossible_prompt(model):
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=4,
+                                   pages_per_seq=8, total_pages=2)
+    with pytest.raises(ValueError, match="never be admitted"):
+        eng.submit(list(range(1, 10)), 4)  # needs 3 pages, pool has 2
+
+
+def test_adamw_with_schedule():
+    from flashattn_tpu.optim import AdamW, warmup_cosine
+
+    opt = AdamW(lr=warmup_cosine(0.01, 5, 50), weight_decay=0.01)
+    m = {"w": jnp.ones((3,))}
+    s = opt.init(m)
+    m, s = opt.step(m, {"w": jnp.ones((3,))}, s)
+    assert bool(jnp.all(jnp.isfinite(m["w"])))
