@@ -1,0 +1,72 @@
+"""Randomized scheduler fuzz: many engine configurations × request mixes,
+every finished request's logits checked against the dense forward.
+
+The engine's failure modes are scheduling bugs (stale page tables, slot
+reuse, boundary off-by-ones) that only bite under particular interleavings —
+this sweeps interleavings the targeted tests don't."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flashattn_tpu as ft
+from flashattn_tpu.serving import ContinuousBatchingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ft.DecoderLM(64, 32, 4, 512, p_dropout=0.0, n_layer=2,
+                        attn_impl="reference", key=jax.random.PRNGKey(0)).eval()
+
+
+def _dense_logits(model, tokens):
+    return np.asarray(model(jnp.asarray([tokens], jnp.int32))[0])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_fuzz(model, seed):
+    rng = np.random.default_rng(seed)
+    page_size = int(rng.choice([4, 8, 16]))
+    pages_per_seq = int(rng.integers(2, 5))
+    max_batch = int(rng.integers(1, 4))
+    capacity = page_size * pages_per_seq
+    # sometimes over-commit the pool to exercise truncation
+    total_pages = int(rng.integers(max(2, max_batch),
+                                   max_batch * pages_per_seq + 1))
+
+    eng = ContinuousBatchingEngine(
+        model, max_batch=max_batch, page_size=page_size,
+        pages_per_seq=pages_per_seq, total_pages=total_pages,
+        steps_per_dispatch=int(rng.choice([1, 4, 8])),
+        collect_logits=True)
+
+    reqs = []
+    for _ in range(int(rng.integers(3, 7))):
+        plen = int(rng.integers(1, capacity))
+        need = max(1, -(-plen // page_size))
+        if need > total_pages:
+            continue
+        prompt = list(rng.integers(1, 60, size=plen))
+        max_new = int(rng.integers(1, capacity))
+        reqs.append(eng.submit(prompt, max_new))
+    if not reqs:
+        return
+    eng.run()
+    assert eng.pool.n_free == eng.pool.total
+
+    for r in reqs:
+        assert r.done
+        full = r.prompt + r.generated
+        n_logits = len(r.logits)
+        # logits row t is the prediction after consuming full[:t+1]
+        want = _dense_logits(model, full[:n_logits])
+        got = np.stack(r.logits)
+        np.testing.assert_allclose(
+            got, want, atol=2e-4, rtol=2e-4,
+            err_msg=f"uid={r.uid} plen={len(r.prompt)} gen={len(r.generated)} "
+                    f"page={page_size} pps={pages_per_seq} mb={max_batch} "
+                    f"pool={total_pages} trunc={r.truncated}")
+        if not r.truncated:
+            assert (len(r.generated) == r.max_new_tokens
+                    or len(full) >= capacity)
