@@ -73,11 +73,15 @@ class MultiHeadAttention(Module):
 
     def __init__(self, n_embd: int, n_head: int, causal: bool = False,
                  p_dropout: float = 0.1, bias: bool = True, *,
+                 n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash", key: jax.Array,
                  dtype=jnp.float32):
         assert n_embd % n_head == 0
         self.n_embd = n_embd
         self.n_head = n_head
+        # GQA/MQA: fewer KV heads shared across query-head groups
+        self.n_kv_head = n_kv_head or n_head
+        assert n_head % self.n_kv_head == 0
         self.causal = causal
         self.attn_hidden_dim = n_embd // n_head
         self.attn_impl = attn_impl
@@ -88,22 +92,26 @@ class MultiHeadAttention(Module):
         self.mesh_batch_axis = None
         self.mesh_head_axis = None
         kq, kk, kv, ko = jax.random.split(key, 4)
+        kv_dim = self.n_kv_head * self.attn_hidden_dim
         self.q_projection = Linear(n_embd, n_embd, bias, key=kq, dtype=dtype)
-        self.k_projection = Linear(n_embd, n_embd, bias, key=kk, dtype=dtype)
-        self.v_projection = Linear(n_embd, n_embd, bias, key=kv, dtype=dtype)
+        self.k_projection = Linear(n_embd, kv_dim, bias, key=kk, dtype=dtype)
+        self.v_projection = Linear(n_embd, kv_dim, bias, key=kv, dtype=dtype)
         self.out_projection = Linear(n_embd, n_embd, bias, key=ko, dtype=dtype)
         self.dropout = Dropout(p_dropout)
 
     def project_to_query_key_value(self, x: Array):
-        """(B,S,E) -> q,k,v each (B,nh,S,hd) (reference :73-107)."""
+        """(B,S,E) -> q (B,nh,S,hd), k/v (B,n_kv_head,S,hd)
+        (reference :73-107; GQA when n_kv_head < n_head)."""
         bs, seq, _ = x.shape
 
-        def proj(lin: Linear) -> Array:
-            y = lin(x)  # (B,S,E)
-            y = y.reshape(bs, seq, self.n_head, self.attn_hidden_dim)
+        def proj(lin: Linear, heads: int) -> Array:
+            y = lin(x)
+            y = y.reshape(bs, seq, heads, self.attn_hidden_dim)
             return y.transpose(0, 2, 1, 3)
 
-        return proj(self.q_projection), proj(self.k_projection), proj(self.v_projection)
+        return (proj(self.q_projection, self.n_head),
+                proj(self.k_projection, self.n_kv_head),
+                proj(self.v_projection, self.n_kv_head))
 
     def self_attention(self, q: Array, k: Array, v: Array) -> Array:
         """softmax(q k^T / sqrt(hd)) v -> (B,S,E) (reference :109-202)."""
@@ -120,6 +128,10 @@ class MultiHeadAttention(Module):
             else:
                 out = flash_attention(q, k, v, self.causal)
         elif self.attn_impl == "fused_softmax":
+            if k.shape[1] != q.shape[1]:
+                rep = q.shape[1] // k.shape[1]
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
             w = attn_softmax(s, None, self.causal)
             out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
@@ -139,7 +151,7 @@ class MultiHeadAttention(Module):
     # with dynamic_update_slice so the decode step jits once.
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> dict:
-        shape = (batch, self.n_head, max_len, self.attn_hidden_dim)
+        shape = (batch, self.n_kv_head, max_len, self.attn_hidden_dim)
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
     def forward_decode(self, x: Array, cache: dict, index: Array):
@@ -154,11 +166,16 @@ class MultiHeadAttention(Module):
         cache_v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
                                                (0, 0, index, 0))
         max_len = cache_k.shape[2]
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, cache_k) / math.sqrt(self.attn_hidden_dim)
+        ck, cv = cache_k, cache_v
+        if ck.shape[1] != q.shape[1]:
+            rep = q.shape[1] // ck.shape[1]
+            ck = jnp.repeat(ck, rep, axis=1)
+            cv = jnp.repeat(cv, rep, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / math.sqrt(self.attn_hidden_dim)
         valid = jnp.arange(max_len)[None, None, None, :] <= index
         s = jnp.where(valid, s, jnp.finfo(s.dtype).min / 2)
         w = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, cache_v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, cv)
         out = out.transpose(0, 2, 1, 3).reshape(bs, 1, self.n_embd)
         return self.out_projection(out), {"k": cache_k, "v": cache_v}
 
@@ -169,7 +186,7 @@ class MultiHeadAttention(Module):
         """Per-layer paged KV pool.  ``dtype`` of int8 / float8_e4m3fn builds
         a QUANTIZED pool: payloads + per-token f32 scales (BASELINE
         configs[3], "FP8/INT8 paged KV-cache")."""
-        shape = (self.n_head, total_pages, page_size, self.attn_hidden_dim)
+        shape = (self.n_kv_head, total_pages, page_size, self.attn_hidden_dim)
         pool = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         if dtype in (jnp.int8, jnp.float8_e4m3fn):
             sshape = shape[:-1] + (1,)
@@ -333,13 +350,14 @@ class TransformerLayer(Module):
     def __init__(self, n_embd: int, n_head: int, p_dropout: float = 0.1,
                  ln_eps: float = 1e-5, bias: bool = True, *,
                  middle_dim: int = 256,
+                 n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
         ka, kf = jax.random.split(key)
         self.attention = MultiHeadAttention(
             n_embd, n_head, causal=True, p_dropout=p_dropout, bias=bias,
-            attn_impl=attn_impl, key=ka, dtype=dtype,
+            n_kv_head=n_kv_head, attn_impl=attn_impl, key=ka, dtype=dtype,
         )
         self.ff = FeedForward(n_embd, middle_dim, p_dropout, bias, key=kf, dtype=dtype)
         if use_fused_layernorm:
@@ -389,6 +407,7 @@ class DecoderLM(Module):
                  p_dropout: float = 0.1, ln_eps: float = 1e-5, bias: bool = True, *,
                  n_layer: int = 4,
                  middle_dim: int = 256,
+                 n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
@@ -403,7 +422,8 @@ class DecoderLM(Module):
         self.layers = [
             TransformerLayer(
                 n_embd, n_head, p_dropout, ln_eps, bias,
-                middle_dim=middle_dim, attn_impl=attn_impl,
+                middle_dim=middle_dim, n_kv_head=n_kv_head,
+                attn_impl=attn_impl,
                 use_fused_layernorm=use_fused_layernorm,
                 key=keys[2 + i], dtype=dtype,
             )

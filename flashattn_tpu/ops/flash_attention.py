@@ -147,6 +147,9 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
                kv_lengths=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
+    # GQA/MQA: q heads grouped onto fewer kv heads — the kv index maps fold
+    # the grid's q-head index down (h_ // group); no k/v repeat materialised.
+    group = h // k.shape[1]
     grid = (b, h, cdiv(n_q, block_q), cdiv(n_kv, block_k))
     num_kv = grid[3]
 
@@ -163,10 +166,10 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
         # the memory traffic anyway).
         def kv_index(b_, h_, q_, k_):
             last = ((q_ + 1) * block_q - 1) // block_k
-            return (b_, h_, jnp.minimum(k_, last), 0)
+            return (b_, h_ // group, jnp.minimum(k_, last), 0)
     else:
         def kv_index(b_, h_, q_, k_):
-            return (b_, h_, k_, 0)
+            return (b_, h_ // group, k_, 0)
 
     out_shape = [
         jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
@@ -216,7 +219,7 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
         if causal:
             last = ((q_ + 1) * block_q - 1) // block_k
             k_ = jnp.minimum(k_, last)
-        return (b_, h_, k_, 0)
+        return (b_, h_ // group, k_, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -387,6 +390,8 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
                kv_lengths=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
+    h_kv = k.shape[1]
+    group = h // h_kv
     num_q = cdiv(n_q, block_q)
     num_kv = cdiv(n_kv, block_k)
 
@@ -444,7 +449,8 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
             return (b_, h_, j, 0)
 
     q_spec = pl.BlockSpec((1, 1, block_q, d), q_index)
-    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d),
+                           lambda b_, h_, i, j: (b_, h_ // group, i, 0))
     stat_spec = pl.BlockSpec((1, 1, block_q, 1),
                              lambda b_, h_, i, j: q_index(b_, h_, i, j))
 
@@ -460,21 +466,24 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, n_kv, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, n_kv, d), v.dtype),
-        ],
+        ],  # per-Q-head contributions; group-summed below for GQA
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
     )(*len_args, q, k, v, do, lse, di)
+    if group > 1:
+        dk = dk.reshape(b, h_kv, group, n_kv, d).sum(axis=2).astype(k.dtype)
+        dv = dv.reshape(b, h_kv, group, n_kv, d).sum(axis=2).astype(v.dtype)
 
     # dQ grid is (b, h, q_block, kv_block): above-diagonal KV blocks skipped.
     if causal:
         def kv_index2(b_, h_, i, j):
             last = ((i + 1) * block_q - 1) // block_k
-            return (b_, h_, jnp.minimum(j, last), 0)
+            return (b_, h_ // group, jnp.minimum(j, last), 0)
     else:
         def kv_index2(b_, h_, i, j):
-            return (b_, h_, j, 0)
+            return (b_, h_ // group, j, 0)
 
     q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0))
     kv_spec2 = pl.BlockSpec((1, 1, block_k, d), kv_index2)
@@ -565,6 +574,11 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
 
 
 def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None):
+    # GQA/MQA: broadcast kv heads up to the q heads
+    if k.shape[1] != q.shape[1]:
+        group = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
     # preferred_element_type keeps bf16 scores in f32 end-to-end — without it
     # the einsum rounds s to bf16 and the ORACLE is less accurate than the
     # kernel (seen as ~4e-2 "kernel error" at seq 2048 bf16).

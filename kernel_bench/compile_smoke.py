@@ -66,6 +66,18 @@ def main():
                 ft.flash_attention_reference(q, k, k, causal).astype(jnp.float32)))(q)
             ok &= check(f"flash bwd nq={nq} {dtype.__name__}", g, gr, 5e-2)
 
+    # GQA: q heads grouped onto fewer kv heads (index-map folding)
+    qg = jax.random.normal(key, (2, 8, 2048, 64), jnp.float32)
+    kg = jax.random.normal(key, (2, 2, 2048, 64), jnp.float32)
+    og = ft.flash_attention(qg, kg, kg, True, impl="pallas")
+    refg = ft.flash_attention_reference(qg, kg, kg, True)
+    ok &= check("GQA flash fwd 8q/2kv", og, refg, 2e-2)
+    gg = jax.grad(lambda k: jnp.sum(ft.flash_attention(
+        qg, k, k, True, impl="pallas")))(kg)
+    ggr = jax.grad(lambda k: jnp.sum(ft.flash_attention_reference(
+        qg, k, k, True)))(kg)
+    ok &= check("GQA flash bwd dk", gg, ggr, 5e-2)
+
     # varlen flash: per-row KV-prefix masking, empty-row convention
     from flashattn_tpu.ops.flash_attention import flash_attention_varlen
 

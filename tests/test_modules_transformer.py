@@ -125,3 +125,56 @@ def test_decoder_lm_trains():
     for _ in range(10):
         model, state, loss = step(model, state)
     assert float(loss) < l0 * 0.9
+
+
+class TestGQAModel:
+    """DecoderLM with grouped-query attention (n_kv_head < n_head)."""
+
+    def _model(self, attn_impl="flash"):
+        import flashattn_tpu as ft
+
+        return ft.DecoderLM(64, 32, 4, 128, p_dropout=0.0, n_layer=2,
+                            n_kv_head=2, attn_impl=attn_impl,
+                            key=jax.random.PRNGKey(0)).eval()
+
+    def test_forward_paths_agree(self):
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 64)
+        outs = [np.asarray(self._model(impl)(toks))
+                for impl in ("flash", "fused_softmax", "reference")]
+        np.testing.assert_allclose(outs[0], outs[2], atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(outs[1], outs[2], atol=1e-4, rtol=1e-4)
+
+    def test_dense_decode_matches_forward(self):
+        model = self._model("reference")
+        toks = jax.random.randint(jax.random.PRNGKey(2), (2, 10), 0, 64)
+        full = model(toks)
+        caches = model.init_cache(2, 16)
+        outs = []
+        for i in range(10):
+            logits, caches = model.forward_decode(toks[:, i:i + 1], caches, i)
+            outs.append(np.asarray(logits[:, 0]))
+        np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_gqa_serving_engine(self):
+        from flashattn_tpu.serving import ContinuousBatchingEngine
+
+        model = self._model("reference")
+        rng = np.random.default_rng(3)
+        t = list(rng.integers(1, 60, size=12))
+        eng = ContinuousBatchingEngine(model, max_batch=2, page_size=8,
+                                       pages_per_seq=4, collect_logits=True)
+        r = eng.submit(t, 1)
+        eng.run()
+        want = np.asarray(model(jnp.asarray([t], jnp.int32))[0])
+        np.testing.assert_allclose(np.stack(r.logits), want,
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_gqa_params_smaller(self):
+        import flashattn_tpu as ft
+
+        mha = ft.DecoderLM(64, 32, 4, 128, n_layer=1, key=jax.random.PRNGKey(0))
+        gqa = ft.DecoderLM(64, 32, 4, 128, n_layer=1, n_kv_head=1,
+                           key=jax.random.PRNGKey(0))
+        assert gqa.layers[0].attention.k_projection.weights.shape == (32, 8)
+        assert mha.layers[0].attention.k_projection.weights.shape == (32, 32)

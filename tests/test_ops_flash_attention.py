@@ -174,3 +174,47 @@ class TestVarlen:
         got = flash_attention_varlen(q, k, v, lengths, True)  # auto -> jnp
         want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+class TestGQA:
+    """Grouped-query attention: Hq > Hkv, kv heads shared per group
+    (kernel maps heads in the index maps — no k/v repeat materialised)."""
+
+    def _args(self, hq=8, hkv=2, n=128, d=32, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(ks[0], (2, hq, n, d))
+        k = jax.random.normal(ks[1], (2, hkv, n, d))
+        v = jax.random.normal(ks[2], (2, hkv, n, d))
+        return q, k, v
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 1)])
+    def test_forward(self, causal, hq, hkv):
+        q, k, v = self._args(hq, hkv)
+        got = flash_attention(q, k, v, causal)
+        want = flash_attention_reference(q, k, v, causal)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_backward(self):
+        q, k, v = self._args(seed=1)
+        dy = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+        g = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, True) * dy), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention_reference(q, k, v, True) * dy),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b, nm in zip(g, gr, "qkv"):
+            assert a.shape == b.shape, nm  # dk/dv in the ORIGINAL kv shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3,
+                                       err_msg=f"d{nm}")
+
+    def test_varlen_gqa(self):
+        from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+        q, k, v = self._args(seed=2)
+        lengths = jnp.asarray([128, 40], jnp.int32)
+        got = flash_attention_varlen(q, k, v, lengths, True, impl="pallas")
+        want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
