@@ -35,6 +35,23 @@ import numpy as np
 Array = jax.Array
 
 
+def _sample_tokens(logits, temps, topks, key):
+    """Per-row sampling: temperature 0 -> greedy; top_k 0 -> unrestricted.
+
+    logits (B, V); temps (B,) f32; topks (B,) int32.  Full-sort top-k keeps
+    per-row k dynamic (fine at LM-head scales; the sort is once per dispatch).
+    """
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    v = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    k_idx = jnp.clip(jnp.where(topks > 0, topks, v) - 1, 0, v - 1)
+    thresh = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=1)
+    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+    scaled = masked / jnp.maximum(temps, 1e-6)[:, None]
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
 class PagePool:
     """Host-side free list of physical page ids."""
 
@@ -62,6 +79,9 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     eos_id: Optional[int] = None
+    # sampling: 0 temperature = greedy; top_k limits candidates (None = all)
+    temperature: float = 0.0
+    top_k: Optional[int] = None
     # filled by the engine:
     uid: int = -1
     generated: List[int] = dataclasses.field(default_factory=list)
@@ -88,7 +108,7 @@ class ContinuousBatchingEngine:
                  pages_per_seq: int = 16, total_pages: Optional[int] = None,
                  dtype=jnp.float32, collect_logits: bool = False,
                  steps_per_dispatch: int = 8, mesh=None,
-                 head_axis: str = "model"):
+                 head_axis: str = "model", seed: int = 0):
         self.model = model.eval()
         self.mesh = mesh
         if mesh is not None:
@@ -122,6 +142,7 @@ class ContinuousBatchingEngine:
         self.page_table = np.full((max_batch, pages_per_seq),
                                   self._trash_page, np.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_batch
+        self._key = jax.random.PRNGKey(seed)
         self.queue: List[Request] = []
         self.finished: List[Request] = []
         self._uid = 0
@@ -130,11 +151,11 @@ class ContinuousBatchingEngine:
         self.steps_per_dispatch = steps_per_dispatch
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def _step(model, pools, tokens, table, lengths):
+        def _step(model, pools, tokens, table, lengths, temps, topks, key):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
-            return pools, jnp.argmax(logits[:, 0], axis=-1), out
+            return pools, _sample_tokens(logits[:, 0], temps, topks, key), out
 
         self._jit_step = _step
 
@@ -144,16 +165,19 @@ class ContinuousBatchingEngine:
         # dispatch costs a round trip (~25ms through remote relays).
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("n_steps",))
-        def _step_many(model, pools, tokens, table, lengths, n_steps):
-            def body(carry, _):
+        def _step_many(model, pools, tokens, table, lengths, temps, topks,
+                       key, n_steps):
+            keys = jax.random.split(key, n_steps)
+
+            def body(carry, k):
                 pools, tokens, lengths = carry
                 logits, pools = model.forward_decode_paged(
                     tokens[:, None], pools, table, lengths)
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                nxt = _sample_tokens(logits[:, 0], temps, topks, k)
                 return (pools, nxt, lengths + 1), nxt
 
             (pools, _, _), sampled = jax.lax.scan(
-                body, (pools, tokens, lengths), None, length=n_steps)
+                body, (pools, tokens, lengths), keys)
             return pools, sampled                      # sampled: (K, B)
 
         self._jit_step_many = _step_many
@@ -162,13 +186,14 @@ class ContinuousBatchingEngine:
         # vs the reference's per-token full-model re-runs
         # (run_machine_translation.py:300-323).
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def _prefill_step(model, pools, tokens, table, lens):
+        def _prefill_step(model, pools, tokens, table, lens, temps, topks,
+                          key):
             logits, pools = model.forward_prefill_paged(tokens, pools, table,
                                                         lens)
             last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
             chosen = jnp.take_along_axis(
                 logits, last[:, None, None], axis=1)[:, 0]      # (B, V)
-            sampled = jnp.argmax(chosen, -1).astype(jnp.int32)
+            sampled = _sample_tokens(chosen, temps, topks, key)
             return pools, sampled, (logits if collect_logits else None)
 
         self._jit_prefill = _prefill_step
@@ -181,7 +206,8 @@ class ContinuousBatchingEngine:
         return self.pages_per_seq * self.page_size
 
     def submit(self, prompt: List[int], max_new_tokens: int,
-               eos_id: Optional[int] = None) -> Request:
+               eos_id: Optional[int] = None, temperature: float = 0.0,
+               top_k: Optional[int] = None) -> Request:
         if not prompt:
             raise ValueError("prompt must be non-empty")
         if len(prompt) >= self.capacity:
@@ -193,7 +219,8 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"prompt needs {need} pages but the pool only has "
                 f"{self.pool.total}; request can never be admitted")
-        req = Request(list(prompt), max_new_tokens, eos_id, uid=self._uid)
+        req = Request(list(prompt), max_new_tokens, eos_id,
+                      temperature=temperature, top_k=top_k, uid=self._uid)
         self._uid += 1
         self.queue.append(req)
         return req
@@ -204,6 +231,20 @@ class ContinuousBatchingEngine:
             if not self.step():
                 break
         return self.finished
+
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _sampling_arrays(self):
+        temps = np.zeros((self.max_batch,), np.float32)
+        topks = np.zeros((self.max_batch,), np.int32)
+        for i, slot in enumerate(self.slots):
+            if slot is not None:
+                temps[i] = slot.request.temperature
+                topks[i] = slot.request.top_k or 0
+        return jnp.asarray(temps), jnp.asarray(topks)
 
     # -- scheduler ------------------------------------------------------------
 
@@ -244,9 +285,10 @@ class ContinuousBatchingEngine:
             lens[i] = len(p)
             table[i] = self.page_table[i]
 
+        temps, topks = self._sampling_arrays()
         self.pools, sampled, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
-            jnp.asarray(lens))
+            jnp.asarray(lens), temps, topks, self._next_key())
         sampled = np.asarray(sampled)
         if self.collect_logits:
             logits = np.asarray(logits)
@@ -307,10 +349,11 @@ class ContinuousBatchingEngine:
         return max(1, 1 << (max(k, 1).bit_length() - 1))
 
     def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
+        temps, topks = self._sampling_arrays()
         self.pools, sampled = self._jit_step_many(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            n_steps=n_steps)
+            temps, topks, self._next_key(), n_steps=n_steps)
         sampled = np.asarray(sampled)                  # (K, B)
         for i in active:
             slot = self.slots[i]
@@ -362,9 +405,11 @@ class ContinuousBatchingEngine:
             self._run_chunk(active, tokens, lengths, n_steps)
             return True
 
+        temps, topks = self._sampling_arrays()
         self.pools, sampled, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),
-            jnp.asarray(self.page_table), jnp.asarray(lengths))
+            jnp.asarray(self.page_table), jnp.asarray(lengths),
+            temps, topks, self._next_key())
         sampled = np.asarray(sampled)
         if self.collect_logits:
             step_logits = np.asarray(step_logits)

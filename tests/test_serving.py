@@ -238,3 +238,31 @@ def test_adamw_with_schedule():
     s = opt.init(m)
     m, s = opt.step(m, {"w": jnp.ones((3,))}, s)
     assert bool(jnp.all(jnp.isfinite(m["w"])))
+
+
+def test_sampling_temperature_and_topk(model):
+    """temperature=0 stays greedy; temperature>0 is seed-deterministic and
+    top_k restricts candidates to the per-step top-k set."""
+    prompt = [3, 9, 27]
+
+    def run(seed, **kw):
+        eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                       pages_per_seq=4, seed=seed,
+                                       collect_logits=True)
+        r = eng.submit(prompt, 10, **kw)
+        eng.run()
+        return r
+
+    g1, g2 = run(0), run(1)
+    assert g1.generated == g2.generated  # greedy ignores the seed
+
+    s1, s2 = run(0, temperature=1.5), run(0, temperature=1.5)
+    assert s1.generated == s2.generated  # same seed -> deterministic
+    s3 = run(7, temperature=1.5)
+    assert s3.generated != s1.generated  # different seed diverges (w.h.p.)
+
+    k = 3
+    r = run(0, temperature=1.5, top_k=k)
+    for logits_row, tok in zip(r.logits[len(prompt) - 1:], r.generated):
+        topk = np.argsort(logits_row)[::-1][:k]
+        assert tok in topk, (tok, topk)
