@@ -140,3 +140,44 @@ class FusedLayerNorm(Module):
         from ..ops.layernorm import layernorm
 
         return layernorm(x, self.gamma, self.beta, eps=self.eps)
+
+
+class QuantizedLinear(Module):
+    """Weight-only quantised Linear (int8 or fp8-e4m3 payload + per-output-
+    channel f32 scales): y = x @ dequant(W) + b with the dequant fused into
+    the MXU K-loop (ops/quant.py) — W never exists at full precision in HBM.
+
+    BASELINE configs[1] ("INT8 weight-only dequant fused into the
+    attention/projection matmuls") made concrete; the reference only declares
+    this surface (kernels.h:30,101-175).  Built from a trained Linear via
+    :func:`quantize_linear` / ``parallel-free`` model transform
+    :func:`flashattn_tpu.ops.quant.quantize_model_weights`.
+    """
+
+    def __init__(self, values, scales, bias, in_size: int, out_size: int):
+        self.in_size = in_size
+        self.out_size = out_size
+        self.values = values          # (in, out) int8 / fp8
+        self.scales = scales          # (1, out) f32
+        self.bias = bias
+
+    def forward(self, x):
+        from ..ops.quant import QuantizedTensor, int8_weight_only_matmul
+
+        w = QuantizedTensor(self.values, self.scales)
+        x2 = x.reshape(-1, x.shape[-1])
+        out = int8_weight_only_matmul(x2, w)
+        out = out.reshape(x.shape[:-1] + (self.out_size,))
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+
+def quantize_linear(lin: Linear, dtype=jnp.int8) -> QuantizedLinear:
+    """Quantise a trained Linear's weights per output channel."""
+    from ..ops.quant import quantize_fp8, quantize_int8
+
+    q = (quantize_int8 if dtype == jnp.int8 else quantize_fp8)(
+        lin.weights, axis=0)
+    return QuantizedLinear(q.values, q.scales, lin.bias,
+                           lin.in_size, lin.out_size)

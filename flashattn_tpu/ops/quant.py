@@ -345,3 +345,26 @@ def flash_attention_kv_int8(
 def quantize_kv(k: Array, v: Array) -> tuple[QuantizedTensor, QuantizedTensor]:
     """Per-token int8 quantisation of a KV-cache: (B,H,N,D) -> payload+scales."""
     return quantize_int8(k, axis=-1), quantize_int8(v, axis=-1)
+
+
+def quantize_model_weights(model, dtype=jnp.int8, min_params: int = 0):
+    """Replace every Linear in a Module tree with a weight-only quantised
+    QuantizedLinear (serving-time transform; int8 halves / fp8 halves weight
+    HBM vs bf16, 4x vs f32).  ``min_params`` skips small layers."""
+    from ..module import Module
+    from ..nn.basic import Linear, quantize_linear
+
+    def go(v):
+        if isinstance(v, Linear) and v.weights.size >= min_params:
+            return quantize_linear(v, dtype)
+        if isinstance(v, Module):
+            return v.replace(**{k: go(x) for k, x in v.__dict__.items()})
+        if isinstance(v, list):
+            return [go(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(go(x) for x in v)
+        if isinstance(v, dict):
+            return {k: go(x) for k, x in v.items()}
+        return v
+
+    return go(model)

@@ -131,3 +131,56 @@ def test_quantize_int8_stochastic_unaligned_rows():
     xq = quantize_int8_stochastic(x, seed=3)
     err = jnp.max(jnp.abs(xq.dequantize() - x))
     assert float(err) < 0.1
+
+
+class TestWeightOnlyModel:
+    """quantize_model_weights: serving-time Linear -> QuantizedLinear."""
+
+    def _model(self):
+        import flashattn_tpu as ft
+
+        return ft.DecoderLM(64, 32, 4, 128, p_dropout=0.0, n_layer=2,
+                            attn_impl="reference",
+                            key=jax.random.PRNGKey(0)).eval()
+
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn])
+    def test_forward_close_to_fp(self, dtype):
+        from flashattn_tpu.ops.quant import quantize_model_weights
+
+        model = self._model()
+        qmodel = quantize_model_weights(model, dtype)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 64)
+        full = np.asarray(model(toks))
+        quant = np.asarray(qmodel(toks))
+        rel = np.max(np.abs(quant - full)) / np.max(np.abs(full))
+        assert rel < 0.05, rel
+        # argmax agreement stays high
+        agree = np.mean(np.argmax(quant, -1) == np.argmax(full, -1))
+        assert agree > 0.85
+
+    def test_weights_are_quantized(self):
+        from flashattn_tpu.nn.basic import QuantizedLinear
+        from flashattn_tpu.ops.quant import quantize_model_weights
+
+        qmodel = quantize_model_weights(self._model(), jnp.int8)
+        lin = qmodel.layers[0].attention.q_projection
+        assert isinstance(lin, QuantizedLinear)
+        assert lin.values.dtype == jnp.int8
+        assert qmodel.lm_head.values.dtype == jnp.int8
+
+    def test_quantized_model_serves(self):
+        from flashattn_tpu.ops.quant import quantize_model_weights
+        from flashattn_tpu.serving import ContinuousBatchingEngine
+
+        model = self._model()
+        qmodel = quantize_model_weights(model, jnp.int8)
+        rng = np.random.default_rng(2)
+        t = list(rng.integers(1, 60, size=10))
+        eng = ContinuousBatchingEngine(qmodel, max_batch=2, page_size=8,
+                                       pages_per_seq=4, collect_logits=True)
+        r = eng.submit(t, 3)
+        eng.run()
+        want = np.asarray(model(jnp.asarray([t], jnp.int32))[0])
+        got = np.stack(r.logits)[:len(t)]
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert rel < 0.05, rel
