@@ -36,6 +36,7 @@ from ..ops.flash_attention import (
     flash_attention,
     flash_attention_reference,
     flash_attention_varlen,
+    repeat_kv,
 )
 from ..ops.paged_attention import paged_attention
 from ..ops.softmax import attn_softmax
@@ -128,10 +129,7 @@ class MultiHeadAttention(Module):
             else:
                 out = flash_attention(q, k, v, self.causal)
         elif self.attn_impl == "fused_softmax":
-            if k.shape[1] != q.shape[1]:
-                rep = q.shape[1] // k.shape[1]
-                k = jnp.repeat(k, rep, axis=1)
-                v = jnp.repeat(v, rep, axis=1)
+            k, v = repeat_kv(k, v, q.shape[1])
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
             w = attn_softmax(s, None, self.causal)
             out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
@@ -166,11 +164,7 @@ class MultiHeadAttention(Module):
         cache_v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
                                                (0, 0, index, 0))
         max_len = cache_k.shape[2]
-        ck, cv = cache_k, cache_v
-        if ck.shape[1] != q.shape[1]:
-            rep = q.shape[1] // ck.shape[1]
-            ck = jnp.repeat(ck, rep, axis=1)
-            cv = jnp.repeat(cv, rep, axis=1)
+        ck, cv = repeat_kv(cache_k, cache_v, q.shape[1])
         s = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / math.sqrt(self.attn_hidden_dim)
         valid = jnp.arange(max_len)[None, None, None, :] <= index
         s = jnp.where(valid, s, jnp.finfo(s.dtype).min / 2)

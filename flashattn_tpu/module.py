@@ -228,23 +228,31 @@ def _modules_of(v: Any) -> List[Module]:
     return []
 
 
-def _set_mode(m: Module, training: bool) -> Module:
-    def go(v: Any) -> Any:
-        if isinstance(v, Module):
-            return _set_mode(v, training)
-        if isinstance(v, list):
-            return [go(x) for x in v]
-        if isinstance(v, tuple):
-            return tuple(go(x) for x in v)
-        if isinstance(v, dict):
-            return {k: go(x) for k, x in v.items()}
-        return v
+def map_module_tree(v: Any, fn) -> Any:
+    """Rebuild a Module/container tree, applying ``fn`` to every Module
+    post-order (children already transformed).  ``fn`` may return the module
+    unchanged or a replacement of any type.  The single tree-walk shared by
+    ``train``/``eval``, :func:`flashattn_tpu.parallel.sharding.apply_mesh`
+    and :func:`flashattn_tpu.ops.quant.quantize_model_weights`."""
+    if isinstance(v, Module):
+        updates = {k: map_module_tree(x, fn) for k, x in v.__dict__.items()
+                   if k != "_dyn_keys"}
+        return fn(v.replace(**updates))
+    if isinstance(v, list):
+        return [map_module_tree(x, fn) for x in v]
+    if isinstance(v, tuple):
+        return tuple(map_module_tree(x, fn) for x in v)
+    if isinstance(v, dict):
+        return {k: map_module_tree(x, fn) for k, x in v.items()}
+    return v
 
-    obj = object.__new__(type(m))
-    for k, v in m.__dict__.items():
-        object.__setattr__(obj, k, go(v))
-    object.__setattr__(obj, "_training", training)
-    return obj
+
+def _set_mode(m: Module, training: bool) -> Module:
+    def set_flag(mod: Module) -> Module:
+        object.__setattr__(mod, "_training", training)
+        return mod
+
+    return map_module_tree(m, set_flag)
 
 
 # ---------------------------------------------------------------------------

@@ -550,6 +550,32 @@ def flash_attention(
     return o
 
 
+def repeat_kv(k: Array, v: Array, n_q_heads: int):
+    """Broadcast GQA/MQA kv heads up to ``n_q_heads`` query heads.
+
+    THE head-order convention: query head ``h`` reads kv head ``h // group``
+    with ``group = n_q_heads // n_kv_heads`` — the same folding the Pallas
+    kernels apply in their kv index maps and the backward applies in its
+    dK/dV group-sum.  Every op-graph path must broadcast through this helper
+    so the convention is pinned in one place.
+    """
+    group = n_q_heads // k.shape[1]
+    if group == 1:
+        return k, v
+    return jnp.repeat(k, group, axis=1), jnp.repeat(v, group, axis=1)
+
+
+def _check_heads(q, k, v):
+    h, h_kv = q.shape[1], k.shape[1]
+    if v.shape[1] != h_kv:
+        raise ValueError(
+            f"k has {h_kv} heads but v has {v.shape[1]}; they must match")
+    if h_kv == 0 or h % h_kv != 0:
+        raise ValueError(
+            f"q heads ({h}) must be a positive multiple of kv heads "
+            f"({h_kv}) for GQA/MQA grouping")
+
+
 def _use_kernel(q, k, block_q, block_k, impl):
     if impl == "reference":
         return None
@@ -563,6 +589,7 @@ def _use_kernel(q, k, block_q, block_k, impl):
 
 def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
                      impl="auto"):
+    _check_heads(q, k, v)
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     blocks = _use_kernel(q, k, block_q, block_k, impl)
@@ -574,11 +601,7 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
 
 
 def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None):
-    # GQA/MQA: broadcast kv heads up to the q heads
-    if k.shape[1] != q.shape[1]:
-        group = q.shape[1] // k.shape[1]
-        k = jnp.repeat(k, group, axis=1)
-        v = jnp.repeat(v, group, axis=1)
+    k, v = repeat_kv(k, v, q.shape[1])  # GQA/MQA broadcast
     # preferred_element_type keeps bf16 scores in f32 end-to-end — without it
     # the einsum rounds s to bf16 and the ORACLE is less accurate than the
     # kernel (seen as ~4e-2 "kernel error" at seq 2048 bf16).
@@ -635,6 +658,7 @@ def flash_attention_reference(q, k, v, causal: bool = False,
                               kv_lengths: Optional[Array] = None) -> Array:
     """Pure-jnp oracle playing the role torch plays in the reference tests
     (tests/test_flash_attention.py:44-77)."""
+    _check_heads(q, k, v)
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths)[0]
@@ -668,6 +692,7 @@ def flash_attention_varlen(
 
 def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
                 impl):
+    _check_heads(q, k, v)
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     blocks = _use_kernel(q, k, block_q, block_k, impl)

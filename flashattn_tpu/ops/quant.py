@@ -351,20 +351,12 @@ def quantize_model_weights(model, dtype=jnp.int8, min_params: int = 0):
     """Replace every Linear in a Module tree with a weight-only quantised
     QuantizedLinear (serving-time transform; int8 halves / fp8 halves weight
     HBM vs bf16, 4x vs f32).  ``min_params`` skips small layers."""
-    from ..module import Module
+    from ..module import map_module_tree
     from ..nn.basic import Linear, quantize_linear
 
-    def go(v):
-        if isinstance(v, Linear) and v.weights.size >= min_params:
-            return quantize_linear(v, dtype)
-        if isinstance(v, Module):
-            return v.replace(**{k: go(x) for k, x in v.__dict__.items()})
-        if isinstance(v, list):
-            return [go(x) for x in v]
-        if isinstance(v, tuple):
-            return tuple(go(x) for x in v)
-        if isinstance(v, dict):
-            return {k: go(x) for k, x in v.items()}
-        return v
+    def maybe_quantize(m):
+        if isinstance(m, Linear) and m.weights.size >= min_params:
+            return quantize_linear(m, dtype)
+        return m
 
-    return go(model)
+    return map_module_tree(model, maybe_quantize)

@@ -30,6 +30,10 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 Array = jax.Array
 
 # (suffix pattern, spec builder) checked in order; first match wins.
+# QuantizedLinear (weight-only int8/fp8) stores ``.values`` (in, out) and
+# ``.scales`` (1, out): values shard exactly like ``.weights``; per-output-
+# channel scales follow the out axis (replicated for row-parallel layers
+# whose out axis is unsharded).
 _TP_RULES = [
     ("q_projection.weights", lambda m: P(None, m)),
     ("k_projection.weights", lambda m: P(None, m)),
@@ -47,6 +51,20 @@ _TP_RULES = [
     ("lm_head.bias", lambda m: P(m)),
     ("token_embeddings.weights", lambda m: P(None, m)),
     ("position_embeddings.weights", lambda m: P(None, m)),
+    ("q_projection.values", lambda m: P(None, m)),
+    ("k_projection.values", lambda m: P(None, m)),
+    ("v_projection.values", lambda m: P(None, m)),
+    ("q_projection.scales", lambda m: P(None, m)),
+    ("k_projection.scales", lambda m: P(None, m)),
+    ("v_projection.scales", lambda m: P(None, m)),
+    ("out_projection.values", lambda m: P(m, None)),
+    ("out_projection.scales", lambda m: P()),
+    ("linear_in.values", lambda m: P(None, m)),
+    ("linear_in.scales", lambda m: P(None, m)),
+    ("linear_out.values", lambda m: P(m, None)),
+    ("linear_out.scales", lambda m: P()),
+    ("lm_head.values", lambda m: P(None, m)),
+    ("lm_head.scales", lambda m: P(None, m)),
 ]
 
 
@@ -93,22 +111,28 @@ def apply_mesh(model: Module, mesh: Optional[Mesh],
                batch_axis: Optional[str] = DATA_AXIS,
                head_axis: Optional[str] = MODEL_AXIS) -> Module:
     """Wire the mesh into every MultiHeadAttention so the Pallas kernel runs
-    under shard_map (GSPMD cannot partition pallas_call directly)."""
+    under shard_map (GSPMD cannot partition pallas_call directly).
 
-    def go(v: Any) -> Any:
-        if isinstance(v, MultiHeadAttention):
-            v = v.replace(mesh=mesh, mesh_batch_axis=batch_axis,
-                          mesh_head_axis=head_axis)
-            return v
-        if isinstance(v, Module):
-            updates = {k: go(x) for k, x in v.__dict__.items()}
-            return v.replace(**updates)
-        if isinstance(v, list):
-            return [go(x) for x in v]
-        if isinstance(v, tuple):
-            return tuple(go(x) for x in v)
-        if isinstance(v, dict):
-            return {k: go(x) for k, x in v.items()}
-        return v
+    Validates GQA head counts against the mesh up front: both ``n_head`` and
+    ``n_kv_head`` must be divisible by the ``head_axis`` size, or the failure
+    would otherwise surface as an opaque sharding-divisibility error deep in
+    shard_map / device_put (e.g. an MQA model whose single KV head cannot be
+    split over a TP axis)."""
 
-    return go(model)
+    def wire(m: Any) -> Any:
+        if isinstance(m, MultiHeadAttention):
+            if mesh is not None and head_axis in mesh.axis_names:
+                tp = mesh.shape[head_axis]
+                if m.n_head % tp or m.n_kv_head % tp:
+                    raise ValueError(
+                        f"MultiHeadAttention(n_head={m.n_head}, "
+                        f"n_kv_head={m.n_kv_head}) cannot be sharded over "
+                        f"mesh axis {head_axis!r} of size {tp}: both head "
+                        f"counts must be divisible by the axis size")
+            return m.replace(mesh=mesh, mesh_batch_axis=batch_axis,
+                             mesh_head_axis=head_axis)
+        return m
+
+    from ..module import map_module_tree
+
+    return map_module_tree(model, wire)

@@ -35,13 +35,18 @@ import numpy as np
 Array = jax.Array
 
 
-def _sample_tokens(logits, temps, topks, key):
+def _sample_tokens(logits, temps, topks, key, *, greedy_only: bool = False):
     """Per-row sampling: temperature 0 -> greedy; top_k 0 -> unrestricted.
 
     logits (B, V); temps (B,) f32; topks (B,) int32.  Full-sort top-k keeps
     per-row k dynamic (fine at LM-head scales; the sort is once per dispatch).
+    ``greedy_only`` (static) skips the sort+categorical entirely — the host
+    scheduler passes it when every active request has temperature 0, so the
+    common greedy workload never pays the V·log V sort in the decode loop.
     """
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    if greedy_only:
+        return greedy
     v = logits.shape[-1]
     sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
     k_idx = jnp.clip(jnp.where(topks > 0, topks, v) - 1, 0, v - 1)
@@ -150,12 +155,15 @@ class ContinuousBatchingEngine:
         self.collect_logits = collect_logits
         self.steps_per_dispatch = steps_per_dispatch
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _step(model, pools, tokens, table, lengths, temps, topks, key):
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("greedy",))
+        def _step(model, pools, tokens, table, lengths, temps, topks, key,
+                  greedy):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
-            return pools, _sample_tokens(logits[:, 0], temps, topks, key), out
+            return pools, _sample_tokens(logits[:, 0], temps, topks, key,
+                                         greedy_only=greedy), out
 
         self._jit_step = _step
 
@@ -164,16 +172,17 @@ class ContinuousBatchingEngine:
         # scan K greedy steps device-side in ONE dispatch — each host
         # dispatch costs a round trip (~25ms through remote relays).
         @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("n_steps",))
+                           static_argnames=("n_steps", "greedy"))
         def _step_many(model, pools, tokens, table, lengths, temps, topks,
-                       key, n_steps):
+                       key, n_steps, greedy):
             keys = jax.random.split(key, n_steps)
 
             def body(carry, k):
                 pools, tokens, lengths = carry
                 logits, pools = model.forward_decode_paged(
                     tokens[:, None], pools, table, lengths)
-                nxt = _sample_tokens(logits[:, 0], temps, topks, k)
+                nxt = _sample_tokens(logits[:, 0], temps, topks, k,
+                                     greedy_only=greedy)
                 return (pools, nxt, lengths + 1), nxt
 
             (pools, _, _), sampled = jax.lax.scan(
@@ -185,15 +194,17 @@ class ContinuousBatchingEngine:
         # Batched prefill: one dispatch consumes whole (padded) prompts —
         # vs the reference's per-token full-model re-runs
         # (run_machine_translation.py:300-323).
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("greedy",))
         def _prefill_step(model, pools, tokens, table, lens, temps, topks,
-                          key):
+                          key, greedy):
             logits, pools = model.forward_prefill_paged(tokens, pools, table,
                                                         lens)
             last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
             chosen = jnp.take_along_axis(
                 logits, last[:, None, None], axis=1)[:, 0]      # (B, V)
-            sampled = _sample_tokens(chosen, temps, topks, key)
+            sampled = _sample_tokens(chosen, temps, topks, key,
+                                     greedy_only=greedy)
             return pools, sampled, (logits if collect_logits else None)
 
         self._jit_prefill = _prefill_step
@@ -238,13 +249,15 @@ class ContinuousBatchingEngine:
         return sub
 
     def _sampling_arrays(self):
+        """(temps, topks, all_greedy): all_greedy is a host-side static flag
+        that lets the jitted steps skip sampling entirely."""
         temps = np.zeros((self.max_batch,), np.float32)
         topks = np.zeros((self.max_batch,), np.int32)
         for i, slot in enumerate(self.slots):
             if slot is not None:
                 temps[i] = slot.request.temperature
                 topks[i] = slot.request.top_k or 0
-        return jnp.asarray(temps), jnp.asarray(topks)
+        return jnp.asarray(temps), jnp.asarray(topks), not temps.any()
 
     # -- scheduler ------------------------------------------------------------
 
@@ -285,10 +298,10 @@ class ContinuousBatchingEngine:
             lens[i] = len(p)
             table[i] = self.page_table[i]
 
-        temps, topks = self._sampling_arrays()
+        temps, topks, greedy = self._sampling_arrays()
         self.pools, sampled, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
-            jnp.asarray(lens), temps, topks, self._next_key())
+            jnp.asarray(lens), temps, topks, self._next_key(), greedy=greedy)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             logits = np.asarray(logits)
@@ -305,20 +318,23 @@ class ContinuousBatchingEngine:
             tok = int(sampled[i])
             req.generated.append(tok)
             slot.next_input = tok
-            # next decode write position is n; page already allocated iff
-            # n < pages * page (submit() guarantees n < capacity)
-            if n % self.page_size == 0 and n // self.page_size >= len(slot.pages):
-                if self.pool.n_free == 0:
-                    req.truncated = True
-                    self._retire(i)
-                    continue
-                page = self.pool.alloc()
-                slot.pages.append(page)
-                self.page_table[i, len(slot.pages) - 1] = page
+            # Same epilogue order as decode: normal retirement first, then
+            # just-in-time allocation of the next page (write position n;
+            # page already allocated iff n < pages * page_size — submit()
+            # guarantees n < capacity).
             hit_eos = req.eos_id is not None and tok == req.eos_id
             if (len(req.generated) >= req.max_new_tokens or hit_eos
                     or slot.length >= self.capacity):
                 self._retire(i)
+            elif (n % self.page_size == 0
+                  and n // self.page_size >= len(slot.pages)):
+                if self.pool.n_free == 0:
+                    req.truncated = True
+                    self._retire(i)
+                else:
+                    page = self.pool.alloc()
+                    slot.pages.append(page)
+                    self.page_table[i, len(slot.pages) - 1] = page
 
     def _retire(self, i: int) -> None:
         slot = self.slots[i]
@@ -349,11 +365,11 @@ class ContinuousBatchingEngine:
         return max(1, 1 << (max(k, 1).bit_length() - 1))
 
     def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
-        temps, topks = self._sampling_arrays()
+        temps, topks, greedy = self._sampling_arrays()
         self.pools, sampled = self._jit_step_many(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, self._next_key(), n_steps=n_steps)
+            temps, topks, self._next_key(), n_steps=n_steps, greedy=greedy)
         sampled = np.asarray(sampled)                  # (K, B)
         for i in active:
             slot = self.slots[i]
@@ -405,11 +421,11 @@ class ContinuousBatchingEngine:
             self._run_chunk(active, tokens, lengths, n_steps)
             return True
 
-        temps, topks = self._sampling_arrays()
+        temps, topks, greedy = self._sampling_arrays()
         self.pools, sampled, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, self._next_key())
+            temps, topks, self._next_key(), greedy=greedy)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             step_logits = np.asarray(step_logits)
@@ -420,25 +436,24 @@ class ContinuousBatchingEngine:
             slot = self.slots[i]
             req = slot.request
             slot.length += 1
-            # allocate the next page just-in-time; on pool
-            # exhaustion truncate THIS sequence (state stays consistent)
-            if (slot.length % self.page_size == 0
-                    and slot.length // self.page_size < self.pages_per_seq
-                    and not (req.done)):
-                if self.pool.n_free == 0:
-                    req.truncated = True
-                    self._retire(i)
-                    continue
-                page = self.pool.alloc()
-                slot.pages.append(page)
-                self.page_table[i, len(slot.pages) - 1] = page
-
             tok = int(sampled[i])
             req.generated.append(tok)
             slot.next_input = tok
+            # Same epilogue order as _run_chunk: the sampled token is always
+            # kept, normal retirement (count/EOS/capacity) is checked BEFORE
+            # just-in-time page allocation, and only a request that actually
+            # needs another page can be truncated by pool exhaustion.
             hit_eos = req.eos_id is not None and tok == req.eos_id
-            out_of_room = slot.length >= self.capacity
             if (len(req.generated) >= req.max_new_tokens or hit_eos
-                    or out_of_room):
+                    or slot.length >= self.capacity):
                 self._retire(i)
+            elif (slot.length % self.page_size == 0
+                  and slot.length // self.page_size < self.pages_per_seq):
+                if self.pool.n_free == 0:
+                    req.truncated = True
+                    self._retire(i)
+                else:
+                    page = self.pool.alloc()
+                    slot.pages.append(page)
+                    self.page_table[i, len(slot.pages) - 1] = page
         return True

@@ -1,0 +1,63 @@
+"""Continuous-batching engine throughput on the real chip.
+
+Reproduces the PERF.md serving table: 16 requests x 64 new tokens through a
+2-layer 512-embd model (D=128 heads -> the pipelined paged decode path),
+64-token prompts, measured wall-clock through the ~25ms/dispatch relay.
+
+Modes compared:
+  * greedy   (temperature 0)   -- the static all_greedy flag skips sampling
+  * sampled  (temperature 0.8) -- full top-k sort + categorical per step
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python kernel_bench/bench_serving.py
+"""
+
+import time
+
+import jax
+import numpy as np
+
+import flashattn_tpu as ft
+from flashattn_tpu.serving import ContinuousBatchingEngine
+
+N_REQ = 16
+NEW_TOKENS = 64
+PROMPT_LEN = 64
+
+
+def run(model, *, steps_per_dispatch, temperature=0.0, label=""):
+    rng = np.random.default_rng(0)
+    eng = ContinuousBatchingEngine(
+        model, max_batch=N_REQ, page_size=128, pages_per_seq=8,
+        steps_per_dispatch=steps_per_dispatch)
+    prompts = [list(rng.integers(1, 999, size=PROMPT_LEN))
+               for _ in range(N_REQ)]
+    # warmup: jit-compile prefill + every decode-chunk variant on a
+    # throwaway request of the same length
+    eng.submit(prompts[0], NEW_TOKENS, temperature=temperature)
+    eng.run()
+    eng.finished.clear()
+
+    reqs = [eng.submit(p, NEW_TOKENS, temperature=temperature)
+            for p in prompts]
+    t0 = time.perf_counter()
+    eng.run()
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.generated) for r in reqs)
+    total = toks + N_REQ * PROMPT_LEN
+    print(f"{label:34s} {toks / dt:8.0f} new tok/s   "
+          f"({total / dt:8.0f} incl. prompts, {dt * 1e3:7.0f} ms)")
+    return toks / dt
+
+
+def main():
+    model = ft.DecoderLM(1000, 512, 4, 4096, p_dropout=0.0, n_layer=2,
+                         attn_impl="reference",
+                         key=jax.random.PRNGKey(0)).eval()
+    run(model, steps_per_dispatch=1, label="greedy, 1 step/dispatch")
+    run(model, steps_per_dispatch=8, label="greedy, 8 steps/dispatch")
+    run(model, steps_per_dispatch=8, temperature=0.8,
+        label="sampled t=0.8 topk=0, 8 steps")
+
+
+if __name__ == "__main__":
+    main()

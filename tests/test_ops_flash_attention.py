@@ -190,17 +190,24 @@ class TestGQA:
     @pytest.mark.parametrize("causal", [False, True])
     @pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 1)])
     def test_forward(self, causal, hq, hkv):
+        # module-level partial pins impl="pallas": at seq 128 "auto" would
+        # dispatch to the jnp path and compare the oracle against itself,
+        # never running the kernel's GQA index-map folding.
         q, k, v = self._args(hq, hkv)
         got = flash_attention(q, k, v, causal)
         want = flash_attention_reference(q, k, v, causal)
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
-    def test_backward(self):
+    @pytest.mark.parametrize("impl", ["auto", "pallas"])
+    def test_backward(self, impl):
+        # "pallas" forces the kernel path (incl. the dK/dV group-sum);
+        # "auto" covers the jnp-fallback vjp at this sub-threshold seq.
         q, k, v = self._args(seed=1)
         dy = jax.random.normal(jax.random.PRNGKey(9), q.shape)
 
         g = jax.grad(lambda q, k, v: jnp.sum(
-            flash_attention(q, k, v, True) * dy), argnums=(0, 1, 2))(q, k, v)
+            _flash_attention(q, k, v, True, impl=impl) * dy),
+            argnums=(0, 1, 2))(q, k, v)
         gr = jax.grad(lambda q, k, v: jnp.sum(
             flash_attention_reference(q, k, v, True) * dy),
             argnums=(0, 1, 2))(q, k, v)
@@ -209,6 +216,15 @@ class TestGQA:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-3,
                                        err_msg=f"d{nm}")
+
+    def test_bad_head_counts_raise(self):
+        q, k, v = self._args(hq=6, hkv=4)
+        with pytest.raises(ValueError, match="multiple of kv heads"):
+            flash_attention(q, k, v)
+        with pytest.raises(ValueError, match="multiple of kv heads"):
+            flash_attention_reference(q, k, v)
+        with pytest.raises(ValueError, match="must match"):
+            flash_attention(q, k[:, :2], v)
 
     def test_varlen_gqa(self):
         from flashattn_tpu.ops.flash_attention import flash_attention_varlen

@@ -107,6 +107,42 @@ def test_tp_rules():
     assert tp_spec_for("lm_head.weights") == P(None, "model")
 
 
+def test_tp_rules_quantized():
+    # QuantizedLinear (.values/.scales) must shard like .weights — a
+    # quantized serving model silently losing TP was a review finding.
+    assert tp_spec_for("layers.0.attention.q_projection.values") == P(None, "model")
+    assert tp_spec_for("layers.0.attention.q_projection.scales") == P(None, "model")
+    assert tp_spec_for("layers.0.attention.out_projection.values") == P("model", None)
+    assert tp_spec_for("layers.0.attention.out_projection.scales") == P()
+    assert tp_spec_for("layers.0.ff.linear_in.values") == P(None, "model")
+    assert tp_spec_for("lm_head.values") == P(None, "model")
+
+
+def test_shard_quantized_model_places_params():
+    from flashattn_tpu.ops.quant import quantize_model_weights
+
+    mesh = create_mesh((2, 4), ("data", "model"))
+    model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                         attn_impl="flash", key=jax.random.PRNGKey(0))
+    qmodel = quantize_model_weights(model)
+    sharded = shard_model(qmodel, mesh)
+    qp = sharded.layers[0].attention.q_projection
+    assert qp.values.sharding.spec == P(None, "model")
+    assert qp.scales.sharding.spec == P(None, "model")
+    assert sharded.lm_head.values.sharding.spec == P(None, "model")
+
+
+def test_apply_mesh_rejects_unshardable_kv_heads():
+    # MQA (1 kv head) cannot split over a 4-way model axis: fail fast with a
+    # clear message instead of a sharding-divisibility error deep in jax.
+    mesh = create_mesh((2, 4), ("data", "model"))
+    model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                         n_kv_head=1, attn_impl="flash",
+                         key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="n_kv_head=1"):
+        apply_mesh(model, mesh)
+
+
 def test_shard_model_places_params():
     mesh = create_mesh((2, 4), ("data", "model"))
     model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,

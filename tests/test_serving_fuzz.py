@@ -25,6 +25,73 @@ def _dense_logits(model, tokens):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_fuzz_chunked(model, seed):
+    """Fuzz the multi-step (chunked) decode path: collect_logits=False so
+    _decode_chunk_len actually returns >1 and the lax.scan step runs.  Greedy
+    decoding is key-independent, so a chunked engine must emit exactly the
+    same tokens as a per-token (steps_per_dispatch=1) engine over the same
+    requests — any divergence is a chunk-scheduling bug (lengths carry,
+    page-boundary splits, EOS-inside-chunk discards)."""
+    rng = np.random.default_rng(100 + seed)
+    page_size = int(rng.choice([4, 8, 16]))
+    pages_per_seq = int(rng.integers(2, 5))
+    max_batch = int(rng.integers(1, 4))
+    capacity = page_size * pages_per_seq
+    total_pages = int(rng.integers(max(2, max_batch),
+                                   max_batch * pages_per_seq + 1))
+    chunk = int(rng.choice([4, 8]))
+
+    def build(steps_per_dispatch):
+        return ContinuousBatchingEngine(
+            model, max_batch=max_batch, page_size=page_size,
+            pages_per_seq=pages_per_seq, total_pages=total_pages,
+            steps_per_dispatch=steps_per_dispatch, collect_logits=False)
+
+    prompts = []
+    for _ in range(int(rng.integers(3, 7))):
+        plen = int(rng.integers(1, capacity))
+        if max(1, -(-plen // page_size)) > total_pages:
+            continue
+        eos = int(rng.integers(1, 60)) if rng.random() < 0.5 else None
+        prompts.append((list(rng.integers(1, 60, size=plen)),
+                        int(rng.integers(1, capacity)), eos))
+    if not prompts:
+        return
+
+    results = []
+    for spd in (1, chunk):
+        eng = build(spd)
+        reqs = [eng.submit(p, m, eos_id=e) for p, m, e in prompts]
+        eng.run()
+        assert eng.pool.n_free == eng.pool.total
+        results.append({r.uid: (r.generated, r.truncated) for r in reqs})
+
+    assert results[0] == results[1], (
+        f"chunked (spd={chunk}) diverged from per-token decode: "
+        f"page={page_size} pps={pages_per_seq} mb={max_batch} "
+        f"pool={total_pages}")
+
+
+def test_chunked_sampling_topk1_matches_greedy(model):
+    """temperature>0 with top_k=1 is argmax regardless of PRNG key — a sharp
+    check that the sampling path wired through the chunked lax.scan decode
+    (collect_logits=False, temps>0 so the greedy fast path is OFF) agrees
+    with greedy decoding."""
+    prompts = [[3, 14, 15, 9], [26, 5], [35, 8, 9, 7, 9, 3]]
+
+    def run(temperature, top_k):
+        eng = ContinuousBatchingEngine(
+            model, max_batch=4, page_size=8, pages_per_seq=4,
+            steps_per_dispatch=8, collect_logits=False, seed=7)
+        reqs = [eng.submit(p, 20, temperature=temperature, top_k=top_k)
+                for p in prompts]
+        eng.run()
+        return [r.generated for r in reqs]
+
+    assert run(1.0, 1) == run(0.0, None)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
 def test_engine_fuzz(model, seed):
     rng = np.random.default_rng(seed)
     page_size = int(rng.choice([4, 8, 16]))
