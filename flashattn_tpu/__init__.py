@@ -38,6 +38,11 @@ from .models.transformer import (
     MultiHeadAttention,
     TransformerLayer,
 )
+from .models.seq2seq import (
+    CrossDecoderLayer,
+    EncoderDecoderLM,
+    EncoderLayer,
+)
 
 __version__ = "0.1.0"
 
@@ -66,4 +71,7 @@ __all__ = [
     "FeedForward",
     "MultiHeadAttention",
     "TransformerLayer",
+    "CrossDecoderLayer",
+    "EncoderDecoderLM",
+    "EncoderLayer",
 ]

@@ -100,22 +100,32 @@ class MultiHeadAttention(Module):
         self.out_projection = Linear(n_embd, n_embd, bias, key=ko, dtype=dtype)
         self.dropout = Dropout(p_dropout)
 
-    def project_to_query_key_value(self, x: Array):
-        """(B,S,E) -> q (B,nh,S,hd), k/v (B,n_kv_head,S,hd)
-        (reference :73-107; GQA when n_kv_head < n_head)."""
-        bs, seq, _ = x.shape
+    def project_to_query_key_value(self, x: Array, kv_src: Optional[Array] = None):
+        """(B,S,E) -> q (B,nh,S,hd), k/v (B,n_kv_head,Skv,hd)
+        (reference :73-107; GQA when n_kv_head < n_head).  ``kv_src`` routes
+        K/V through a different sequence (cross-attention over encoder
+        memory); default is self-attention (kv_src = x)."""
+        kv_src = x if kv_src is None else kv_src
 
-        def proj(lin: Linear, heads: int) -> Array:
-            y = lin(x)
+        def proj(lin: Linear, src: Array, heads: int) -> Array:
+            bs, seq, _ = src.shape
+            y = lin(src)
             y = y.reshape(bs, seq, heads, self.attn_hidden_dim)
             return y.transpose(0, 2, 1, 3)
 
-        return (proj(self.q_projection, self.n_head),
-                proj(self.k_projection, self.n_kv_head),
-                proj(self.v_projection, self.n_kv_head))
+        return (proj(self.q_projection, x, self.n_head),
+                proj(self.k_projection, kv_src, self.n_kv_head),
+                proj(self.v_projection, kv_src, self.n_kv_head))
 
-    def self_attention(self, q: Array, k: Array, v: Array) -> Array:
-        """softmax(q k^T / sqrt(hd)) v -> (B,S,E) (reference :109-202)."""
+    def self_attention(self, q: Array, k: Array, v: Array,
+                       kv_lengths: Optional[Array] = None) -> Array:
+        """softmax(q k^T / sqrt(hd)) v -> (B,Sq,E) (reference :109-202).
+
+        ``kv_lengths`` (B,) masks keys/values past each row's valid prefix
+        (padded encoder memory / ragged batches) — fused in-kernel on the
+        flash path, an additive mask on the fused-softmax path (the
+        reference's padding-mask add, softmax_kernel.cu:232-292).
+        """
         bs, nh, seq, hd = q.shape
         if self.attn_impl == "flash":
             if self.mesh is not None:
@@ -125,21 +135,34 @@ class MultiHeadAttention(Module):
                     q, k, v, self.causal, mesh=self.mesh,
                     batch_axis=self.mesh_batch_axis,
                     head_axis=self.mesh_head_axis,
+                    kv_lengths=kv_lengths,
                 )
+            elif kv_lengths is not None:
+                out = flash_attention_varlen(q, k, v, kv_lengths, self.causal)
             else:
                 out = flash_attention(q, k, v, self.causal)
         elif self.attn_impl == "fused_softmax":
             k, v = repeat_kv(k, v, q.shape[1])
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
-            w = attn_softmax(s, None, self.causal)
+            mask = None
+            if kv_lengths is not None:
+                n_kv = k.shape[2]
+                valid = jnp.arange(n_kv)[None, :] < kv_lengths[:, None]
+                mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+            w = attn_softmax(s, mask, self.causal)
             out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         else:
-            out = flash_attention_reference(q, k, v, self.causal)
+            out = flash_attention_reference(q, k, v, self.causal,
+                                            kv_lengths=kv_lengths)
         return out.transpose(0, 2, 1, 3).reshape(bs, seq, self.n_embd)
 
-    def forward(self, x: Array, key: Optional[jax.Array] = None) -> Array:
-        q, k, v = self.project_to_query_key_value(x)
-        attn = self.self_attention(q, k, v)
+    def forward(self, x: Array, key: Optional[jax.Array] = None,
+                kv: Optional[Array] = None,
+                kv_lengths: Optional[Array] = None) -> Array:
+        """Self-attention over ``x``; cross-attention when ``kv`` (the
+        encoder memory) is given, optionally masked past ``kv_lengths``."""
+        q, k, v = self.project_to_query_key_value(x, kv)
+        attn = self.self_attention(q, k, v, kv_lengths)
         return self.out_projection(attn)
 
     # -- KV-cached decode path ---------------------------------------------

@@ -69,3 +69,49 @@ def greedy_generate(model, prompt: Array,
         axis=1,
     )
     return _generate_scan(model, buf, plen, total, eos_id)
+
+
+# ---------------------------------------------------------------------------
+# Encoder-decoder generation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _seq2seq_scan(model, src: Array, src_lens: Array, max_new: int,
+                  bos_id: Array, eos_id: Optional[Array]) -> Array:
+    b = src.shape[0]
+    memory = model.encode(src, src_lens)
+    cross_kvs = model.precompute_cross(memory)
+    caches = model.init_cache(b, max_new)
+    done = jnp.zeros((b,), bool)
+    tok = jnp.full((b, 1), bos_id, jnp.int32)
+
+    def step(carry, i):
+        tok, caches, done = carry
+        logits, caches = model.forward_decode(tok, caches, cross_kvs, i,
+                                              src_lens)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        if eos_id is not None:
+            eos = jnp.asarray(eos_id, jnp.int32)
+            nxt = jnp.where(done, eos, nxt)
+            done = done | (nxt == eos)
+        return (nxt[:, None], caches, done), nxt
+
+    _, out = jax.lax.scan(step, (tok, caches, done), jnp.arange(max_new))
+    return out.T                                            # (B, max_new)
+
+
+def greedy_generate_seq2seq(model, src: Array, src_lens, max_new_tokens: int,
+                            bos_id: int, eos_id: Optional[int] = None) -> Array:
+    """Greedy decode from an :class:`EncoderDecoderLM`.
+
+    One encoder pass + one cross-K/V projection, then ``max_new_tokens``
+    cached decode steps in a single jitted ``lax.scan`` — vs the reference's
+    full-model re-run per token (run_machine_translation.py:300-323).
+    Returns (B, max_new_tokens) ids, padded with ``eos_id`` once emitted.
+    """
+    b = src.shape[0]
+    model = model.eval()
+    lens = jnp.broadcast_to(jnp.asarray(src_lens, jnp.int32), (b,))
+    return _seq2seq_scan(model, src.astype(jnp.int32), lens, max_new_tokens,
+                         jnp.asarray(bos_id, jnp.int32), eos_id)

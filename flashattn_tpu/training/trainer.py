@@ -90,7 +90,10 @@ def make_train_scan(opt: Any,
     """
 
     def _scan(model, opt_state, tokens, targets, loss_mask, key):
-        keys = jax.random.split(key, tokens.shape[0])
+        # targets (not tokens) carries the step count: the tokens slot may be
+        # a dict pytree (seq2seq src/src_lens/tgt_in), targets is always an
+        # array with leading (n_steps,).
+        keys = jax.random.split(key, targets.shape[0])
 
         def body(carry, batch):
             model, opt_state = carry

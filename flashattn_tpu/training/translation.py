@@ -40,6 +40,11 @@ import numpy as np
 @dataclasses.dataclass
 class MTConfig:
     dataset_name: str = "bbaaaa/iwslt14-de-en-preprocess"
+    # "decoder_only" trains the reference's DecoderLM over the concatenated
+    # src<eos>tgt<eos> stream; "seq2seq" trains EncoderDecoderLM (n_layer
+    # encoder + n_layer decoder blocks, cross-attention, separate src/tgt
+    # streams — the encoder-decoder surface BASELINE.json's north star names).
+    arch: str = "decoder_only"
     model_max_length: int = 40
     n_epochs: int = 1
     batch_size: int = 128
@@ -202,6 +207,53 @@ def collate_batch(examples, src_key, tgt_key, tokenizer, model_max_length):
     }
 
 
+def collate_batch_seq2seq(examples, src_key, tgt_key, tokenizer,
+                          model_max_length):
+    """Seq2seq collate: separate source and target streams.
+
+    The decoder is primed with ``<eos_src>`` as BOS (it never occurs in
+    target text); labels are the target ids ending in ``<eos_tgt>``.
+    Returns src / src_lens plus input_ids (decoder input), labels and
+    label_token_weights shaped like the decoder stream.
+    """
+    pad_id = tokenizer.vocab["<pad>"]
+    bos_id = tokenizer.vocab[f"<eos_{src_key}>"]
+    src_arr = np.full((len(examples), model_max_length), pad_id, np.int32)
+    src_lens = np.zeros((len(examples),), np.int32)
+    tgt_in = np.full((len(examples), model_max_length), pad_id, np.int32)
+    labels = np.full((len(examples), model_max_length), pad_id, np.int32)
+    weights = np.zeros((len(examples), model_max_length), np.float32)
+    for r, ex in enumerate(examples):
+        ids_src = tokenizer(f"{ex[src_key]}<eos_{src_key}>")["input_ids"]
+        ids_src = ids_src[:model_max_length]
+        ids_tgt = tokenizer(f"{ex[tgt_key]}<eos_{tgt_key}>")["input_ids"]
+        ids_tgt = ids_tgt[:model_max_length]
+        src_arr[r, :len(ids_src)] = ids_src
+        src_lens[r] = len(ids_src)
+        tgt_in[r, :len(ids_tgt)] = [bos_id] + ids_tgt[:-1]
+        labels[r, :len(ids_tgt)] = ids_tgt
+        weights[r, :len(ids_tgt)] = 1.0
+    return {"src": src_arr, "src_lens": src_lens, "input_ids": tgt_in,
+            "labels": labels, "label_token_weights": weights}
+
+
+def seq2seq_loss(model, inputs, targets, loss_mask=None, key=None):
+    """Masked cross entropy for :class:`EncoderDecoderLM`; ``inputs`` is the
+    {"src", "src_lens", "tgt_in"} dict the seq2seq collate/scan threads
+    through the generic trainer slots."""
+    from ..nn import functional as F
+
+    logits = model(inputs["src"], inputs["tgt_in"], inputs["src_lens"],
+                   key=key)
+    n_vocab = logits.shape[-1]
+    losses = F.softmax_loss(
+        logits.reshape(-1, n_vocab), targets.reshape(-1)
+    ).reshape(targets.shape)
+    if loss_mask is None:
+        return jnp.mean(losses)
+    return jnp.sum(losses * loss_mask) / jnp.maximum(jnp.sum(loss_mask), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Train / eval / generate
 # ---------------------------------------------------------------------------
@@ -219,13 +271,23 @@ def tokenize_corpus(examples, tokenizer, src_key, tgt_key):
 
 def _dispatch_chunk(model, opt_state, scan_fn, batches, key):
     """Stack K collated batches and run them as ONE device dispatch."""
-    tokens = jnp.asarray(np.stack([b["input_ids"] for b in batches]))
-    labels = jnp.asarray(np.stack([b["labels"] for b in batches]))
-    weights = jnp.asarray(np.stack([b["label_token_weights"] for b in batches]))
+
+    def stack(name):
+        return jnp.asarray(np.stack([b[name] for b in batches]))
+
+    if "src" in batches[0]:  # seq2seq: inputs slot carries a dict pytree
+        tokens = {"src": stack("src"), "src_lens": stack("src_lens"),
+                  "tgt_in": stack("input_ids")}
+        n_tok = tokens["tgt_in"].size + tokens["src"].size
+    else:
+        tokens = stack("input_ids")
+        n_tok = tokens.size
+    labels = stack("labels")
+    weights = stack("label_token_weights")
     key, sub = jax.random.split(key)
     model, opt_state, losses = scan_fn(model, opt_state, tokens, labels,
                                        weights, sub)
-    return model, opt_state, key, np.asarray(losses), tokens.size
+    return model, opt_state, key, np.asarray(losses), n_tok
 
 
 def train_epoch_native(model, opt_state, scan_fn, loader, n_steps, key,
@@ -301,8 +363,13 @@ def evaluate_loss(model, eval_fn, examples, batch_size, collate_fn, desc=""):
         usable, batch_size = len(examples), len(examples)
     for i in tqdm.trange(0, usable, batch_size, desc=f"Evaluating ({desc})"):
         batch = collate_fn(examples=examples[i:i + batch_size])
-        loss = eval_fn(model,
-                       jnp.asarray(batch["input_ids"]),
+        if "src" in batch:  # seq2seq inputs ride as a dict pytree
+            inputs = {"src": jnp.asarray(batch["src"]),
+                      "src_lens": jnp.asarray(batch["src_lens"]),
+                      "tgt_in": jnp.asarray(batch["input_ids"])}
+        else:
+            inputs = jnp.asarray(batch["input_ids"])
+        loss = eval_fn(model, inputs,
                        jnp.asarray(batch["labels"]),
                        jnp.asarray(batch["label_token_weights"]))
         losses.append(float(loss))
@@ -346,6 +413,38 @@ def generate(model, examples, src_key, tgt_key, tokenizer, model_max_length,
     return gen_sents
 
 
+def generate_seq2seq(model, examples, src_key, tgt_key, tokenizer,
+                     model_max_length, desc="", batch_size: int = 32):
+    """Encoder-decoder generation: one encoder pass + cached cross-K/V +
+    scanned greedy decode per batch (training.generate.greedy_generate_seq2seq)."""
+    import tqdm
+
+    from .generate import greedy_generate_seq2seq
+
+    eos_tgt = tokenizer.vocab[f"<eos_{tgt_key}>"]
+    bos_id = tokenizer.vocab[f"<eos_{src_key}>"]
+    pad_id = tokenizer.vocab["<pad>"]
+    gen_sents: List[str] = []
+    for i in tqdm.trange(0, len(examples), batch_size,
+                         desc=f"Generating {desc}"):
+        chunk = examples[i:i + batch_size]
+        buf = np.full((len(chunk), model_max_length), pad_id, np.int32)
+        plens = []
+        for r, ex in enumerate(chunk):
+            ids = tokenizer(f"{ex[src_key]}<eos_{src_key}>")["input_ids"]
+            ids = ids[:model_max_length]
+            buf[r, :len(ids)] = ids
+            plens.append(len(ids))
+        out = np.asarray(greedy_generate_seq2seq(
+            model, jnp.asarray(buf), jnp.asarray(plens, jnp.int32),
+            model_max_length, bos_id, eos_tgt))
+        for row in out:
+            stop = np.where(row == eos_tgt)[0]
+            toks = row[:stop[0]] if len(stop) else row
+            gen_sents.append(tokenizer.decode(toks.tolist()))
+    return gen_sents
+
+
 def evaluate_bleu(examples, gen_sents, tgt_key):
     """sacrebleu corpus BLEU (reference evaluate_bleu :331-350)."""
     from sacrebleu import BLEU
@@ -379,18 +478,32 @@ def run(config: MTConfig) -> Dict:
     )
     tokenizer = get_tokenizer(dataset["train"], config.n_vocab, src_key,
                               tgt_key, workdir)
+    seq2seq = config.arch == "seq2seq"
     collate_fn = functools.partial(
-        collate_batch, src_key=src_key, tgt_key=tgt_key, tokenizer=tokenizer,
+        collate_batch_seq2seq if seq2seq else collate_batch,
+        src_key=src_key, tgt_key=tgt_key, tokenizer=tokenizer,
         model_max_length=config.model_max_length,
     )
 
-    model = ft.DecoderLM(
-        n_vocab=config.n_vocab, n_embd=config.n_embd, n_head=config.n_head,
-        n_positions=config.model_max_length, p_dropout=config.p_dropout,
-        n_layer=config.n_layer, attn_impl=config.attn_impl,
-        use_fused_layernorm=config.use_fused_layernorm,
-        key=jax.random.PRNGKey(config.seed),
-    )
+    if seq2seq:
+        model = ft.EncoderDecoderLM(
+            n_vocab=config.n_vocab, n_embd=config.n_embd,
+            n_head=config.n_head, n_positions=config.model_max_length,
+            p_dropout=config.p_dropout,
+            n_encoder_layer=config.n_layer, n_decoder_layer=config.n_layer,
+            attn_impl=config.attn_impl,
+            use_fused_layernorm=config.use_fused_layernorm,
+            key=jax.random.PRNGKey(config.seed),
+        )
+    else:
+        model = ft.DecoderLM(
+            n_vocab=config.n_vocab, n_embd=config.n_embd,
+            n_head=config.n_head,
+            n_positions=config.model_max_length, p_dropout=config.p_dropout,
+            n_layer=config.n_layer, attn_impl=config.attn_impl,
+            use_fused_layernorm=config.use_fused_layernorm,
+            key=jax.random.PRNGKey(config.seed),
+        )
     if config.lr_schedule == "cosine":
         from ..optim import warmup_cosine
 
@@ -403,17 +516,21 @@ def run(config: MTConfig) -> Dict:
         lr = config.learning_rate
     opt = ft.Adam(lr=lr)
     opt_state = opt.init(model)
-    scan_fn = make_train_scan(opt, lm_loss,
+    loss_fn = seq2seq_loss if seq2seq else lm_loss
+    scan_fn = make_train_scan(opt, loss_fn,
                               grad_clip=config.grad_clip or None)
 
     @jax.jit
     def eval_fn(model, tokens, targets, mask):
-        return lm_loss(model.eval(), tokens, targets, mask, None)
+        return loss_fn(model.eval(), tokens, targets, mask, None)
 
     key = jax.random.PRNGKey(config.seed)
 
     loader = None
-    if config.use_native_loader:
+    if config.use_native_loader and seq2seq:
+        print("[translation] native loader emits the concatenated "
+              "decoder-only stream; seq2seq uses the Python collate")
+    elif config.use_native_loader:
         try:
             from ..utils.native_loader import NativeDataLoader
 
@@ -456,8 +573,9 @@ def run(config: MTConfig) -> Dict:
         print(f"Epoch {epoch}: train_loss={train_loss:.4f} "
               f"validation_loss={val_loss:.4f}")
 
-        gen_sents = generate(model.eval(), dataset["test"], src_key, tgt_key,
-                             tokenizer, config.model_max_length, desc)
+        gen = generate_seq2seq if seq2seq else generate
+        gen_sents = gen(model.eval(), dataset["test"], src_key, tgt_key,
+                        tokenizer, config.model_max_length, desc)
         json.dump(
             {"generations": [
                 {src_key: ex[src_key], tgt_key: ex[tgt_key], "gen": g}
