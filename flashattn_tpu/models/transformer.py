@@ -75,8 +75,9 @@ class MultiHeadAttention(Module):
     def __init__(self, n_embd: int, n_head: int, causal: bool = False,
                  p_dropout: float = 0.1, bias: bool = True, *,
                  n_kv_head: Optional[int] = None,
-                 attn_impl: AttnImpl = "flash", key: jax.Array,
-                 dtype=jnp.float32):
+                 attn_impl: AttnImpl = "flash",
+                 pos_encoding: str = "none", rope_theta: float = 10000.0,
+                 key: jax.Array, dtype=jnp.float32):
         assert n_embd % n_head == 0
         self.n_embd = n_embd
         self.n_head = n_head
@@ -86,6 +87,12 @@ class MultiHeadAttention(Module):
         self.causal = causal
         self.attn_hidden_dim = n_embd // n_head
         self.attn_impl = attn_impl
+        # "rope" rotates q/k per-position after projection (ops/rope.py);
+        # the KV caches/pools then hold post-rotation keys, so every decode
+        # path is position-lookup-free.  "none" = positions handled by the
+        # model (learned absolute embeddings, the reference's scheme).
+        self.pos_encoding = pos_encoding
+        self.rope_theta = rope_theta
         # Multi-chip wiring (static): set via parallel.sharding.apply_mesh.
         # GSPMD cannot partition pallas_call, so the flash path switches to
         # the shard_map shim when a mesh is attached.
@@ -116,6 +123,16 @@ class MultiHeadAttention(Module):
         return (proj(self.q_projection, x, self.n_head),
                 proj(self.k_projection, kv_src, self.n_kv_head),
                 proj(self.v_projection, kv_src, self.n_kv_head))
+
+    def _rope(self, q: Array, k: Array, positions: Array):
+        """Rotate q and the NEW k tokens at ``positions`` (cached keys are
+        already rotated).  No-op unless pos_encoding == "rope"."""
+        if self.pos_encoding != "rope":
+            return q, k
+        from ..ops.rope import apply_rope
+
+        return (apply_rope(q, positions, self.rope_theta),
+                apply_rope(k, positions, self.rope_theta))
 
     def self_attention(self, q: Array, k: Array, v: Array,
                        kv_lengths: Optional[Array] = None) -> Array:
@@ -160,8 +177,12 @@ class MultiHeadAttention(Module):
                 kv: Optional[Array] = None,
                 kv_lengths: Optional[Array] = None) -> Array:
         """Self-attention over ``x``; cross-attention when ``kv`` (the
-        encoder memory) is given, optionally masked past ``kv_lengths``."""
+        encoder memory) is given, optionally masked past ``kv_lengths``.
+        RoPE applies to self-attention only (cross q/k live on different
+        position scales)."""
         q, k, v = self.project_to_query_key_value(x, kv)
+        if kv is None:
+            q, k = self._rope(q, k, jnp.arange(x.shape[1], dtype=jnp.int32))
         attn = self.self_attention(q, k, v, kv_lengths)
         return self.out_projection(attn)
 
@@ -182,6 +203,7 @@ class MultiHeadAttention(Module):
         """
         bs = x.shape[0]
         q, k, v = self.project_to_query_key_value(x)  # (B, nh, 1, hd)
+        q, k = self._rope(q, k, jnp.asarray(index, jnp.int32))
         cache_k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
                                                (0, 0, index, 0))
         cache_v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
@@ -224,6 +246,7 @@ class MultiHeadAttention(Module):
         page_size = pool["k"].shape[2]
         quantized = "ks" in pool
         q, k, v = self.project_to_query_key_value(x)   # (B, nh, S, hd)
+        q, k = self._rope(q, k, jnp.arange(seq, dtype=jnp.int32))
 
         # scatter all S tokens' K/V: position p of row b lands in page
         # table[b, p // page] at offset p % page
@@ -286,6 +309,8 @@ class MultiHeadAttention(Module):
         page_size = pool["k"].shape[2]
         quantized = "ks" in pool
         q, k, v = self.project_to_query_key_value(x)      # (B, nh, 1, hd)
+        # per-sequence positions: the new token sits at ``lengths``
+        q, k = self._rope(q, k, lengths.astype(jnp.int32)[:, None])
 
         slot = lengths // page_size                        # (B,) table column
         page_ids = jnp.take_along_axis(page_table, slot[:, None], axis=1)[:, 0]
@@ -369,12 +394,15 @@ class TransformerLayer(Module):
                  middle_dim: int = 256,
                  n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
+                 pos_encoding: str = "none", rope_theta: float = 10000.0,
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
         ka, kf = jax.random.split(key)
         self.attention = MultiHeadAttention(
             n_embd, n_head, causal=True, p_dropout=p_dropout, bias=bias,
-            n_kv_head=n_kv_head, attn_impl=attn_impl, key=ka, dtype=dtype,
+            n_kv_head=n_kv_head, attn_impl=attn_impl,
+            pos_encoding=pos_encoding, rope_theta=rope_theta,
+            key=ka, dtype=dtype,
         )
         self.ff = FeedForward(n_embd, middle_dim, p_dropout, bias, key=kf, dtype=dtype)
         if use_fused_layernorm:
@@ -426,21 +454,30 @@ class DecoderLM(Module):
                  middle_dim: int = 256,
                  n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
+                 pos_encoding: str = "learned", rope_theta: float = 10000.0,
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
         self.n_embd = n_embd
         self.n_vocab = n_vocab
         self.n_positions = n_positions
+        # "learned": the reference's absolute position-embedding table
+        # (sized by n_positions, fixing modules_transfomer.py:408 which sizes
+        # it by n_vocab).  "rope": rotary embeddings applied to q/k inside
+        # every attention path — no table, no length cap from the table.
+        assert pos_encoding in ("learned", "rope")
+        self.pos_encoding = pos_encoding
         keys = jax.random.split(key, n_layer + 3)
         self.token_embeddings = Embedding(n_vocab, n_embd, key=keys[0], dtype=dtype)
-        # Reference sizes position_embeddings by n_vocab (modules_transfomer.py:408);
-        # we size it by n_positions, which is what it actually indexes.
-        self.position_embeddings = Embedding(n_positions, n_embd, key=keys[1], dtype=dtype)
+        if pos_encoding == "learned":
+            self.position_embeddings = Embedding(n_positions, n_embd,
+                                                 key=keys[1], dtype=dtype)
         self.layers = [
             TransformerLayer(
                 n_embd, n_head, p_dropout, ln_eps, bias,
                 middle_dim=middle_dim, n_kv_head=n_kv_head,
                 attn_impl=attn_impl,
+                pos_encoding="rope" if pos_encoding == "rope" else "none",
+                rope_theta=rope_theta,
                 use_fused_layernorm=use_fused_layernorm,
                 key=keys[2 + i], dtype=dtype,
             )
@@ -453,11 +490,17 @@ class DecoderLM(Module):
             self.ln = LayerNorm1d(n_embd, ln_eps, dtype=dtype)
         self.lm_head = Linear(n_embd, n_vocab, bias, key=keys[-1], dtype=dtype)
 
+    def _embed(self, idx: Array, pos: Array) -> Array:
+        x = self.token_embeddings(idx)
+        if self.pos_encoding == "learned":
+            x = x + self.position_embeddings(pos)
+        return x  # rope: positions enter inside attention, not here
+
     def forward(self, idx: Array, key: Optional[jax.Array] = None) -> Array:
         """(B,S) int32 token ids -> (B,S,n_vocab) logits."""
         bs, seq = idx.shape
         pos = jnp.arange(seq, dtype=jnp.int32)[None, :]
-        x = self.token_embeddings(idx) + self.position_embeddings(pos)
+        x = self._embed(idx, pos)
         keys = _split(key, len(self.layers) + 1)
         x = self.dropout(x, key=keys[0])
         for layer, k in zip(self.layers, keys[1:]):
@@ -479,7 +522,7 @@ class DecoderLM(Module):
         Returns (logits (B, 1, n_vocab), updated caches).
         """
         pos = jnp.asarray(index, jnp.int32).reshape(1, 1)
-        x = self.token_embeddings(idx_tok) + self.position_embeddings(pos)
+        x = self._embed(idx_tok, pos)
         new_caches = []
         for layer, cache in zip(self.layers, caches):
             x, cache = layer.forward_decode(x, cache, index)
@@ -502,7 +545,7 @@ class DecoderLM(Module):
         token's position).  Returns (logits (B, 1, n_vocab), updated pools).
         """
         pos = lengths.astype(jnp.int32)[:, None]           # (B, 1)
-        x = self.token_embeddings(idx_tok) + self.position_embeddings(pos)
+        x = self._embed(idx_tok, pos)
         new_pools = []
         for layer, pool in zip(self.layers, pools):
             x, pool = layer.forward_decode_paged(x, pool, page_table, lengths)
@@ -518,7 +561,7 @@ class DecoderLM(Module):
         trash page)."""
         bs, seq = tokens.shape
         pos = jnp.arange(seq, dtype=jnp.int32)[None, :]
-        x = self.token_embeddings(tokens) + self.position_embeddings(pos)
+        x = self._embed(tokens, pos)
         new_pools = []
         for layer, pool in zip(self.layers, pools):
             x, pool = layer.forward_prefill_paged(x, pool, page_table,

@@ -52,7 +52,11 @@ class MTConfig:
     # Adam second moment decays with beta1 (optim.py:68) which damps the
     # effective step; with a CORRECT Adam 0.02 diverges on this workload
     # (measured: loss stuck >5, BLEU 0) while 0.005 reaches BLEU ~29 in
-    # 5 epochs on the synthetic corpus.
+    # 5 epochs on the synthetic corpus.  The seq2seq arch has twice the
+    # attention sublayers per path and its stability edge is lower: 0.005
+    # plateaus at unigram entropy (grad clipping masks the blow-up as a
+    # stall) while 0.002 reaches BLEU 100 in one epoch — run() drops the
+    # UNTOUCHED default to 0.002 for arch="seq2seq".
     learning_rate: float = 0.005
     # Global-norm gradient clipping; un-clipped training at this lr
     # destabilises after a few epochs (measured: BLEU 23.6 at epoch 2, then
@@ -479,6 +483,12 @@ def run(config: MTConfig) -> Dict:
     tokenizer = get_tokenizer(dataset["train"], config.n_vocab, src_key,
                               tgt_key, workdir)
     seq2seq = config.arch == "seq2seq"
+    if seq2seq and config.learning_rate == MTConfig.learning_rate:
+        # measured: 0.005 sits past the seq2seq stability edge (loss
+        # plateaus at ~4.5 / BLEU 0.2 for 8 epochs); 0.002 -> BLEU 100 at
+        # epoch 0 on the synthetic corpus
+        config = dataclasses.replace(config, learning_rate=0.002)
+        print("[translation] arch=seq2seq: default learning_rate -> 0.002")
     collate_fn = functools.partial(
         collate_batch_seq2seq if seq2seq else collate_batch,
         src_key=src_key, tgt_key=tgt_key, tokenizer=tokenizer,
