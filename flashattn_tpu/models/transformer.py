@@ -77,8 +77,12 @@ class MultiHeadAttention(Module):
                  n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
                  pos_encoding: str = "none", rope_theta: float = 10000.0,
+                 window: Optional[int] = None,
                  key: jax.Array, dtype=jnp.float32):
         assert n_embd % n_head == 0
+        # sliding-window (local causal) attention; None = full attention
+        assert window is None or causal, "window requires causal attention"
+        self.window = window
         self.n_embd = n_embd
         self.n_head = n_head
         # GQA/MQA: fewer KV heads shared across query-head groups
@@ -144,6 +148,9 @@ class MultiHeadAttention(Module):
         reference's padding-mask add, softmax_kernel.cu:232-292).
         """
         bs, nh, seq, hd = q.shape
+        if self.window is not None and kv_lengths is not None:
+            raise NotImplementedError(
+                "sliding window + varlen prefill not wired yet")
         if self.attn_impl == "flash":
             if self.mesh is not None:
                 from ..parallel.sharded_attention import sharded_flash_attention
@@ -152,25 +159,32 @@ class MultiHeadAttention(Module):
                     q, k, v, self.causal, mesh=self.mesh,
                     batch_axis=self.mesh_batch_axis,
                     head_axis=self.mesh_head_axis,
-                    kv_lengths=kv_lengths,
+                    kv_lengths=kv_lengths, window=self.window,
                 )
             elif kv_lengths is not None:
                 out = flash_attention_varlen(q, k, v, kv_lengths, self.causal)
             else:
-                out = flash_attention(q, k, v, self.causal)
+                out = flash_attention(q, k, v, self.causal,
+                                      window=self.window)
         elif self.attn_impl == "fused_softmax":
             k, v = repeat_kv(k, v, q.shape[1])
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
             mask = None
+            n_kv = k.shape[2]
             if kv_lengths is not None:
-                n_kv = k.shape[2]
                 valid = jnp.arange(n_kv)[None, :] < kv_lengths[:, None]
                 mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+            if self.window is not None:
+                local = (jnp.arange(n_kv)[None, :]
+                         > jnp.arange(seq)[:, None] - self.window)
+                wmask = jnp.where(local, 0.0, -1e9)[None, None, :, :]
+                mask = wmask if mask is None else mask + wmask
             w = attn_softmax(s, mask, self.causal)
             out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         else:
             out = flash_attention_reference(q, k, v, self.causal,
-                                            kv_lengths=kv_lengths)
+                                            kv_lengths=kv_lengths,
+                                            window=self.window)
         return out.transpose(0, 2, 1, 3).reshape(bs, seq, self.n_embd)
 
     def forward(self, x: Array, key: Optional[jax.Array] = None,
@@ -211,7 +225,10 @@ class MultiHeadAttention(Module):
         max_len = cache_k.shape[2]
         ck, cv = repeat_kv(cache_k, cache_v, q.shape[1])
         s = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / math.sqrt(self.attn_hidden_dim)
-        valid = jnp.arange(max_len)[None, None, None, :] <= index
+        pos = jnp.arange(max_len)[None, None, None, :]
+        valid = pos <= index
+        if self.window is not None:
+            valid &= pos > index - self.window
         s = jnp.where(valid, s, jnp.finfo(s.dtype).min / 2)
         w = jax.nn.softmax(s, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", w, cv)
@@ -242,6 +259,11 @@ class MultiHeadAttention(Module):
         (out (B, S, E), pool) — attention is causal + varlen-masked, so
         padding rows/positions never contaminate live ones.
         """
+        if self.window is not None:
+            raise NotImplementedError(
+                "sliding-window paged serving needs a windowed page walk "
+                "(attend only the last `window` positions' pages) — not "
+                "implemented; use dense-cache decode (forward_decode)")
         bs, seq, _ = x.shape
         page_size = pool["k"].shape[2]
         quantized = "ks" in pool
@@ -305,6 +327,10 @@ class MultiHeadAttention(Module):
         lengths: (B,) tokens already in each sequence's cache (the new token
         lands at position ``lengths``).  Returns (out (B,1,E), updated pool).
         """
+        if self.window is not None:
+            raise NotImplementedError(
+                "sliding-window paged serving needs a windowed page walk — "
+                "not implemented; use dense-cache decode (forward_decode)")
         bs = x.shape[0]
         page_size = pool["k"].shape[2]
         quantized = "ks" in pool
@@ -395,13 +421,14 @@ class TransformerLayer(Module):
                  n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
                  pos_encoding: str = "none", rope_theta: float = 10000.0,
+                 window: Optional[int] = None,
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
         ka, kf = jax.random.split(key)
         self.attention = MultiHeadAttention(
             n_embd, n_head, causal=True, p_dropout=p_dropout, bias=bias,
             n_kv_head=n_kv_head, attn_impl=attn_impl,
-            pos_encoding=pos_encoding, rope_theta=rope_theta,
+            pos_encoding=pos_encoding, rope_theta=rope_theta, window=window,
             key=ka, dtype=dtype,
         )
         self.ff = FeedForward(n_embd, middle_dim, p_dropout, bias, key=kf, dtype=dtype)
@@ -455,6 +482,7 @@ class DecoderLM(Module):
                  n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
                  pos_encoding: str = "learned", rope_theta: float = 10000.0,
+                 window: Optional[int] = None,
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
         self.n_embd = n_embd
@@ -477,7 +505,7 @@ class DecoderLM(Module):
                 middle_dim=middle_dim, n_kv_head=n_kv_head,
                 attn_impl=attn_impl,
                 pos_encoding="rope" if pos_encoding == "rope" else "none",
-                rope_theta=rope_theta,
+                rope_theta=rope_theta, window=window,
                 use_fused_layernorm=use_fused_layernorm,
                 key=keys[2 + i], dtype=dtype,
             )

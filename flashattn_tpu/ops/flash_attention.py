@@ -71,7 +71,7 @@ _MIN_BLOCK = 8
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                num_kv: int):
+                num_kv: int, window: Optional[int] = None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -82,11 +82,15 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # Causal: skip KV blocks strictly above the diagonal; varlen: skip KV
-    # blocks entirely past this row's valid prefix.
+    # blocks entirely past this row's valid prefix; sliding window: skip KV
+    # blocks entirely left of every row's window (row r sees cols
+    # (r - window, r]).
     should_run = True
     row_len = None
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    if window is not None:
+        should_run &= (ki + 1) * block_k - 1 >= qi * block_q - (window - 1)
     if len_ref is not None:
         row_len = len_ref[pl.program_id(0)]
         should_run &= ki * block_k < row_len
@@ -102,12 +106,14 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                            # (block_q, block_k)
 
-        if causal or len_ref is not None:
+        if causal or window is not None or len_ref is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
             keep = jnp.ones(s.shape, jnp.bool_)
             if causal:
                 keep &= cols <= rows
+            if window is not None:
+                keep &= cols > rows - window
             if len_ref is not None:  # per-batch valid KV prefix
                 keep &= cols < row_len
             s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
@@ -118,9 +124,11 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next)                     # (block_q, block_k)
-        if len_ref is not None:
-            # fully-masked rows: m == MASK makes every p entry exp2(0) == 1;
-            # zero them so l stays 0 and the empty-row guard yields 0 output
+        if len_ref is not None or window is not None:
+            # fully-masked rows (short varlen prefix, or a window that has
+            # no overlap with this block even though other rows' windows
+            # do): m == MASK makes every p entry exp2(0) == 1; zero them so
+            # l stays 0 and the empty-row guard yields 0 output
             p = jnp.where(keep, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
@@ -144,7 +152,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
-               kv_lengths=None):
+               kv_lengths=None, window=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     # GQA/MQA: q heads grouped onto fewer kv heads — the kv index maps fold
@@ -163,10 +171,16 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
         # index map to the diagonal block so consecutive skipped steps hit
         # the same block and Pallas elides the K/V DMAs entirely (the
         # reference's block-skip, flashattention_kernel.cu:511-515, spent
-        # the memory traffic anyway).
+        # the memory traffic anyway).  A sliding window additionally skips
+        # blocks entirely left of the earliest row's window — clamp those
+        # up to the first needed block for the same DMA elision.
         def kv_index(b_, h_, q_, k_):
             last = ((q_ + 1) * block_q - 1) // block_k
-            return (b_, h_ // group, jnp.minimum(k_, last), 0)
+            k_ = jnp.minimum(k_, last)
+            if window is not None:
+                first = jnp.maximum(q_ * block_q - (window - 1), 0) // block_k
+                k_ = jnp.maximum(k_, jnp.minimum(first, last))
+            return (b_, h_ // group, k_, 0)
     else:
         def kv_index(b_, h_, q_, k_):
             return (b_, h_ // group, k_, 0)
@@ -187,7 +201,7 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
     if kv_lengths is None:
         kernel = functools.partial(
             _fwd_kernel, None, causal=causal, sm_scale=sm_scale,
-            block_q=block_q, block_k=block_k, num_kv=num_kv,
+            block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
         )
         o, lse = pl.pallas_call(
             kernel,
@@ -215,10 +229,13 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
     # the index maps can read them (blocks past the valid prefix are clamped
     # so their DMAs are elided, like the causal block-skip).
     def kv_index_len(b_, h_, q_, k_, lens):
-        k_ = jnp.minimum(k_, jnp.maximum(lens[b_] - 1, 0) // block_k)
+        hi = jnp.maximum(lens[b_] - 1, 0) // block_k
         if causal:
-            last = ((q_ + 1) * block_q - 1) // block_k
-            k_ = jnp.minimum(k_, last)
+            hi = jnp.minimum(hi, ((q_ + 1) * block_q - 1) // block_k)
+        k_ = jnp.minimum(k_, hi)
+        if window is not None:
+            first = jnp.maximum(q_ * block_q - (window - 1), 0) // block_k
+            k_ = jnp.maximum(k_, jnp.minimum(first, hi))
         return (b_, h_ // group, k_, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -240,7 +257,7 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
     )
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, num_kv=num_kv,
+        block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -261,7 +278,7 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref,
                     dk_scr, dv_scr,
                     *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                    num_q: int):
+                    num_q: int, window: Optional[int] = None):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
 
@@ -274,6 +291,9 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     row_len = None
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    if window is not None:
+        # q rows past every col's window contribute nothing to this kv block
+        should_run &= (ki + 1) * block_k - 1 >= qi * block_q - (window - 1)
     if len_ref is not None:
         row_len = len_ref[pl.program_id(0)]
         should_run &= ki * block_k < row_len
@@ -292,12 +312,14 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)                       # (block_q, block_k)
-        if causal or len_ref is not None:
+        if causal or window is not None or len_ref is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
             keep = jnp.ones(s.shape, jnp.bool_)
             if causal:
                 keep &= cols <= rows
+            if window is not None:
+                keep &= cols > rows - window
             if len_ref is not None:
                 keep &= cols < row_len
             s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
@@ -332,7 +354,7 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr,
                    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                   num_kv: int):
+                   num_kv: int, window: Optional[int] = None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -344,6 +366,8 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     row_len = None
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    if window is not None:
+        should_run &= (ki + 1) * block_k - 1 >= qi * block_q - (window - 1)
     if len_ref is not None:
         row_len = len_ref[pl.program_id(0)]
         should_run &= ki * block_k < row_len
@@ -360,12 +384,14 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)
-        if causal or len_ref is not None:
+        if causal or window is not None or len_ref is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
             keep = jnp.ones(s.shape, jnp.bool_)
             if causal:
                 keep &= cols <= rows
+            if window is not None:
+                keep &= cols > rows - window
             if len_ref is not None:
                 keep &= cols < row_len
             s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
@@ -387,7 +413,7 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
-               kv_lengths=None):
+               kv_lengths=None, window=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     h_kv = k.shape[1]
@@ -439,11 +465,16 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
 
     # dKV grid is (b, h, kv_block, q_block): for a fixed KV block, q blocks
     # strictly before the diagonal are skipped -- clamp their index map so
-    # the elided steps re-reference the diagonal block (no DMA).
+    # the elided steps re-reference the diagonal block (no DMA).  A sliding
+    # window also skips q blocks past every col's window (high side).
     if causal:
         def q_index(b_, h_, i, j):
             first = (i * block_k) // block_q
-            return (b_, h_, jnp.maximum(j, first), 0)
+            j = jnp.maximum(j, first)
+            if window is not None:
+                last = ((i + 1) * block_k - 1 + (window - 1)) // block_q
+                j = jnp.minimum(j, jnp.maximum(last, first))
+            return (b_, h_, j, 0)
     else:
         def q_index(b_, h_, i, j):
             return (b_, h_, j, 0)
@@ -456,7 +487,7 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
 
     dk, dv = make_call(
         bind(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
-             block_q=block_q, block_k=block_k, num_q=num_q),
+             block_q=block_q, block_k=block_k, num_q=num_q, window=window),
         grid=(b, h, num_kv, num_q),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
         out_specs=[
@@ -476,11 +507,16 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
         dk = dk.reshape(b, h_kv, group, n_kv, d).sum(axis=2).astype(k.dtype)
         dv = dv.reshape(b, h_kv, group, n_kv, d).sum(axis=2).astype(v.dtype)
 
-    # dQ grid is (b, h, q_block, kv_block): above-diagonal KV blocks skipped.
+    # dQ grid is (b, h, q_block, kv_block): above-diagonal KV blocks skipped,
+    # plus (windowed) KV blocks left of every row's window.
     if causal:
         def kv_index2(b_, h_, i, j):
             last = ((i + 1) * block_q - 1) // block_k
-            return (b_, h_ // group, jnp.minimum(j, last), 0)
+            j = jnp.minimum(j, last)
+            if window is not None:
+                first = jnp.maximum(i * block_q - (window - 1), 0) // block_k
+                j = jnp.maximum(j, jnp.minimum(first, last))
+            return (b_, h_ // group, j, 0)
     else:
         def kv_index2(b_, h_, i, j):
             return (b_, h_ // group, j, 0)
@@ -491,7 +527,7 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
 
     (dq,) = make_call(
         bind(_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
-             block_q=block_q, block_k=block_k, num_kv=num_kv),
+             block_q=block_q, block_k=block_k, num_kv=num_kv, window=window),
         grid=(b, h, num_q, num_kv),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2,
                   stat_spec2],
@@ -521,7 +557,7 @@ def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int):
 MIN_KERNEL_KV_LEN = 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(
     q: Array,
     k: Array,
@@ -531,6 +567,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto",
+    window: Optional[int] = None,
 ) -> Array:
     """softmax(Q K^T / sqrt(d)) V without materialising the scores matrix.
 
@@ -543,10 +580,16 @@ def flash_attention(
       impl: "auto" uses the Pallas kernel at kv_len >= 1024 and XLA's fused
         op-graph below (where the kernel's grid overhead loses to XLA —
         measured, PERF.md); "pallas" / "reference" force a path.
+      window: sliding-window (local) attention — row i attends cols
+        (i - window, i].  Requires ``causal=True``.  KV blocks wholly
+        outside the window are skipped at the GRID level with their DMAs
+        elided, so compute AND memory traffic are O(seq * window), in
+        forward and both backward kernels.
 
     Returns: (batch, heads, seq_q, head_dim).
     """
-    o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k, impl)
+    o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
+                            impl, window)
     return o
 
 
@@ -588,19 +631,26 @@ def _use_kernel(q, k, block_q, block_k, impl):
 
 
 def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                     impl="auto"):
+                     impl="auto", window=None):
     _check_heads(q, k, v)
+    if window is not None:
+        if not causal:
+            raise ValueError("window (sliding-window attention) requires "
+                             "causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     blocks = _use_kernel(q, k, block_q, block_k, impl)
     if blocks is None:
         # jnp op-graph path (jitted & fused by XLA); lse kept for the vjp.
-        return _reference_fwd_with_lse(q, k, v, causal, scale)
+        return _reference_fwd_with_lse(q, k, v, causal, scale, window=window)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
-                      block_q=blocks[0], block_k=blocks[1])
+                      block_q=blocks[0], block_k=blocks[1], window=window)
 
 
-def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None):
+def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None,
+                            window=None):
     k, v = repeat_kv(k, v, q.shape[1])  # GQA/MQA broadcast
     # preferred_element_type keeps bf16 scores in f32 end-to-end — without it
     # the einsum rounds s to bf16 and the ORACLE is less accurate than the
@@ -610,6 +660,8 @@ def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None):
     if causal:
         nq, nk = s.shape[-2:]
         mask = jnp.arange(nk)[None, :] <= jnp.arange(nq)[:, None]
+        if window is not None:
+            mask &= jnp.arange(nk)[None, :] > jnp.arange(nq)[:, None] - window
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     if kv_lengths is not None:
         nk = s.shape[-1]
@@ -628,25 +680,28 @@ def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None):
     return o.astype(q.dtype), lse
 
 
-def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k, impl):
+def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k, impl,
+                   window):
     o, lse = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                              impl)
+                              impl, window)
     return o, (q, k, v, o, lse)
 
 
-def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, res, do):
+def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window, res, do):
     q, k, v, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     blocks = _use_kernel(q, k, block_q, block_k, impl)
     if blocks is None:
         def f(q_, k_, v_):
-            return _reference_fwd_with_lse(q_, k_, v_, causal, scale)[0]
+            return _reference_fwd_with_lse(q_, k_, v_, causal, scale,
+                                           window=window)[0]
 
         _, vjp = jax.vjp(f, q, k, v)
         return vjp(do)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal, sm_scale=scale,
-                            block_q=blocks[0], block_k=blocks[1])
+                            block_q=blocks[0], block_k=blocks[1],
+                            window=window)
     return dq, dk, dv
 
 
@@ -655,13 +710,15 @@ flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 def flash_attention_reference(q, k, v, causal: bool = False,
                               sm_scale: Optional[float] = None,
-                              kv_lengths: Optional[Array] = None) -> Array:
+                              kv_lengths: Optional[Array] = None,
+                              window: Optional[int] = None) -> Array:
     """Pure-jnp oracle playing the role torch plays in the reference tests
     (tests/test_flash_attention.py:44-77)."""
     _check_heads(q, k, v)
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
-    return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths)[0]
+    return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths,
+                                   window)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -736,7 +793,7 @@ def flash_attention_with_lse(
     q: Array, k: Array, v: Array, causal: bool = False,
     sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
-    impl: str = "auto",
+    impl: str = "auto", window: Optional[int] = None,
 ):
     """Forward-only flash attention returning ``(o, lse)`` with lse shaped
     (b, h, n_q, 1).
@@ -746,7 +803,8 @@ def flash_attention_with_lse(
     the same (m, l) statistics the reference writes back to HBM
     (flashattention_kernel.cu:107-108), in FA-2 combined form.
     """
-    return _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k, impl)
+    return _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
+                            impl, window)
 
 
 def mha_attention(q, k, v, causal: bool = False, use_flash: bool = True) -> Array:

@@ -40,6 +40,7 @@ def sharded_flash_attention(
     head_axis: Optional[str] = "model",
     sm_scale: Optional[float] = None,
     kv_lengths: Optional[Array] = None,
+    window: Optional[int] = None,
 ) -> Array:
     """Flash attention with batch sharded over ``batch_axis`` and heads over
     ``head_axis``; seq and head_dim replicated.  Differentiable.
@@ -47,7 +48,8 @@ def sharded_flash_attention(
     Zero communication: every (batch-shard, head-shard) is independent
     (guide §14 "head parallelism first").  ``kv_lengths`` (B,) selects the
     varlen kernel (per-row valid KV prefix) — used by TP-sharded batched
-    prefill.
+    prefill.  ``window`` = sliding-window attention (static; seq stays
+    unsharded here so the window never crosses a shard boundary).
     """
     from ..ops.flash_attention import flash_attention_varlen
 
@@ -59,7 +61,8 @@ def sharded_flash_attention(
             out_specs=spec, check_vma=False,
         )
         def _local(q_, k_, v_):
-            return flash_attention(q_, k_, v_, causal, sm_scale)
+            return flash_attention(q_, k_, v_, causal, sm_scale,
+                                   window=window)
 
         return _local(q, k, v)
 

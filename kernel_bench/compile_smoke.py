@@ -78,6 +78,20 @@ def main():
         qg, k, k, True)))(kg)
     ok &= check("GQA flash bwd dk", gg, ggr, 5e-2)
 
+    # sliding window: block-skip + element mask, incl. fully-masked rows in
+    # running blocks (window < block span) and window > seq (== full causal)
+    for (n, win) in [(2048, 256), (2048, 1024), (1536, 100), (512, 8192)]:
+        qw = jax.random.normal(key, (1, 4, n, 64), jnp.bfloat16)
+        ow = ft.flash_attention(qw, qw, qw, True, impl="pallas", window=win)
+        refw = ft.flash_attention_reference(qw, qw, qw, True, window=win)
+        ok &= check(f"swa flash fwd n={n} w={win}", ow, refw, 2e-2)
+    qw = jax.random.normal(key, (1, 4, 2048, 64), jnp.float32)
+    gw = jax.grad(lambda q: jnp.sum(ft.flash_attention(
+        q, q, q, True, impl="pallas", window=256)))(qw)
+    gwr = jax.grad(lambda q: jnp.sum(ft.flash_attention_reference(
+        q, q, q, True, window=256)))(qw)
+    ok &= check("swa flash bwd", gw, gwr, 5e-2)
+
     # varlen flash: per-row KV-prefix masking, empty-row convention
     from flashattn_tpu.ops.flash_attention import flash_attention_varlen
 

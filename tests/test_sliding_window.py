@@ -1,0 +1,112 @@
+"""Sliding-window (local causal) flash attention: kernel vs oracle, grads,
+model paths.  No reference equivalent (the reference caps context by memory;
+windowed attention makes compute AND KV traffic O(seq * window))."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flashattn_tpu as ft
+from flashattn_tpu.ops.flash_attention import (
+    flash_attention as _flash,
+    flash_attention_reference,
+)
+
+flash = functools.partial(_flash, impl="pallas")
+
+
+def _qkv(b, h, n, d, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return (jax.random.normal(ks[0], (b, h, n, d)),
+            jax.random.normal(ks[1], (b, h, n, d)),
+            jax.random.normal(ks[2], (b, h, n, d)))
+
+
+def _oracle(q, k, v, window):
+    """Independent dense construction (not the shared masking helper)."""
+    n = q.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(q.shape[-1])
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    s = jnp.where((j <= i) & (j > i - window), s, -1e30)
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+
+# windows chosen to hit: window < block, == block, spanning blocks, > seq
+@pytest.mark.parametrize("n,window", [
+    (256, 16), (256, 64), (256, 300), (512, 128), (384, 100),
+])
+def test_forward_vs_oracle(n, window):
+    q, k, v = _qkv(1, 2, n, 32)
+    got = flash(q, k, v, True, window=window)
+    want = _oracle(q, k, v, window)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    # and the shared jnp reference path agrees with the independent oracle
+    ref = flash_attention_reference(q, k, v, True, window=window)
+    np.testing.assert_allclose(ref, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,window", [(256, 48), (512, 128)])
+def test_backward_vs_oracle(n, window):
+    q, k, v = _qkv(1, 2, n, 32, seed=1)
+    dy = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    g = jax.grad(lambda q, k, v: jnp.sum(
+        flash(q, k, v, True, window=window) * dy), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        _oracle(q, k, v, window) * dy), argnums=(0, 1, 2))(q, k, v)
+    for a, b, nm in zip(g, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3, err_msg=f"d{nm}")
+
+
+def test_window_equals_full_when_large():
+    q, k, v = _qkv(1, 2, 128, 32, seed=2)
+    got = flash(q, k, v, True, window=4096)
+    want = flash(q, k, v, True)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_window_requires_causal():
+    q, k, v = _qkv(1, 1, 64, 16)
+    with pytest.raises(ValueError, match="causal"):
+        _flash(q, k, v, False, window=16)
+    with pytest.raises(ValueError, match=">= 1"):
+        _flash(q, k, v, True, window=0)
+
+
+def test_model_window_and_cached_decode():
+    """DecoderLM(window=W): full forward matches the oracle mask, and the
+    dense-cache decode path applies the same window."""
+    model = ft.DecoderLM(64, 32, 4, 64, p_dropout=0.0, n_layer=2,
+                         window=8, attn_impl="reference",
+                         key=jax.random.PRNGKey(0)).eval()
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, 64)
+    want = model(toks)
+    caches = model.init_cache(2, 24)
+    got = []
+    for i in range(24):
+        logits, caches = model.forward_decode(toks[:, i:i + 1], caches, i)
+        got.append(logits[:, 0])
+    np.testing.assert_allclose(np.stack(got, 1), want, atol=1e-4, rtol=1e-4)
+
+    # tokens outside the receptive field (n_layer stacked windows) do not
+    # influence the output: with 2 layers x window 8, position >= 16 cannot
+    # see token 0
+    far = toks.at[:, 0].set((toks[:, 0] + 7) % 64)
+    np.testing.assert_allclose(model(far)[:, 16:], want[:, 16:], atol=1e-5)
+
+
+def test_model_window_impls_agree():
+    mk = lambda impl: ft.DecoderLM(64, 32, 4, 64, p_dropout=0.0, n_layer=1,
+                                   window=8, attn_impl=impl,
+                                   key=jax.random.PRNGKey(3)).eval()
+    toks = jax.random.randint(jax.random.PRNGKey(4), (2, 48), 0, 64)
+    ref = mk("reference")(toks)
+    for impl in ("flash", "fused_softmax"):
+        np.testing.assert_allclose(mk(impl)(toks), ref,
+                                   atol=2e-5, rtol=1e-4, err_msg=impl)
