@@ -148,9 +148,6 @@ class MultiHeadAttention(Module):
         reference's padding-mask add, softmax_kernel.cu:232-292).
         """
         bs, nh, seq, hd = q.shape
-        if self.window is not None and kv_lengths is not None:
-            raise NotImplementedError(
-                "sliding window + varlen prefill not wired yet")
         if self.attn_impl == "flash":
             if self.mesh is not None:
                 from ..parallel.sharded_attention import sharded_flash_attention
@@ -162,7 +159,8 @@ class MultiHeadAttention(Module):
                     kv_lengths=kv_lengths, window=self.window,
                 )
             elif kv_lengths is not None:
-                out = flash_attention_varlen(q, k, v, kv_lengths, self.causal)
+                out = flash_attention_varlen(q, k, v, kv_lengths, self.causal,
+                                             window=self.window)
             else:
                 out = flash_attention(q, k, v, self.causal,
                                       window=self.window)
@@ -175,6 +173,7 @@ class MultiHeadAttention(Module):
                 valid = jnp.arange(n_kv)[None, :] < kv_lengths[:, None]
                 mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
             if self.window is not None:
+                # absolute row positions equal col positions here (self-attn)
                 local = (jnp.arange(n_kv)[None, :]
                          > jnp.arange(seq)[:, None] - self.window)
                 wmask = jnp.where(local, 0.0, -1e9)[None, None, :, :]
@@ -259,11 +258,6 @@ class MultiHeadAttention(Module):
         (out (B, S, E), pool) — attention is causal + varlen-masked, so
         padding rows/positions never contaminate live ones.
         """
-        if self.window is not None:
-            raise NotImplementedError(
-                "sliding-window paged serving needs a windowed page walk "
-                "(attend only the last `window` positions' pages) — not "
-                "implemented; use dense-cache decode (forward_decode)")
         bs, seq, _ = x.shape
         page_size = pool["k"].shape[2]
         quantized = "ks" in pool
@@ -311,11 +305,12 @@ class MultiHeadAttention(Module):
                 batch_axis=self.mesh_batch_axis,
                 head_axis=self.mesh_head_axis,
                 sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-                kv_lengths=prompt_lens)
+                kv_lengths=prompt_lens, window=self.window)
         else:
             out = flash_attention_varlen(
                 q, k, v, prompt_lens, True,
-                1.0 / math.sqrt(self.attn_hidden_dim))
+                1.0 / math.sqrt(self.attn_hidden_dim),
+                window=self.window)
         out = out.transpose(0, 2, 1, 3).reshape(bs, seq, self.n_embd)
         return self.out_projection(out), pool
 
@@ -327,10 +322,6 @@ class MultiHeadAttention(Module):
         lengths: (B,) tokens already in each sequence's cache (the new token
         lands at position ``lengths``).  Returns (out (B,1,E), updated pool).
         """
-        if self.window is not None:
-            raise NotImplementedError(
-                "sliding-window paged serving needs a windowed page walk — "
-                "not implemented; use dense-cache decode (forward_decode)")
         bs = x.shape[0]
         page_size = pool["k"].shape[2]
         quantized = "ks" in pool
@@ -361,12 +352,14 @@ class MultiHeadAttention(Module):
                     mesh=self.mesh, head_axis=self.mesh_head_axis,
                     k_scales=pool["ks"], v_scales=pool["vs"],
                     sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                    window=self.window,
                 )
             else:
                 out = paged_attention(
                     q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
                     k_scales=pool["ks"], v_scales=pool["vs"],
                     sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                    window=self.window,
                 )
         else:
             pool = {
@@ -382,11 +375,13 @@ class MultiHeadAttention(Module):
                     q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
                     mesh=self.mesh, head_axis=self.mesh_head_axis,
                     sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                    window=self.window,
                 )
             else:
                 out = paged_attention(
                     q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
                     sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                    window=self.window,
                 )                                          # (B, nh, hd)
         out = out.reshape(bs, 1, self.n_embd)
         return self.out_projection(out), pool

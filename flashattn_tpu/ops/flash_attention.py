@@ -726,12 +726,12 @@ def flash_attention_reference(q, k, v, causal: bool = False,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def flash_attention_varlen(
     q: Array, k: Array, v: Array, kv_lengths: Array,
     causal: bool = False, sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
-    impl: str = "auto",
+    impl: str = "auto", window: Optional[int] = None,
 ) -> Array:
     """Flash attention over a PADDED batch: ``kv_lengths`` (B,) int32 gives
     each row's valid KV prefix; keys/values at positions >= length are
@@ -741,33 +741,40 @@ def flash_attention_varlen(
 
     Enables batched prefill (one step attends a whole ragged batch of
     prompts) and padded-batch training.  Differentiable in q/k/v.
+    ``window`` composes sliding-window attention with the varlen masking
+    (windowed batched prefill); requires causal.
     """
     o, _ = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
-                       block_k, impl)
+                       block_k, impl, window)
     return o
 
 
 def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
-                impl):
+                impl, window=None):
     _check_heads(q, k, v)
+    if window is not None and not causal:
+        raise ValueError("window (sliding-window attention) requires "
+                         "causal=True")
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     blocks = _use_kernel(q, k, block_q, block_k, impl)
     if blocks is None:
-        return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths)
+        return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths,
+                                       window)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
                       block_q=blocks[0], block_k=blocks[1],
-                      kv_lengths=kv_lengths)
+                      kv_lengths=kv_lengths, window=window)
 
 
 def _varlen_vjp_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
-                    impl):
+                    impl, window):
     o, lse = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
-                         block_k, impl)
+                         block_k, impl, window)
     return o, (q, k, v, kv_lengths, o, lse)
 
 
-def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, res, do):
+def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window, res,
+                    do):
     q, k, v, kv_lengths, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
@@ -775,14 +782,15 @@ def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, res, do):
     if blocks is None:
         def f(q_, k_, v_):
             return _reference_fwd_with_lse(q_, k_, v_, causal, scale,
-                                           kv_lengths)[0]
+                                           kv_lengths, window)[0]
 
         _, vjp = jax.vjp(f, q, k, v)
         dq, dk, dv = vjp(do)
         return dq, dk, dv, None
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal,
                             sm_scale=scale, block_q=blocks[0],
-                            block_k=blocks[1], kv_lengths=kv_lengths)
+                            block_k=blocks[1], kv_lengths=kv_lengths,
+                            window=window)
     return dq, dk, dv, None
 
 

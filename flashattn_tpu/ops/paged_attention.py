@@ -34,7 +34,8 @@ Array = jax.Array
 def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
                   q_ref, k_ref, v_ref, ks_ref, vs_ref,
                   o_ref, m_scr, l_scr, acc_scr,
-                  *, page_size: int, quantized: bool):
+                  *, page_size: int, quantized: bool,
+                  window: Optional[int] = None):
     """One grid step = one physical page x ALL kv heads.
 
     Head-blocking matters: with grid (b, h, pages) each step DMAs one 32KB
@@ -54,7 +55,13 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
 
     length = lengths_ref[b]
 
-    @pl.when(i * page_size < length)
+    run = i * page_size < length
+    if window is not None:
+        # sliding window: the query sits at position length-1 and attends
+        # positions >= length - window; skip pages wholly before it
+        run &= (i + 1) * page_size > length - window
+
+    @pl.when(run)
     def _compute():
         q = q_ref[0]                                  # (H, group, d)
         k = k_ref[:, 0]                               # (H, page, d)
@@ -67,7 +74,10 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
             s = s * ks.reshape(ks.shape[0], 1, -1)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * page_size
-        s = jnp.where(pos < length, s, -1e30)
+        keep = pos < length
+        if window is not None:
+            keep &= pos >= length - window
+        s = jnp.where(keep, s, -1e30)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
@@ -99,18 +109,24 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
 def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
                       q_ref, k_hbm, v_hbm, o_ref,
                       kbuf, vbuf, sems,
-                      *, page_size: int, pages_per_seq: int):
+                      *, page_size: int, pages_per_seq: int,
+                      window: Optional[int] = None):
     """Manual double-buffered page walk (guide: Patterns/Double Buffering).
 
     One grid step = one sequence; pages stream HBM -> VMEM with two buffers,
     the next page's DMA in flight while the current page computes.  The page
     loop has a DYNAMIC trip count (cdiv(length, page_size)), so short
     sequences in a continuous batch pay only for the pages they have --
-    the pallas-grid version must visit every slot.
+    the pallas-grid version must visit every slot.  A sliding ``window``
+    starts the walk at the first page overlapping [length - window, length),
+    so long histories pay only O(window) page loads.
     """
     b = pl.program_id(0)
     length = lengths_ref[b]
     n = (length + page_size - 1) // page_size
+    p0 = jnp.int32(0)
+    if window is not None:
+        p0 = jnp.maximum(length - window, 0) // page_size
     q = q_ref[0]                                      # (H, group, d)
     h, group, dd = q.shape
 
@@ -118,10 +134,10 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
         return pltpu.make_async_copy(
             hbm.at[:, pages_ref[b, i]], buf.at[slot], sems.at[slot, kind])
 
-    @pl.when(n > 0)
+    @pl.when(n > p0)
     def _warmup():
-        dma(kbuf, k_hbm, 0, 0, 0).start()
-        dma(vbuf, v_hbm, 0, 0, 0 + 1).start()
+        dma(kbuf, k_hbm, p0, jax.lax.rem(p0, 2), 0).start()
+        dma(vbuf, v_hbm, p0, jax.lax.rem(p0, 2), 0 + 1).start()
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -143,7 +159,10 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
             preferred_element_type=jnp.float32,
         )                                             # (H, group, page)
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * page_size
-        s = jnp.where(pos < length, s, -1e30)
+        keep = pos < length
+        if window is not None:
+            keep &= pos >= length - window
+        s = jnp.where(keep, s, -1e30)
 
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
@@ -159,12 +178,13 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
     m0 = jnp.full((h, group, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((h, group, 1), jnp.float32)
     acc0 = jnp.zeros((h, group, dd), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, acc0))
+    _, l, acc = jax.lax.fori_loop(p0, n, body, (m0, l0, acc0))
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
 
 
-def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices):
+def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices,
+                               window=None):
     b, n_kv_heads, group, d = qg.shape
     _, _, page_size, _ = k_pages.shape
     pages_per_seq = page_indices.shape[1]
@@ -188,7 +208,7 @@ def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices):
     )
     out = pl.pallas_call(
         functools.partial(_paged_dma_kernel, page_size=page_size,
-                          pages_per_seq=pages_per_seq),
+                          pages_per_seq=pages_per_seq, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv_heads, group, d), qg.dtype),
         interpret=use_interpret_mode(),
@@ -208,13 +228,17 @@ def paged_attention(
     v_scales: Optional[Array] = None,
     sm_scale: Optional[float] = None,
     pipelined: bool = True,
+    window: Optional[int] = None,
 ) -> Array:
     """Decode-time attention of one query token per sequence against its
     paged KV history.  Returns (B, n_q_heads, d).
 
     ``pipelined=True`` (bf16 pages only) uses the manual double-buffered DMA
     walk with a dynamic page-count loop; otherwise a pallas-grid schedule
-    visiting every page slot (also the quantized-page path)."""
+    visiting every page slot (also the quantized-page path).  ``window``
+    restricts attention to the last ``window`` positions (sliding-window
+    decode): the pipelined walk STARTS at the first in-window page and the
+    grid path skips out-of-window pages, so page loads are O(window)."""
     b, n_q_heads, d = q.shape
     n_kv_heads, n_pages, page_size, _ = k_pages.shape
     assert n_q_heads % n_kv_heads == 0
@@ -233,7 +257,7 @@ def paged_attention(
     # aligned, so gate on d % 128 (the grid path handles sub-tile head dims).
     if pipelined and not quantized and d % 128 == 0:
         out = _paged_attention_pipelined(qg, k_pages, v_pages, lengths,
-                                         page_indices)
+                                         page_indices, window)
         return out.reshape(b, n_q_heads, d)
 
     def q_map(b_, i_, pages, lens):
@@ -260,13 +284,15 @@ def paged_attention(
 
         kernel = functools.partial(
             _paged_kernel, page_size=page_size, quantized=True,
+            window=window,
         )
     else:
         def kernel(pages_ref, lengths_ref, q_ref, k_ref, v_ref,
                    o_ref, m_scr, l_scr, acc_scr):
             return _paged_kernel(pages_ref, lengths_ref, q_ref, k_ref, v_ref,
                                  None, None, o_ref, m_scr, l_scr, acc_scr,
-                                 page_size=page_size, quantized=False)
+                                 page_size=page_size, quantized=False,
+                                 window=window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -289,7 +315,8 @@ def paged_attention(
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
-                              k_scales=None, v_scales=None, sm_scale=None):
+                              k_scales=None, v_scales=None, sm_scale=None,
+                              window=None):
     """jnp oracle: gather pages densely, mask by length, full softmax."""
     b, n_q_heads, d = q.shape
     n_kv_heads, _, page_size, _ = k_pages.shape
@@ -306,7 +333,10 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     qg = q.reshape(b, n_kv_heads, group, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhkd->bhgk", qg, k_seq.astype(jnp.float32)) * scale
     pos = jnp.arange(s.shape[-1])[None, None, None]
-    s = jnp.where(pos < lengths[:, None, None, None], s, -1e30)
+    keep = pos < lengths[:, None, None, None]
+    if window is not None:
+        keep &= pos >= lengths[:, None, None, None] - window
+    s = jnp.where(keep, s, -1e30)
     w = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgk,bhkd->bhgd", w, v_seq.astype(jnp.float32))
     return o.reshape(b, n_q_heads, d).astype(q.dtype)

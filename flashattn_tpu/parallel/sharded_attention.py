@@ -73,7 +73,8 @@ def sharded_flash_attention(
         out_specs=spec, check_vma=False,
     )
     def _local_varlen(q_, k_, v_, lens_):
-        return flash_attention_varlen(q_, k_, v_, lens_, causal, sm_scale)
+        return flash_attention_varlen(q_, k_, v_, lens_, causal, sm_scale,
+                                      window=window)
 
     return _local_varlen(q, k, v, kv_lengths)
 
@@ -86,6 +87,7 @@ def sharded_paged_attention(
     k_scales: Optional[Array] = None,
     v_scales: Optional[Array] = None,
     sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
 ) -> Array:
     """Paged decode with KV-head-sharded page pools (BASELINE configs[4]
     "tensor-sharded weights+KV").  Each model-axis shard owns a slice of the
@@ -107,10 +109,11 @@ def sharded_paged_attention(
         def _local(q_, kp_, vp_, lens_, table_, ks_, vs_):
             return paged_attention(q_, kp_, vp_, lens_, table_,
                                    k_scales=ks_, v_scales=vs_,
-                                   sm_scale=sm_scale)
+                                   sm_scale=sm_scale, window=window)
     else:
         def _local(q_, kp_, vp_, lens_, table_):
             return paged_attention(q_, kp_, vp_, lens_, table_,
+                                   window=window,
                                    sm_scale=sm_scale)
 
     return jax.shard_map(

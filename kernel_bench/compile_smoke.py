@@ -197,6 +197,17 @@ def main():
     o128 = paged_attention(qd128, kp128, kp128, lengths, pidx, pipelined=True)
     ok &= check("paged decode D=128 pipelined (manual DMA)", o128, ref128, 2e-2)
 
+    # sliding-window decode: pipelined walk starts mid-table (p0 > 0), grid
+    # path skips out-of-window pages; window crossing a page boundary
+    for win in (64, 300):
+        refw = paged_attention_reference(qd128, kp128, kp128, lengths, pidx,
+                                         window=win)
+        for pipe in [True, False]:
+            ow = paged_attention(qd128, kp128, kp128, lengths, pidx,
+                                 pipelined=pipe, window=win)
+            ok &= check(f"paged decode window={win} pipelined={pipe}",
+                        ow, refw, 2e-2)
+
     ks = jnp.max(jnp.abs(kp.astype(jnp.float32)), -1, keepdims=True) / 127.0
     kp8 = jnp.round(kp.astype(jnp.float32) / ks).astype(jnp.int8)
     ref8 = paged_attention_reference(qd, kp8, kp8, lengths, pidx,

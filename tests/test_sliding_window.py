@@ -110,3 +110,69 @@ def test_model_window_impls_agree():
     for impl in ("flash", "fused_softmax"):
         np.testing.assert_allclose(mk(impl)(toks), ref,
                                    atol=2e-5, rtol=1e-4, err_msg=impl)
+
+
+@pytest.mark.parametrize("pipelined", [True, False])
+def test_paged_decode_window(pipelined):
+    from flashattn_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_reference)
+
+    key = jax.random.PRNGKey(0)
+    b, h, d, page, pps = 3, 2, 128, 8, 6
+    n_pages = b * pps
+    q = jax.random.normal(key, (b, h, d))
+    kp = jax.random.normal(jax.random.PRNGKey(1), (h, n_pages, page, d))
+    vp = jax.random.normal(jax.random.PRNGKey(2), (h, n_pages, page, d))
+    table = jnp.arange(n_pages, dtype=jnp.int32).reshape(b, pps)
+    lengths = jnp.asarray([45, 8, 33], jnp.int32)
+    for window in (16, 5, 100):
+        got = paged_attention(q, kp, vp, lengths, table, window=window,
+                              pipelined=pipelined)
+        want = paged_attention_reference(q, kp, vp, lengths, table,
+                                         window=window)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"window={window}")
+
+
+def test_varlen_window_kernel():
+    from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+    q, k, v = _qkv(2, 2, 256, 32, seed=5)
+    lens = jnp.asarray([256, 100], jnp.int32)
+    got = flash_attention_varlen(q, k, v, lens, True, impl="pallas",
+                                 window=48)
+    # oracle: dense per-row window+causal+prefix mask
+    n = 256
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(32)
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    keep = (j <= i) & (j > i - 48)
+    keep = keep[None] & (jnp.arange(n)[None, None, :] < lens[:, None, None])
+    s = jnp.where(keep[:, None], s, -1e30)
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    # rows whose window lies entirely past their valid prefix are fully
+    # masked; the kernel's empty-row convention outputs zeros
+    want = jnp.where(keep.any(-1)[:, None, :, None], want, 0.0)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_windowed_engine_matches_dense_forward():
+    """Serving engine with a windowed model: prefill+paged-decode logits
+    must equal the dense windowed forward."""
+    from flashattn_tpu.serving import ContinuousBatchingEngine
+
+    model = ft.DecoderLM(64, 32, 4, 256, p_dropout=0.0, n_layer=2,
+                         window=8, attn_impl="reference",
+                         key=jax.random.PRNGKey(0)).eval()
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=4,
+                                   pages_per_seq=8, collect_logits=True)
+    reqs = [eng.submit([3, 14, 15, 9, 2, 6, 5, 35, 8, 9, 7, 9], 8),
+            eng.submit([27, 1, 8], 12)]
+    eng.run()
+    for r in reqs:
+        full = r.prompt + r.generated
+        want = np.asarray(model(jnp.asarray([full[:len(r.logits)]],
+                                            jnp.int32))[0])
+        np.testing.assert_allclose(np.stack(r.logits), want,
+                                   atol=2e-4, rtol=2e-4)
