@@ -100,7 +100,7 @@ class Request:
 @dataclasses.dataclass
 class _Slot:
     request: Request
-    pages: List[int]
+    pages: List[Optional[int]]  # None = released behind the sliding window
     length: int = 0          # tokens already in the KV cache
     next_input: int = 0      # token id to feed at position `length`
     prompt_cursor: int = 1   # prompt tokens consumed (first fed at admit)
@@ -154,6 +154,17 @@ class ContinuousBatchingEngine:
 
         self.collect_logits = collect_logits
         self.steps_per_dispatch = steps_per_dispatch
+
+        # Sliding-window model => rolling KV buffer: pages wholly behind
+        # every window the kernel can still read are returned to the pool
+        # (Mistral-style), so a sequence holds ~window/page_size live pages
+        # no matter how long it runs.  The windowed paged kernel starts its
+        # walk at max(0, length+1-window)//page_size; _release_behind_window
+        # frees strictly below that, so freed pages are never referenced.
+        self._window = None
+        layers = getattr(self.model, "layers", None)
+        if layers:
+            self._window = getattr(layers[0].attention, "window", None)
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy",))
@@ -315,6 +326,7 @@ class ContinuousBatchingEngine:
                     req.logits.append(logits[i, t])
             slot.length = n
             slot.prompt_cursor = n
+            self._release_behind_window(i)
             tok = int(sampled[i])
             req.generated.append(tok)
             slot.next_input = tok
@@ -336,11 +348,26 @@ class ContinuousBatchingEngine:
                     slot.pages.append(page)
                     self.page_table[i, len(slot.pages) - 1] = page
 
+    def _release_behind_window(self, i: int) -> None:
+        """Return pages wholly behind the sliding window to the pool."""
+        if self._window is None:
+            return
+        slot = self.slots[i]
+        first_needed = max(0, slot.length - self._window) // self.page_size
+        freed = []
+        for idx in range(min(first_needed, len(slot.pages))):
+            if slot.pages[idx] is not None:
+                freed.append(slot.pages[idx])
+                slot.pages[idx] = None
+                self.page_table[i, idx] = self._trash_page
+        if freed:
+            self.pool.release(freed)
+
     def _retire(self, i: int) -> None:
         slot = self.slots[i]
         slot.request.done = True
         self.finished.append(slot.request)
-        self.pool.release(slot.pages)
+        self.pool.release([p for p in slot.pages if p is not None])
         self.slots[i] = None
         # reset the WHOLE row: stale columns would route a later prefill's
         # padding-position scatters into pages owned by live requests
@@ -375,6 +402,7 @@ class ContinuousBatchingEngine:
             slot = self.slots[i]
             req = slot.request
             slot.length += n_steps
+            self._release_behind_window(i)
             slot.next_input = int(sampled[-1, i])
             for t in range(n_steps):
                 tok = int(sampled[t, i])
@@ -436,6 +464,7 @@ class ContinuousBatchingEngine:
             slot = self.slots[i]
             req = slot.request
             slot.length += 1
+            self._release_behind_window(i)
             tok = int(sampled[i])
             req.generated.append(tok)
             slot.next_input = tok

@@ -176,3 +176,28 @@ def test_windowed_engine_matches_dense_forward():
                                             jnp.int32))[0])
         np.testing.assert_allclose(np.stack(r.logits), want,
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_rolling_buffer_frees_pages_behind_window():
+    """Windowed model => the engine returns pages behind the window to the
+    pool: a request whose full history would exhaust the pool completes
+    untruncated, and its logits still match the dense windowed forward."""
+    from flashattn_tpu.serving import ContinuousBatchingEngine
+
+    model = ft.DecoderLM(64, 32, 4, 256, p_dropout=0.0, n_layer=2,
+                         window=8, attn_impl="reference",
+                         key=jax.random.PRNGKey(0)).eval()
+    # full history = 12 prompt + 30 generated = 42 tokens = 11 pages of 4;
+    # pool has only 8 — impossible without releasing behind the window
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=4,
+                                   pages_per_seq=16, total_pages=8,
+                                   collect_logits=True)
+    r = eng.submit([3, 14, 15, 9, 2, 6, 5, 35, 8, 9, 7, 9], 30)
+    eng.run()
+    assert r.done and not r.truncated
+    assert len(r.generated) == 30
+    assert eng.pool.n_free == eng.pool.total
+    full = r.prompt + r.generated
+    want = np.asarray(model(jnp.asarray([full[:len(r.logits)]],
+                                        jnp.int32))[0])
+    np.testing.assert_allclose(np.stack(r.logits), want, atol=2e-4, rtol=2e-4)
