@@ -83,6 +83,9 @@ class MultiHeadAttention(Module):
         # sliding-window (local causal) attention; None = full attention
         assert window is None or causal, "window requires causal attention"
         self.window = window
+        assert pos_encoding in ("none", "rope"), (
+            f"pos_encoding must be 'none' or 'rope', got {pos_encoding!r} "
+            f"(anything else would silently disable position information)")
         self.n_embd = n_embd
         self.n_head = n_head
         # GQA/MQA: fewer KV heads shared across query-head groups

@@ -752,9 +752,12 @@ def flash_attention_varlen(
 def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
                 impl, window=None):
     _check_heads(q, k, v)
-    if window is not None and not causal:
-        raise ValueError("window (sliding-window attention) requires "
-                         "causal=True")
+    if window is not None:
+        if not causal:
+            raise ValueError("window (sliding-window attention) requires "
+                             "causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     blocks = _use_kernel(q, k, block_q, block_k, impl)

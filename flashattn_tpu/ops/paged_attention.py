@@ -264,6 +264,16 @@ def paged_attention(
         return (b_, 0, 0, 0)
 
     def kv_map(b_, i_, pages, lens):
+        # clamp skipped grid steps onto the nearest RUNNING step's page so
+        # Pallas elides their DMAs (same trick as the flash kernels' causal
+        # block-skip): high side = last valid page, low side = first
+        # in-window page.  Without this the grid path loads every page slot
+        # and the window's O(window) bandwidth saving never materialises.
+        hi = jnp.maximum(lens[b_] - 1, 0) // page_size
+        i_ = jnp.minimum(i_, hi)
+        if window is not None:
+            lo = jnp.maximum(lens[b_] - window, 0) // page_size
+            i_ = jnp.maximum(i_, jnp.minimum(lo, hi))
         return (0, pages[b_, i_], 0, 0)
 
     def o_map(b_, i_, pages, lens):

@@ -156,15 +156,22 @@ class ContinuousBatchingEngine:
         self.steps_per_dispatch = steps_per_dispatch
 
         # Sliding-window model => rolling KV buffer: pages wholly behind
-        # every window the kernel can still read are returned to the pool
-        # (Mistral-style), so a sequence holds ~window/page_size live pages
-        # no matter how long it runs.  The windowed paged kernel starts its
-        # walk at max(0, length+1-window)//page_size; _release_behind_window
+        # every window any layer can still read are returned to the pool,
+        # so a long-running sequence holds ~window/page_size live pages and
+        # the pool bound becomes concurrency * window, not * history.  (The
+        # page-table columns stay absolute, so per-sequence LENGTH is still
+        # capped at pages_per_seq * page_size — the win is pool sharing.)
+        # Release uses the WIDEST window across layers (a mixed local/global
+        # stack must keep pages for its global layers: any window=None layer
+        # disables release); the windowed paged kernel starts its walk at
+        # max(0, length+1-window)//page_size and _release_behind_window
         # frees strictly below that, so freed pages are never referenced.
         self._window = None
         layers = getattr(self.model, "layers", None)
         if layers:
-            self._window = getattr(layers[0].attention, "window", None)
+            windows = [getattr(l.attention, "window", None) for l in layers]
+            if windows and all(w is not None for w in windows):
+                self._window = max(windows)
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy",))

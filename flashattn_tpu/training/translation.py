@@ -48,16 +48,16 @@ class MTConfig:
     model_max_length: int = 40
     n_epochs: int = 1
     batch_size: int = 128
-    # The reference defaults to 0.02 (run_machine_translation.py:365) but its
+    # None = per-arch default: 0.005 decoder-only, 0.002 seq2seq.  The
+    # reference defaults to 0.02 (run_machine_translation.py:365) but its
     # Adam second moment decays with beta1 (optim.py:68) which damps the
     # effective step; with a CORRECT Adam 0.02 diverges on this workload
     # (measured: loss stuck >5, BLEU 0) while 0.005 reaches BLEU ~29 in
     # 5 epochs on the synthetic corpus.  The seq2seq arch has twice the
     # attention sublayers per path and its stability edge is lower: 0.005
     # plateaus at unigram entropy (grad clipping masks the blow-up as a
-    # stall) while 0.002 reaches BLEU 100 in one epoch — run() drops the
-    # UNTOUCHED default to 0.002 for arch="seq2seq".
-    learning_rate: float = 0.005
+    # stall) while 0.002 reaches BLEU 100 in one epoch.
+    learning_rate: Optional[float] = None
     # Global-norm gradient clipping; un-clipped training at this lr
     # destabilises after a few epochs (measured: BLEU 23.6 at epoch 2, then
     # loss blow-ups). 0 disables.
@@ -472,6 +472,13 @@ def run(config: MTConfig) -> Dict:
     import flashattn_tpu as ft
     from .trainer import lm_loss, make_train_scan
 
+    if config.learning_rate is None:
+        # per-arch default (an EXPLICIT learning_rate is never overridden);
+        # resolved before the workdir name is derived from it
+        lr0 = 0.002 if config.arch == "seq2seq" else 0.005
+        config = dataclasses.replace(config, learning_rate=lr0)
+        print(f"[translation] learning_rate -> {lr0} ({config.arch} default)")
+
     workdir = config.resolve_workdir()
     np.random.seed(config.seed)
     random.seed(config.seed)
@@ -483,12 +490,6 @@ def run(config: MTConfig) -> Dict:
     tokenizer = get_tokenizer(dataset["train"], config.n_vocab, src_key,
                               tgt_key, workdir)
     seq2seq = config.arch == "seq2seq"
-    if seq2seq and config.learning_rate == MTConfig.learning_rate:
-        # measured: 0.005 sits past the seq2seq stability edge (loss
-        # plateaus at ~4.5 / BLEU 0.2 for 8 epochs); 0.002 -> BLEU 100 at
-        # epoch 0 on the synthetic corpus
-        config = dataclasses.replace(config, learning_rate=0.002)
-        print("[translation] arch=seq2seq: default learning_rate -> 0.002")
     collate_fn = functools.partial(
         collate_batch_seq2seq if seq2seq else collate_batch,
         src_key=src_key, tgt_key=tgt_key, tokenizer=tokenizer,
@@ -607,8 +608,11 @@ def run(config: MTConfig) -> Dict:
 
 def parse_args(argv=None) -> MTConfig:
     parser = argparse.ArgumentParser(description=__doc__)
+    # fields whose default is None (type can't be inferred from the value)
+    none_types = {"learning_rate": float, "workdir": str}
     for f in dataclasses.fields(MTConfig):
-        arg_type = type(f.default) if f.default is not None else str
+        arg_type = (type(f.default) if f.default is not None
+                    else none_types.get(f.name, str))
         if arg_type is bool:
             parser.add_argument(f"--{f.name.replace('_', '-')}",
                                 type=lambda x: x.lower() in ("1", "true", "yes"),

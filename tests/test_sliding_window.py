@@ -72,11 +72,18 @@ def test_window_equals_full_when_large():
 
 
 def test_window_requires_causal():
+    from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
     q, k, v = _qkv(1, 1, 64, 16)
+    lens = jnp.asarray([64], jnp.int32)
     with pytest.raises(ValueError, match="causal"):
         _flash(q, k, v, False, window=16)
     with pytest.raises(ValueError, match=">= 1"):
         _flash(q, k, v, True, window=0)
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention_varlen(q, k, v, lens, False, window=16)
+    with pytest.raises(ValueError, match=">= 1"):
+        flash_attention_varlen(q, k, v, lens, True, window=0)
 
 
 def test_model_window_and_cached_decode():
