@@ -115,3 +115,105 @@ def greedy_generate_seq2seq(model, src: Array, src_lens, max_new_tokens: int,
     lens = jnp.broadcast_to(jnp.asarray(src_lens, jnp.int32), (b,))
     return _seq2seq_scan(model, src.astype(jnp.int32), lens, max_new_tokens,
                          jnp.asarray(bos_id, jnp.int32), eos_id)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 6))
+def _beam_scan(model, buf, plen, total: int, beam: int, eos_id,
+               length_penalty: float):
+    """buf: (B*beam, total) with prompts replicated per beam."""
+    bb = buf.shape[0]
+    b = bb // beam
+    caches = model.init_cache(bb, total)
+    neg = jnp.float32(-1e30)
+    # only beam 0 live initially, so the first expansion draws `beam`
+    # DISTINCT tokens from it instead of `beam` copies of the argmax
+    scores = jnp.tile(jnp.concatenate(
+        [jnp.zeros((1,)), jnp.full((beam - 1,), neg)])[None], (b, 1))
+    done = jnp.zeros((b, beam), bool)
+    gen_len = jnp.zeros((b, beam), jnp.int32)
+    eos = jnp.asarray(eos_id, jnp.int32)
+    beam_iota = jnp.arange(beam, dtype=jnp.int32)[None]          # (1, beam)
+
+    def step(carry, i):
+        buf, caches, scores, done, gen_len = carry
+        tok = jax.lax.dynamic_slice_in_dim(buf, i, 1, axis=1)    # (BB, 1)
+        logits, caches = model.forward_decode(tok, caches, i)
+        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+        v = logp.shape[-1]
+        logp = logp.reshape(b, beam, v)
+
+        # finished beams may only extend with EOS, at unchanged score
+        eos_only = jnp.full((v,), neg).at[eos].set(0.0)
+        cand = scores[:, :, None] + jnp.where(done[:, :, None],
+                                              eos_only[None, None], logp)
+        top_s, top_i = jax.lax.top_k(cand.reshape(b, beam * v), beam)
+        parent = (top_i // v).astype(jnp.int32)                  # (B, beam)
+        new_tok = (top_i % v).astype(jnp.int32)
+
+        # prompt phase (per row): follow the prompt verbatim, keep state
+        in_gen = (i + 1) >= plen.reshape(b, beam)[:, :1]         # (B, 1)
+        nxt_pos = jnp.minimum(i + 1, total - 1)
+        cur = jax.lax.dynamic_slice_in_dim(buf, nxt_pos, 1, 1)   # (BB, 1)
+        parent = jnp.where(in_gen, parent, beam_iota)
+        new_tok = jnp.where(in_gen, new_tok, cur.reshape(b, beam))
+        scores = jnp.where(in_gen, top_s, scores)
+
+        # reorder every per-beam state by parent (flat gather on axis 0)
+        flat = (jnp.arange(b, dtype=jnp.int32)[:, None] * beam
+                + parent).reshape(-1)
+        caches = jax.tree_util.tree_map(lambda c: c[flat], caches)
+        buf = buf[flat]
+        done = done.reshape(-1)[flat].reshape(b, beam)
+        gen_len = gen_len.reshape(-1)[flat].reshape(b, beam)
+
+        gen_len = gen_len + (in_gen & ~done)
+        done = done | (in_gen & (new_tok == eos))
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, new_tok.reshape(-1, 1), nxt_pos, axis=1)
+        return (buf, caches, scores, done, gen_len), None
+
+    (buf, _, scores, done, gen_len), _ = jax.lax.scan(
+        step, (buf, caches, scores, done, gen_len),
+        jnp.arange(total - 1))
+
+    # length-normalised selection (GNMT-style denominator)
+    denom = ((5.0 + jnp.maximum(gen_len, 1)) / 6.0) ** length_penalty
+    best = jnp.argmax(scores / denom, axis=1)                    # (B,)
+    buf = buf.reshape(b, beam, total)
+    return jnp.take_along_axis(buf, best[:, None, None], 1)[:, 0], scores
+
+
+def beam_search_generate(model, prompt: Array,
+                         prompt_len: Union[int, Array],
+                         max_new_tokens: int, beam_size: int,
+                         eos_id: int, length_penalty: float = 0.6) -> Array:
+    """Beam-search decode with a KV cache, one jitted ``lax.scan``.
+
+    The (batch, beam) axes fold into one device batch; each step expands
+    every live beam over the vocab, takes the per-row top ``beam_size``
+    continuations, and REORDERS the KV caches by the parent-beam gather —
+    the standard beam bookkeeping, kept device-side.  Finished beams freeze
+    (EOS self-loop at unchanged score); selection divides by the GNMT
+    length penalty.  The reference's generate is greedy one-by-one with no
+    cache (run_machine_translation.py:271-328).
+
+    Returns (B, max_prompt + max_new_tokens): each row's best hypothesis.
+    """
+    b, max_prompt = prompt.shape
+    total = max_prompt + max_new_tokens
+    model = model.eval()
+    plen = jnp.broadcast_to(jnp.asarray(prompt_len, jnp.int32), (b,))
+    buf = jnp.concatenate(
+        [prompt.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)],
+        axis=1)
+    # replicate rows per beam: (B, total) -> (B*beam, total)
+    buf = jnp.repeat(buf, beam_size, axis=0)
+    plen = jnp.repeat(plen, beam_size)
+    out, _ = _beam_scan(model, buf, plen, total, beam_size, eos_id,
+                        length_penalty)
+    return out

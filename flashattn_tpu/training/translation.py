@@ -75,6 +75,10 @@ class MTConfig:
     n_layer: int = 4
     p_dropout: float = 0.1
     seed: int = 11111
+    # evaluation decoding: "greedy" or "beam" (beam_size hypotheses, GNMT
+    # length penalty) — the reference only implements greedy (:300-323)
+    decode: str = "greedy"
+    beam_size: int = 4
     attn_impl: str = "flash"
     use_fused_layernorm: bool = True
     workdir: Optional[str] = None
@@ -381,12 +385,13 @@ def evaluate_loss(model, eval_fn, examples, batch_size, collate_fn, desc=""):
 
 
 def generate(model, examples, src_key, tgt_key, tokenizer, model_max_length,
-             desc="", batch_size: int = 32):
-    """Batched KV-cached greedy generation conditioned on the source
-    (reference generate :271-328, one-by-one + no cache)."""
+             desc="", batch_size: int = 32, beam_size: Optional[int] = None):
+    """Batched KV-cached generation conditioned on the source (reference
+    generate :271-328, one-by-one + no cache).  ``beam_size`` switches from
+    greedy to beam search."""
     import tqdm
 
-    from .generate import greedy_generate
+    from .generate import beam_search_generate, greedy_generate
 
     eos_tgt = tokenizer.vocab[f"<eos_{tgt_key}>"]
     pad_id = tokenizer.vocab["<pad>"]
@@ -404,10 +409,16 @@ def generate(model, examples, src_key, tgt_key, tokenizer, model_max_length,
         buf = np.full((len(chunk), max_p), pad_id, np.int32)
         for r, ids in enumerate(prompts):
             buf[r, :len(ids)] = ids
-        out = greedy_generate(
-            model, jnp.asarray(buf), jnp.asarray(plens, jnp.int32),
-            model_max_length, jnp.asarray(eos_tgt),
-        )
+        if beam_size and beam_size > 1:
+            out = beam_search_generate(
+                model, jnp.asarray(buf), jnp.asarray(plens, jnp.int32),
+                model_max_length, beam_size, eos_tgt,
+            )
+        else:
+            out = greedy_generate(
+                model, jnp.asarray(buf), jnp.asarray(plens, jnp.int32),
+                model_max_length, jnp.asarray(eos_tgt),
+            )
         out = np.asarray(out)
         for r, plen in enumerate(plens):
             toks = out[r, plen:]
@@ -584,9 +595,19 @@ def run(config: MTConfig) -> Dict:
         print(f"Epoch {epoch}: train_loss={train_loss:.4f} "
               f"validation_loss={val_loss:.4f}")
 
-        gen = generate_seq2seq if seq2seq else generate
-        gen_sents = gen(model.eval(), dataset["test"], src_key, tgt_key,
-                        tokenizer, config.model_max_length, desc)
+        if seq2seq:
+            if config.decode == "beam":
+                print("[translation] beam decode is decoder-only for now; "
+                      "seq2seq uses greedy")
+            gen_sents = generate_seq2seq(
+                model.eval(), dataset["test"], src_key, tgt_key, tokenizer,
+                config.model_max_length, desc)
+        else:
+            gen_sents = generate(
+                model.eval(), dataset["test"], src_key, tgt_key, tokenizer,
+                config.model_max_length, desc,
+                beam_size=(config.beam_size if config.decode == "beam"
+                           else None))
         json.dump(
             {"generations": [
                 {src_key: ex[src_key], tgt_key: ex[tgt_key], "gen": g}
