@@ -317,6 +317,63 @@ class MultiHeadAttention(Module):
         out = out.transpose(0, 2, 1, 3).reshape(bs, seq, self.n_embd)
         return self.out_projection(out), pool
 
+    def forward_extend_paged(self, x: Array, pool: dict, page_table: Array,
+                             lengths: Array):
+        """Multi-token decode against a paged KV pool: x (B, k, E) extends
+        each sequence by k tokens at positions ``lengths + j`` in ONE pass
+        (causal within the chunk) — the primitive behind speculative-decode
+        verification and chunked prefill-extend.  ``lengths`` is the BASE
+        (tokens already cached).  Returns (out (B, k, E), updated pool)."""
+        bs, kk, _ = x.shape
+        page_size = pool["k"].shape[2]
+        quantized = "ks" in pool
+        q, k, v = self.project_to_query_key_value(x)   # (B, nh, k, hd)
+        positions = lengths.astype(jnp.int32)[:, None] + jnp.arange(
+            kk, dtype=jnp.int32)[None]                 # (B, k)
+        q, k = self._rope(q, k, positions)
+
+        # scatter the chunk's K/V at per-row offsets (pages already owned)
+        cols = positions // page_size                  # (B, k) table columns
+        page_ids = jnp.take_along_axis(page_table, cols, axis=1)
+        offs = positions % page_size
+        flat_pages = page_ids.reshape(-1)
+        flat_offs = offs.reshape(-1)
+        k_new = k.transpose(1, 0, 2, 3).reshape(k.shape[1], -1, k.shape[3])
+        v_new = v.transpose(1, 0, 2, 3).reshape(v.shape[1], -1, v.shape[3])
+        if quantized:
+            k_pay, k_sc = _quantize_kv(k_new, pool["k"].dtype)
+            v_pay, v_sc = _quantize_kv(v_new, pool["v"].dtype)
+            pool = {
+                "k": pool["k"].at[:, flat_pages, flat_offs].set(k_pay),
+                "v": pool["v"].at[:, flat_pages, flat_offs].set(v_pay),
+                "ks": pool["ks"].at[:, flat_pages, flat_offs].set(k_sc),
+                "vs": pool["vs"].at[:, flat_pages, flat_offs].set(v_sc),
+            }
+        else:
+            pool = {
+                "k": pool["k"].at[:, flat_pages, flat_offs].set(
+                    k_new.astype(pool["k"].dtype)),
+                "v": pool["v"].at[:, flat_pages, flat_offs].set(
+                    v_new.astype(pool["v"].dtype)),
+            }
+
+        qc = q.transpose(0, 2, 1, 3)                   # (B, k, nh, hd)
+        kwargs = dict(sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
+                      window=self.window)
+        if quantized:
+            kwargs.update(k_scales=pool["ks"], v_scales=pool["vs"])
+        if self.mesh is not None:
+            from ..parallel.sharded_attention import sharded_paged_attention
+
+            out = sharded_paged_attention(
+                qc, pool["k"], pool["v"], lengths + kk, page_table,
+                mesh=self.mesh, head_axis=self.mesh_head_axis, **kwargs)
+        else:
+            out = paged_attention(qc, pool["k"], pool["v"], lengths + kk,
+                                  page_table, **kwargs)   # (B, k, nh, hd)
+        out = out.reshape(bs, kk, self.n_embd)
+        return self.out_projection(out), pool
+
     def forward_decode_paged(self, x: Array, pool: dict, page_table: Array,
                              lengths: Array):
         """One decode step against a paged KV pool.
@@ -457,6 +514,14 @@ class TransformerLayer(Module):
         x = x + self.ff(self.ln_2(x))
         return x, pool
 
+    def forward_extend_paged(self, x: Array, pool: dict, page_table: Array,
+                             lengths: Array):
+        attn, pool = self.attention.forward_extend_paged(
+            self.ln_1(x), pool, page_table, lengths)
+        x = x + attn
+        x = x + self.ff(self.ln_2(x))
+        return x, pool
+
     def forward_prefill_paged(self, x: Array, pool: dict, page_table: Array,
                               prompt_lens: Array):
         attn, pool = self.attention.forward_prefill_paged(
@@ -575,6 +640,23 @@ class DecoderLM(Module):
         new_pools = []
         for layer, pool in zip(self.layers, pools):
             x, pool = layer.forward_decode_paged(x, pool, page_table, lengths)
+            new_pools.append(pool)
+        x = self.ln(x)
+        return self.lm_head(x), new_pools
+
+    def forward_extend_paged(self, tokens: Array, pools: list,
+                             page_table: Array, lengths: Array):
+        """Multi-token decode: tokens (B, k) extend each sequence at
+        positions ``lengths + j`` in one pass.  Returns (logits (B, k,
+        n_vocab), pools) — logits[:, j] predicts the token after position
+        ``lengths + j`` (speculative verification reads the whole row)."""
+        bs, kk = tokens.shape
+        pos = lengths.astype(jnp.int32)[:, None] + jnp.arange(
+            kk, dtype=jnp.int32)[None]
+        x = self._embed(tokens, pos)
+        new_pools = []
+        for layer, pool in zip(self.layers, pools):
+            x, pool = layer.forward_extend_paged(x, pool, page_table, lengths)
             new_pools.append(pool)
         x = self.ln(x)
         return self.lm_head(x), new_pools

@@ -35,7 +35,7 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
                   q_ref, k_ref, v_ref, ks_ref, vs_ref,
                   o_ref, m_scr, l_scr, acc_scr,
                   *, page_size: int, quantized: bool,
-                  window: Optional[int] = None):
+                  window: Optional[int] = None, chunk: int = 1):
     """One grid step = one physical page x ALL kv heads.
 
     Head-blocking matters: with grid (b, h, pages) each step DMAs one 32KB
@@ -43,6 +43,14 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
     overhead dominates and decode runs at ~13% of HBM bandwidth.  Folding the
     head axis into the block (grid (b, pages), k block (H, page, d)) makes
     every DMA H x bigger and every dot an H-batched MXU call.
+
+    ``chunk`` > 1 = multi-token decode (speculative verification / chunked
+    prefill-extend): q carries ``group * chunk`` rows per kv head, ordered
+    (group, chunk); row j of a group sits at absolute position
+    ``lengths[b] - chunk + j`` and attends positions <= its own (causal
+    within the chunk).  ``lengths`` counts valid tokens INCLUDING the chunk
+    (whose K/V must already be scattered into the pages) — the same
+    convention the single-token callers use.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -53,30 +61,32 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    length = lengths_ref[b]
+    length = lengths_ref[b]             # last row's exclusive KV bound
+    base = length - chunk               # tokens before the chunk
 
     run = i * page_size < length
     if window is not None:
-        # sliding window: the query sits at position length-1 and attends
-        # positions >= length - window; skip pages wholly before it
-        run &= (i + 1) * page_size > length - window
+        # earliest row (j=0) attends positions >= base + 1 - window
+        run &= (i + 1) * page_size > base + 1 - window
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]                                  # (H, group, d)
+        q = q_ref[0]                                  # (H, group*chunk, d)
         k = k_ref[:, 0]                               # (H, page, d)
         s = jax.lax.dot_general(
             q, k.astype(q.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                             # (H, group, page)
+        )                                             # (H, group*chunk, page)
         if quantized:
             ks = ks_ref[:, 0]                         # (H, page, 1)
             s = s * ks.reshape(ks.shape[0], 1, -1)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * page_size
-        keep = pos < length
+        # per-row causal bound: row (g, j) attends pos < base + j + 1
+        j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % chunk
+        keep = pos < base + j + 1
         if window is not None:
-            keep &= pos >= length - window
+            keep &= pos >= base + j + 1 - window
         s = jnp.where(keep, s, -1e30)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
@@ -110,7 +120,7 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
                       q_ref, k_hbm, v_hbm, o_ref,
                       kbuf, vbuf, sems,
                       *, page_size: int, pages_per_seq: int,
-                      window: Optional[int] = None):
+                      window: Optional[int] = None, chunk: int = 1):
     """Manual double-buffered page walk (guide: Patterns/Double Buffering).
 
     One grid step = one sequence; pages stream HBM -> VMEM with two buffers,
@@ -122,12 +132,14 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
     so long histories pay only O(window) page loads.
     """
     b = pl.program_id(0)
-    length = lengths_ref[b]
+    length = lengths_ref[b]             # incl. the chunk (see _paged_kernel)
+    base = length - chunk
     n = (length + page_size - 1) // page_size
     p0 = jnp.int32(0)
     if window is not None:
-        p0 = jnp.maximum(length - window, 0) // page_size
-    q = q_ref[0]                                      # (H, group, d)
+        # earliest chunk row (j=0) attends positions >= base + 1 - window
+        p0 = jnp.maximum(base + 1 - window, 0) // page_size
+    q = q_ref[0]                                      # (H, group*chunk, d)
     h, group, dd = q.shape
 
     def dma(buf, hbm, i, slot, kind):
@@ -159,9 +171,10 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
             preferred_element_type=jnp.float32,
         )                                             # (H, group, page)
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * page_size
-        keep = pos < length
+        j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % chunk
+        keep = pos < base + j + 1
         if window is not None:
-            keep &= pos >= length - window
+            keep &= pos >= base + j + 1 - window
         s = jnp.where(keep, s, -1e30)
 
         m_curr = jnp.max(s, axis=-1, keepdims=True)
@@ -184,8 +197,8 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
 
 
 def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices,
-                               window=None):
-    b, n_kv_heads, group, d = qg.shape
+                               window=None, chunk=1):
+    b, n_kv_heads, group, d = qg.shape   # group already folds the chunk
     _, _, page_size, _ = k_pages.shape
     pages_per_seq = page_indices.shape[1]
 
@@ -208,7 +221,8 @@ def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices,
     )
     out = pl.pallas_call(
         functools.partial(_paged_dma_kernel, page_size=page_size,
-                          pages_per_seq=pages_per_seq, window=window),
+                          pages_per_seq=pages_per_seq, window=window,
+                          chunk=chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv_heads, group, d), qg.dtype),
         interpret=use_interpret_mode(),
@@ -218,7 +232,7 @@ def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices,
 
 
 def paged_attention(
-    q: Array,                      # (B, n_q_heads, d)
+    q: Array,                      # (B, n_q_heads, d) or (B, chunk, n_q_heads, d)
     k_pages: Array,                # (n_kv_heads, n_pages, page_size, d)
     v_pages: Array,
     lengths: Array,                # (B,) int32 valid tokens per sequence
@@ -230,8 +244,15 @@ def paged_attention(
     pipelined: bool = True,
     window: Optional[int] = None,
 ) -> Array:
-    """Decode-time attention of one query token per sequence against its
-    paged KV history.  Returns (B, n_q_heads, d).
+    """Decode-time attention of one query token (or a ``chunk`` of tokens)
+    per sequence against its paged KV history.  Returns (B, n_q_heads, d)
+    (or (B, chunk, n_q_heads, d) for a 4-d q).
+
+    A chunked q enables multi-token decode — speculative-decoding
+    verification and chunked prefill-extend: chunk row j sits at absolute
+    position ``lengths - chunk + j`` and attends causally within the chunk;
+    ``lengths`` counts valid tokens INCLUDING the chunk, whose K/V must
+    already be scattered into the pages.
 
     ``pipelined=True`` (bf16 pages only) uses the manual double-buffered DMA
     walk with a dynamic page-count loop; otherwise a pallas-grid schedule
@@ -239,7 +260,10 @@ def paged_attention(
     restricts attention to the last ``window`` positions (sliding-window
     decode): the pipelined walk STARTS at the first in-window page and the
     grid path skips out-of-window pages, so page loads are O(window)."""
-    b, n_q_heads, d = q.shape
+    chunked_in = q.ndim == 4
+    if not chunked_in:
+        q = q[:, None]                          # (B, 1, Hq, d)
+    b, chunk, n_q_heads, d = q.shape
     n_kv_heads, n_pages, page_size, _ = k_pages.shape
     assert n_q_heads % n_kv_heads == 0
     group = n_q_heads // n_kv_heads
@@ -247,18 +271,25 @@ def paged_attention(
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     quantized = k_scales is not None
 
-    # (B, Hq, d) -> (B, Hkv, group, d), prescaled; log2(e) folded in so the
-    # kernel's online softmax runs in exp2 (VPU-native).
-    qg = (q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
-          ).reshape(b, n_kv_heads, group, d)
+    # (B, chunk, Hq, d) -> (B, Hkv, group*chunk, d) with rows ordered
+    # (group, chunk) — the kernels recover j = row % chunk; prescaled with
+    # log2(e) folded in so the online softmax runs in exp2 (VPU-native).
+    qg = (q * jnp.asarray(scale * 1.4426950408889634, q.dtype))
+    qg = qg.reshape(b, chunk, n_kv_heads, group, d)
+    qg = qg.transpose(0, 2, 3, 1, 4).reshape(b, n_kv_heads, group * chunk, d)
+
+    def unfold(out):                            # (B, Hkv, group*chunk, d)
+        out = out.reshape(b, n_kv_heads, group, chunk, d)
+        out = out.transpose(0, 3, 1, 2, 4).reshape(b, chunk, n_q_heads, d)
+        return out if chunked_in else out[:, 0]
 
     # The manual-DMA path slices pages out of the (possibly VMEM-resident)
     # pool; Mosaic requires the minor dim of such slices to be lane-tile
     # aligned, so gate on d % 128 (the grid path handles sub-tile head dims).
     if pipelined and not quantized and d % 128 == 0:
         out = _paged_attention_pipelined(qg, k_pages, v_pages, lengths,
-                                         page_indices, window)
-        return out.reshape(b, n_q_heads, d)
+                                         page_indices, window, chunk)
+        return unfold(out)
 
     def q_map(b_, i_, pages, lens):
         return (b_, 0, 0, 0)
@@ -272,15 +303,18 @@ def paged_attention(
         hi = jnp.maximum(lens[b_] - 1, 0) // page_size
         i_ = jnp.minimum(i_, hi)
         if window is not None:
-            lo = jnp.maximum(lens[b_] - window, 0) // page_size
+            # earliest page the kernel runs: chunk row j=0 at position
+            # lens - chunk attends >= lens - chunk + 1 - window
+            lo = jnp.maximum(lens[b_] - chunk + 1 - window, 0) // page_size
             i_ = jnp.maximum(i_, jnp.minimum(lo, hi))
         return (0, pages[b_, i_], 0, 0)
 
     def o_map(b_, i_, pages, lens):
         return (b_, 0, 0, 0)
 
+    gc = group * chunk
     in_specs = [
-        pl.BlockSpec((1, n_kv_heads, group, d), q_map),
+        pl.BlockSpec((1, n_kv_heads, gc, d), q_map),
         pl.BlockSpec((n_kv_heads, 1, page_size, d), kv_map),
         pl.BlockSpec((n_kv_heads, 1, page_size, d), kv_map),
     ]
@@ -294,7 +328,7 @@ def paged_attention(
 
         kernel = functools.partial(
             _paged_kernel, page_size=page_size, quantized=True,
-            window=window,
+            window=window, chunk=chunk,
         )
     else:
         def kernel(pages_ref, lengths_ref, q_ref, k_ref, v_ref,
@@ -302,33 +336,38 @@ def paged_attention(
             return _paged_kernel(pages_ref, lengths_ref, q_ref, k_ref, v_ref,
                                  None, None, o_ref, m_scr, l_scr, acc_scr,
                                  page_size=page_size, quantized=False,
-                                 window=window)
+                                 window=window, chunk=chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, pages_per_seq),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_kv_heads, group, d), o_map),
+        out_specs=pl.BlockSpec((1, n_kv_heads, gc, d), o_map),
         scratch_shapes=[
-            pltpu.VMEM((n_kv_heads, group, 1), jnp.float32),
-            pltpu.VMEM((n_kv_heads, group, 1), jnp.float32),
-            pltpu.VMEM((n_kv_heads, group, d), jnp.float32),
+            pltpu.VMEM((n_kv_heads, gc, 1), jnp.float32),
+            pltpu.VMEM((n_kv_heads, gc, 1), jnp.float32),
+            pltpu.VMEM((n_kv_heads, gc, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_kv_heads, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_kv_heads, gc, d), q.dtype),
         interpret=use_interpret_mode(),
     )(page_indices.astype(jnp.int32), lengths.astype(jnp.int32), *args)
-    return out.reshape(b, n_q_heads, d)
+    return unfold(out)
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
                               k_scales=None, v_scales=None, sm_scale=None,
                               window=None):
-    """jnp oracle: gather pages densely, mask by length, full softmax."""
-    b, n_q_heads, d = q.shape
+    """jnp oracle: gather pages densely, mask by length, full softmax.
+    ``q`` may be (B, Hq, d) or chunked (B, chunk, Hq, d) — chunk row j sits
+    at position ``lengths - chunk + j`` (same convention as the kernel)."""
+    chunked_in = q.ndim == 4
+    if not chunked_in:
+        q = q[:, None]
+    b, chunk, n_q_heads, d = q.shape
     n_kv_heads, _, page_size, _ = k_pages.shape
     group = n_q_heads // n_kv_heads
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
@@ -340,13 +379,18 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     k_seq = k_seq.reshape(b, n_kv_heads, -1, d)
     v_seq = v_pages[:, page_indices].transpose(1, 0, 2, 3, 4)
     v_seq = v_seq.reshape(b, n_kv_heads, -1, d)
-    qg = q.reshape(b, n_kv_heads, group, d).astype(jnp.float32)
-    s = jnp.einsum("bhgd,bhkd->bhgk", qg, k_seq.astype(jnp.float32)) * scale
-    pos = jnp.arange(s.shape[-1])[None, None, None]
-    keep = pos < lengths[:, None, None, None]
+    qg = q.reshape(b, chunk, n_kv_heads, group, d).astype(jnp.float32)
+    s = jnp.einsum("bjhgd,bhkd->bjhgk", qg,
+                   k_seq.astype(jnp.float32)) * scale
+    pos = jnp.arange(s.shape[-1])[None, None, None, None, :]  # (1,1,1,1,K)
+    bound = (lengths[:, None] - chunk + 1
+             + jnp.arange(chunk)[None, :])          # (B, chunk) exclusive
+    bound = bound[:, :, None, None, None]
+    keep = pos < bound
     if window is not None:
-        keep &= pos >= lengths[:, None, None, None] - window
+        keep &= pos >= bound - window
     s = jnp.where(keep, s, -1e30)
     w = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgk,bhkd->bhgd", w, v_seq.astype(jnp.float32))
-    return o.reshape(b, n_q_heads, d).astype(q.dtype)
+    o = jnp.einsum("bjhgk,bhkd->bjhgd", w, v_seq.astype(jnp.float32))
+    o = o.reshape(b, chunk, n_q_heads, d).astype(q.dtype)
+    return o if chunked_in else o[:, 0]

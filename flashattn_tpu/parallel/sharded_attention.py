@@ -96,7 +96,9 @@ def sharded_paged_attention(
     """
     from ..ops.paged_attention import paged_attention
 
-    q_spec = P(None, head_axis, None)
+    # q: (B, Hq, d) single-token or (B, chunk, Hq, d) multi-token decode
+    q_spec = (P(None, head_axis, None) if q.ndim == 3
+              else P(None, None, head_axis, None))
     pool_spec = P(head_axis, None, None, None)
     rep = P()
 

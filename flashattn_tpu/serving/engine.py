@@ -113,7 +113,8 @@ class ContinuousBatchingEngine:
                  pages_per_seq: int = 16, total_pages: Optional[int] = None,
                  dtype=jnp.float32, collect_logits: bool = False,
                  steps_per_dispatch: int = 8, mesh=None,
-                 head_axis: str = "model", seed: int = 0):
+                 head_axis: str = "model", seed: int = 0,
+                 draft_model=None, spec_len: int = 4):
         self.model = model.eval()
         self.mesh = mesh
         if mesh is not None:
@@ -167,11 +168,55 @@ class ContinuousBatchingEngine:
         # max(0, length+1-window)//page_size and _release_behind_window
         # frees strictly below that, so freed pages are never referenced.
         self._window = None
-        layers = getattr(self.model, "layers", None)
+        layers = list(getattr(self.model, "layers", None) or [])
+        if draft_model is not None:
+            # the rolling release threshold must satisfy the WIDEST reader
+            # across BOTH models (the draft walks the same page ids)
+            layers += list(getattr(draft_model, "layers", None) or [])
         if layers:
             windows = [getattr(l.attention, "window", None) for l in layers]
             if windows and all(w is not None for w in windows):
                 self._window = max(windows)
+
+        # Speculative decoding (greedy-exact): a cheap draft model proposes
+        # spec_len-1 tokens sequentially, the target verifies the whole
+        # chunk in ONE multi-token pass (forward_extend_paged); the accepted
+        # prefix plus the target's own next token land per wave, so the
+        # expensive model runs once per ~n_accepted tokens instead of once
+        # per token.  Greedy acceptance (draft token == target argmax) makes
+        # the output IDENTICAL to plain greedy decoding.
+        self.draft_model = None
+        self.spec_len = spec_len
+        self.spec_stats = [0, 0]   # [accepted tokens, waves]
+        if draft_model is not None:
+            assert mesh is None, "speculative + TP serving not wired yet"
+            self.draft_model = draft_model.eval()
+            self.draft_pools = self.draft_model.init_page_pools(
+                total_pages + 1, page_size, dtype)
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3),
+                               static_argnames=("n_spec",))
+            def _spec_step(tmodel, dmodel, tpools, dpools, tokens, table,
+                           lengths, n_spec):
+                def body(carry, _):
+                    dpools, tok, lens = carry
+                    logits, dpools = dmodel.forward_decode_paged(
+                        tok[:, None], dpools, table, lens)
+                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    return (dpools, nxt, lens + 1), nxt
+
+                # n_spec draft steps write positions L..L+n_spec-1 into the
+                # draft pools (keeping them warm for the next wave) and emit
+                # d_1..d_n; the chunk verifies [t, d_1..d_{n-1}]
+                (dpools, _, _), drafts = jax.lax.scan(
+                    body, (dpools, tokens, lengths), None, length=n_spec)
+                chunk = jnp.concatenate([tokens[None], drafts[:-1]], 0).T
+                logits, tpools = tmodel.forward_extend_paged(
+                    chunk, tpools, table, lengths)
+                greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, n)
+                return tpools, dpools, drafts[:-1].T, greedy
+
+            self._jit_spec = _spec_step
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy",))
@@ -320,6 +365,12 @@ class ContinuousBatchingEngine:
         self.pools, sampled, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
             jnp.asarray(lens), temps, topks, self._next_key(), greedy=greedy)
+        if self.draft_model is not None:
+            # the draft's pools must hold the same history (same page ids)
+            self.draft_pools, _, _ = self._jit_prefill(
+                self.draft_model, self.draft_pools, jnp.asarray(tokens),
+                jnp.asarray(table), jnp.asarray(lens), temps, topks,
+                self._next_key(), greedy=True)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             logits = np.asarray(logits)
@@ -345,15 +396,23 @@ class ContinuousBatchingEngine:
             if (len(req.generated) >= req.max_new_tokens or hit_eos
                     or slot.length >= self.capacity):
                 self._retire(i)
-            elif (n % self.page_size == 0
-                  and n // self.page_size >= len(slot.pages)):
-                if self.pool.n_free == 0:
-                    req.truncated = True
-                    self._retire(i)
-                else:
-                    page = self.pool.alloc()
-                    slot.pages.append(page)
-                    self.page_table[i, len(slot.pages) - 1] = page
+            elif not self._ensure_pages(i, slot.length):
+                req.truncated = True
+                self._retire(i)
+
+    def _ensure_pages(self, i: int, upto_pos: int) -> bool:
+        """Allocate pages so the slot owns every table column up to the one
+        holding ``upto_pos``; False (no change rolled back beyond what was
+        already owned) if the pool runs dry."""
+        slot = self.slots[i]
+        need_cols = min(upto_pos // self.page_size + 1, self.pages_per_seq)
+        while len(slot.pages) < need_cols:
+            if self.pool.n_free == 0:
+                return False
+            page = self.pool.alloc()
+            slot.pages.append(page)
+            self.page_table[i, len(slot.pages) - 1] = page
+        return True
 
     def _release_behind_window(self, i: int) -> None:
         """Return pages wholly behind the sliding window to the pool."""
@@ -379,6 +438,62 @@ class ContinuousBatchingEngine:
         # reset the WHOLE row: stale columns would route a later prefill's
         # padding-position scatters into pages owned by live requests
         self.page_table[i, :] = self._trash_page
+
+    def _spec_ready(self, active: List[int]) -> bool:
+        """Speculative wave allowed: greedy-only (greedy acceptance is only
+        exact for argmax decoding), no pending admission, no logits
+        collection, and every active slot has room for the whole wave."""
+        if (self.draft_model is None or self.spec_len < 2
+                or self.collect_logits):
+            return False
+        if self.queue and any(s is None for s in self.slots):
+            return False
+        for i in active:
+            slot = self.slots[i]
+            req = slot.request
+            if req.temperature > 0:
+                return False
+            if slot.length + self.spec_len > self.capacity:
+                return False
+        # preallocate write room for positions length..length+spec_len-1
+        return all(self._ensure_pages(i, self.slots[i].length
+                                      + self.spec_len - 1) for i in active)
+
+    def _run_spec(self, active, tokens, lengths) -> None:
+        self.pools, self.draft_pools, drafts, greedy = self._jit_spec(
+            self.model, self.draft_model, self.pools, self.draft_pools,
+            jnp.asarray(tokens), jnp.asarray(self.page_table),
+            jnp.asarray(lengths), n_spec=self.spec_len)
+        drafts = np.asarray(drafts)          # (B, spec_len-1) draft proposals
+        greedy = np.asarray(greedy)          # (B, spec_len) target argmaxes
+        for i in active:
+            slot = self.slots[i]
+            req = slot.request
+            # accept the draft prefix the target agrees with, plus the
+            # target's own next token — exact greedy semantics
+            n_acc = 1
+            while (n_acc < self.spec_len
+                   and drafts[i, n_acc - 1] == greedy[i, n_acc - 1]):
+                n_acc += 1
+            self.spec_stats[0] += n_acc
+            self.spec_stats[1] += 1
+            retired = False
+            for t in range(n_acc):
+                tok = int(greedy[i, t])
+                slot.length += 1
+                req.generated.append(tok)
+                slot.next_input = tok
+                hit_eos = req.eos_id is not None and tok == req.eos_id
+                if (len(req.generated) >= req.max_new_tokens or hit_eos
+                        or slot.length >= self.capacity):
+                    self._retire(i)
+                    retired = True
+                    break
+            if not retired:
+                self._release_behind_window(i)
+                if not self._ensure_pages(i, slot.length):
+                    req.truncated = True
+                    self._retire(i)
 
     def _decode_chunk_len(self, active: List[int]) -> int:
         """How many pure-decode steps can run device-side before ANY host
@@ -422,17 +537,10 @@ class ContinuousBatchingEngine:
                 if (len(req.generated) >= req.max_new_tokens
                         or slot.length >= self.capacity):
                     self._retire(i)
-                elif (slot.length % self.page_size == 0
-                      and slot.length // self.page_size < self.pages_per_seq):
-                    # chunk ended exactly on a page boundary: next token
-                    # needs a fresh page (truncate on pool exhaustion)
-                    if self.pool.n_free == 0:
-                        req.truncated = True
-                        self._retire(i)
-                    else:
-                        page = self.pool.alloc()
-                        slot.pages.append(page)
-                        self.page_table[i, len(slot.pages) - 1] = page
+                elif not self._ensure_pages(i, slot.length):
+                    # next write position needs a page the pool can't supply
+                    req.truncated = True
+                    self._retire(i)
 
     def step(self) -> bool:
         """One engine iteration: admit (+ batched prefill), decode one token
@@ -450,6 +558,10 @@ class ContinuousBatchingEngine:
         for i in active:
             tokens[i] = self.slots[i].next_input
             lengths[i] = self.slots[i].length
+
+        if self._spec_ready(active):
+            self._run_spec(active, tokens, lengths)
+            return True
 
         n_steps = self._decode_chunk_len(active)
         if n_steps > 1:
@@ -483,13 +595,7 @@ class ContinuousBatchingEngine:
             if (len(req.generated) >= req.max_new_tokens or hit_eos
                     or slot.length >= self.capacity):
                 self._retire(i)
-            elif (slot.length % self.page_size == 0
-                  and slot.length // self.page_size < self.pages_per_seq):
-                if self.pool.n_free == 0:
-                    req.truncated = True
-                    self._retire(i)
-                else:
-                    page = self.pool.alloc()
-                    slot.pages.append(page)
-                    self.page_table[i, len(slot.pages) - 1] = page
+            elif not self._ensure_pages(i, slot.length):
+                req.truncated = True
+                self._retire(i)
         return True

@@ -24,11 +24,13 @@ NEW_TOKENS = 64
 PROMPT_LEN = 64
 
 
-def run(model, *, steps_per_dispatch, temperature=0.0, label=""):
+def run(model, *, steps_per_dispatch, temperature=0.0, label="",
+        draft_model=None, spec_len=4):
     rng = np.random.default_rng(0)
     eng = ContinuousBatchingEngine(
         model, max_batch=N_REQ, page_size=128, pages_per_seq=8,
-        steps_per_dispatch=steps_per_dispatch)
+        steps_per_dispatch=steps_per_dispatch,
+        draft_model=draft_model, spec_len=spec_len)
     prompts = [list(rng.integers(1, 999, size=PROMPT_LEN))
                for _ in range(N_REQ)]
     # warmup: jit-compile prefill + every decode-chunk variant on a
@@ -44,8 +46,12 @@ def run(model, *, steps_per_dispatch, temperature=0.0, label=""):
     dt = time.perf_counter() - t0
     toks = sum(len(r.generated) for r in reqs)
     total = toks + N_REQ * PROMPT_LEN
+    extra = ""
+    if eng.spec_stats[1]:
+        acc, waves = eng.spec_stats
+        extra = f"  acc {acc / waves:.2f}/{spec_len}"
     print(f"{label:34s} {toks / dt:8.0f} new tok/s   "
-          f"({total / dt:8.0f} incl. prompts, {dt * 1e3:7.0f} ms)")
+          f"({total / dt:8.0f} incl. prompts, {dt * 1e3:7.0f} ms){extra}")
     return toks / dt
 
 
@@ -57,6 +63,15 @@ def main():
     run(model, steps_per_dispatch=8, label="greedy, 8 steps/dispatch")
     run(model, steps_per_dispatch=8, temperature=0.8,
         label="sampled t=0.8 topk=0, 8 steps")
+    # speculative: an UNTRAINED draft is a worst case for acceptance; the
+    # self-draft row shows the ceiling (acceptance == spec_len)
+    draft = ft.DecoderLM(1000, 128, 2, 4096, p_dropout=0.0, n_layer=1,
+                         attn_impl="reference",
+                         key=jax.random.PRNGKey(3)).eval()
+    run(model, steps_per_dispatch=8, draft_model=draft, spec_len=4,
+        label="speculative (1L/128 draft, k=4)")
+    run(model, steps_per_dispatch=8, draft_model=model, spec_len=4,
+        label="speculative (self draft ceiling)")
 
 
 if __name__ == "__main__":

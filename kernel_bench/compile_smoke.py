@@ -197,6 +197,18 @@ def main():
     o128 = paged_attention(qd128, kp128, kp128, lengths, pidx, pipelined=True)
     ok &= check("paged decode D=128 pipelined (manual DMA)", o128, ref128, 2e-2)
 
+    # chunked (multi-token) decode: speculative verification primitive
+    qc = jax.random.normal(key, (4, 4, Hq, 128), jnp.bfloat16)
+    lens_c = jnp.asarray([45, 4, 130, 128 * 7], jnp.int32)  # incl. chunk
+    refc = paged_attention_reference(qc, kp128, kp128, lens_c, pidx)
+    for pipe in [True, False]:
+        oc = paged_attention(qc, kp128, kp128, lens_c, pidx, pipelined=pipe)
+        ok &= check(f"paged chunk=4 pipelined={pipe}", oc, refc, 2e-2)
+    refcw = paged_attention_reference(qc, kp128, kp128, lens_c, pidx,
+                                      window=64)
+    ocw = paged_attention(qc, kp128, kp128, lens_c, pidx, window=64)
+    ok &= check("paged chunk=4 window=64", ocw, refcw, 2e-2)
+
     # sliding-window decode: pipelined walk starts mid-table (p0 > 0), grid
     # path skips out-of-window pages; window crossing a page boundary
     for win in (64, 300):
