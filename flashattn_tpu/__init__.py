@@ -43,6 +43,7 @@ from .models.seq2seq import (
     EncoderDecoderLM,
     EncoderLayer,
 )
+from .models.moe import MoEFeedForward
 
 __version__ = "0.1.0"
 
@@ -74,4 +75,5 @@ __all__ = [
     "CrossDecoderLayer",
     "EncoderDecoderLM",
     "EncoderLayer",
+    "MoEFeedForward",
 ]

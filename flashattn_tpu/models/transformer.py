@@ -477,6 +477,7 @@ class TransformerLayer(Module):
                  attn_impl: AttnImpl = "flash",
                  pos_encoding: str = "none", rope_theta: float = 10000.0,
                  window: Optional[int] = None,
+                 n_experts: Optional[int] = None, moe_top_k: int = 2,
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
         ka, kf = jax.random.split(key)
@@ -486,7 +487,14 @@ class TransformerLayer(Module):
             pos_encoding=pos_encoding, rope_theta=rope_theta, window=window,
             key=ka, dtype=dtype,
         )
-        self.ff = FeedForward(n_embd, middle_dim, p_dropout, bias, key=kf, dtype=dtype)
+        if n_experts:
+            from .moe import MoEFeedForward
+
+            self.ff = MoEFeedForward(n_embd, middle_dim, n_experts,
+                                     top_k=moe_top_k, key=kf, dtype=dtype)
+        else:
+            self.ff = FeedForward(n_embd, middle_dim, p_dropout, bias,
+                                  key=kf, dtype=dtype)
         if use_fused_layernorm:
             self.ln_1 = FusedLayerNorm(n_embd, ln_eps, dtype=dtype)
             self.ln_2 = FusedLayerNorm(n_embd, ln_eps, dtype=dtype)
@@ -499,6 +507,17 @@ class TransformerLayer(Module):
         x = x + self.attention(self.ln_1(x), key=k1)
         x = x + self.ff(self.ln_2(x), key=k2)
         return x
+
+    def forward_with_aux(self, x: Array, key: Optional[jax.Array] = None):
+        """(x, aux): MoE layers surface the load-balancing loss; dense
+        layers report 0."""
+        k1, k2 = _split(key, 2)
+        x = x + self.attention(self.ln_1(x), key=k1)
+        if hasattr(self.ff, "forward_with_aux"):
+            y, aux = self.ff.forward_with_aux(self.ln_2(x), key=k2)
+        else:
+            y, aux = self.ff(self.ln_2(x), key=k2), jnp.float32(0.0)
+        return x + y, aux
 
     def forward_decode(self, x: Array, cache: dict, index: Array):
         attn, cache = self.attention.forward_decode(self.ln_1(x), cache, index)
@@ -546,6 +565,7 @@ class DecoderLM(Module):
                  attn_impl: AttnImpl = "flash",
                  pos_encoding: str = "learned", rope_theta: float = 10000.0,
                  window: Optional[int] = None,
+                 n_experts: Optional[int] = None, moe_top_k: int = 2,
                  use_fused_layernorm: bool = True,
                  key: jax.Array, dtype=jnp.float32):
         self.n_embd = n_embd
@@ -569,6 +589,7 @@ class DecoderLM(Module):
                 attn_impl=attn_impl,
                 pos_encoding="rope" if pos_encoding == "rope" else "none",
                 rope_theta=rope_theta, window=window,
+                n_experts=n_experts, moe_top_k=moe_top_k,
                 use_fused_layernorm=use_fused_layernorm,
                 key=keys[2 + i], dtype=dtype,
             )
@@ -598,6 +619,22 @@ class DecoderLM(Module):
             x = layer(x, key=k)
         x = self.ln(x)
         return self.lm_head(x)
+
+    def forward_with_aux(self, idx: Array,
+                         key: Optional[jax.Array] = None):
+        """(logits, aux): summed MoE load-balancing loss across layers
+        (0 for dense models) — add ``alpha * aux`` to the training loss."""
+        bs, seq = idx.shape
+        pos = jnp.arange(seq, dtype=jnp.int32)[None, :]
+        x = self._embed(idx, pos)
+        keys = _split(key, len(self.layers) + 1)
+        x = self.dropout(x, key=keys[0])
+        aux = jnp.float32(0.0)
+        for layer, k in zip(self.layers, keys[1:]):
+            x, a = layer.forward_with_aux(x, key=k)
+            aux = aux + a
+        x = self.ln(x)
+        return self.lm_head(x), aux
 
     # -- KV-cached decoding --------------------------------------------------
 

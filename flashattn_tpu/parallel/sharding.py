@@ -65,6 +65,12 @@ _TP_RULES = [
     ("linear_out.scales", lambda m: P()),
     ("lm_head.values", lambda m: P(None, m)),
     ("lm_head.scales", lambda m: P(None, m)),
+    # Expert parallelism: stacked expert weights shard over the expert
+    # (leading) axis; the router replicates and GSPMD inserts the
+    # all-to-alls around the dispatch/combine einsums.
+    ("ff.experts_in", lambda m: P(m, None, None)),
+    ("ff.experts_out", lambda m: P(m, None, None)),
+    ("ff.router.weights", lambda m: P()),
 ]
 
 

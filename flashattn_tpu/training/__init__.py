@@ -2,6 +2,7 @@ from .trainer import (
     ShardedTrainer,
     lm_loss,
     make_eval_step,
+    make_moe_loss,
     make_train_scan,
     make_train_step,
 )

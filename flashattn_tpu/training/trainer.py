@@ -49,6 +49,27 @@ def lm_loss(model: Any, tokens: Array, targets: Array,
     return total / count
 
 
+def make_moe_loss(aux_alpha: float = 0.01) -> Callable[..., Array]:
+    """Masked LM loss + the Switch load-balancing auxiliary (the model's
+    ``forward_with_aux`` sums it over MoE layers).  Drop-in loss_fn for
+    make_train_step / make_train_scan."""
+
+    def loss_fn(model, tokens, targets, loss_mask=None, key=None):
+        logits, aux = model.forward_with_aux(tokens, key=key)
+        n_vocab = logits.shape[-1]
+        losses = F.softmax_loss(
+            logits.reshape(-1, n_vocab), targets.reshape(-1)
+        ).reshape(targets.shape)
+        if loss_mask is None:
+            ce = jnp.mean(losses)
+        else:
+            ce = (jnp.sum(losses * loss_mask)
+                  / jnp.maximum(jnp.sum(loss_mask), 1.0))
+        return ce + aux_alpha * aux
+
+    return loss_fn
+
+
 def make_train_step(opt: Any,
                     loss_fn: Callable[..., Array] = lm_loss,
                     donate: bool = True,
