@@ -36,6 +36,7 @@ class MoEFeedForward(Module):
 
     def __init__(self, n_embd: int, middle_dim: int, n_experts: int, *,
                  top_k: int = 2, capacity_factor: float = 1.25,
+                 p_dropout: float = 0.0,
                  key: jax.Array, dtype=jnp.float32):
         assert top_k in (1, 2)
         self.n_embd = n_embd
@@ -43,6 +44,9 @@ class MoEFeedForward(Module):
         self.n_experts = n_experts
         self.top_k = top_k
         self.capacity_factor = capacity_factor
+        from ..nn.basic import Dropout
+
+        self.dropout = Dropout(p_dropout)
         kr, ki, ko = jax.random.split(key, 3)
         self.router = Linear(n_embd, n_experts, bias=False, key=kr,
                              dtype=dtype)
@@ -59,8 +63,10 @@ class MoEFeedForward(Module):
             # dropless at inference: capacity drops are a TRAINING
             # throughput/balance trade-off, but at eval they make outputs
             # depend on what else is in the batch — cached decode would
-            # diverge from the full forward
-            return n_tokens * self.top_k
+            # diverge from the full forward.  n_tokens slots suffice: the
+            # top-k choices per token are DISTINCT experts, so one expert
+            # receives at most n_tokens assignments.
+            return n_tokens
         cap = int(math.ceil(n_tokens * self.top_k * self.capacity_factor
                             / self.n_experts))
         return max(cap, self.top_k)
@@ -108,9 +114,14 @@ class MoEFeedForward(Module):
             top_mask = top_mask + onehot
             masked = masked * (1.0 - onehot)                 # exclude chosen
 
-        # renormalise the kept top-k gates (Mixtral convention)
-        denom = jnp.maximum(gate_sum, 1e-9)[:, None, None]
-        combine = combine / denom
+        if self.top_k > 1:
+            # renormalise the kept gates (Mixtral convention): the router
+            # still gets task gradient through the RELATIVE weighting
+            denom = jnp.maximum(gate_sum, 1e-9)[:, None, None]
+            combine = combine / denom
+        # top-1 keeps the RAW gate (Switch): renormalising would make the
+        # multiplier exactly 1 and kill the router's task-loss gradient
+        # (routing would then learn from the aux loss alone)
         dispatch = (combine > 0.0).astype(xt.dtype)          # (T, E, cap)
 
         expert_in = jnp.einsum("tec,td->ecd", dispatch, xt)  # (E, cap, d)
@@ -123,7 +134,8 @@ class MoEFeedForward(Module):
         frac_probs = jnp.mean(probs, axis=0)
         aux = jnp.sum(frac_tokens * frac_probs) * e
 
-        return y.reshape(orig_shape), aux
+        y = self.dropout(y.reshape(orig_shape), key=key)
+        return y, aux
 
     def forward(self, x: Array, key: Optional[jax.Array] = None) -> Array:
         return self.forward_with_aux(x, key)[0]

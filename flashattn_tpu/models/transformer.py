@@ -376,75 +376,15 @@ class MultiHeadAttention(Module):
 
     def forward_decode_paged(self, x: Array, pool: dict, page_table: Array,
                              lengths: Array):
-        """One decode step against a paged KV pool.
+        """One decode step against a paged KV pool: the k=1 special case of
+        :meth:`forward_extend_paged` (one body — scatter/quantize/rope/
+        attention dispatch cannot diverge between the paths).
 
         x: (B, 1, E); page_table: (B, pages_per_seq) int32 physical page ids;
         lengths: (B,) tokens already in each sequence's cache (the new token
         lands at position ``lengths``).  Returns (out (B,1,E), updated pool).
         """
-        bs = x.shape[0]
-        page_size = pool["k"].shape[2]
-        quantized = "ks" in pool
-        q, k, v = self.project_to_query_key_value(x)      # (B, nh, 1, hd)
-        # per-sequence positions: the new token sits at ``lengths``
-        q, k = self._rope(q, k, lengths.astype(jnp.int32)[:, None])
-
-        slot = lengths // page_size                        # (B,) table column
-        page_ids = jnp.take_along_axis(page_table, slot[:, None], axis=1)[:, 0]
-        offs = lengths % page_size
-        # scatter the new token's K/V into its page: pool (nh, P, page, hd)
-        k_new = k[:, :, 0].transpose(1, 0, 2)              # (nh, B, hd)
-        v_new = v[:, :, 0].transpose(1, 0, 2)
-        if quantized:
-            k_pay, k_sc = _quantize_kv(k_new, pool["k"].dtype)
-            v_pay, v_sc = _quantize_kv(v_new, pool["v"].dtype)
-            pool = {
-                "k": pool["k"].at[:, page_ids, offs].set(k_pay),
-                "v": pool["v"].at[:, page_ids, offs].set(v_pay),
-                "ks": pool["ks"].at[:, page_ids, offs].set(k_sc),
-                "vs": pool["vs"].at[:, page_ids, offs].set(v_sc),
-            }
-            if self.mesh is not None:
-                from ..parallel.sharded_attention import sharded_paged_attention
-
-                out = sharded_paged_attention(
-                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
-                    mesh=self.mesh, head_axis=self.mesh_head_axis,
-                    k_scales=pool["ks"], v_scales=pool["vs"],
-                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-                    window=self.window,
-                )
-            else:
-                out = paged_attention(
-                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
-                    k_scales=pool["ks"], v_scales=pool["vs"],
-                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-                    window=self.window,
-                )
-        else:
-            pool = {
-                "k": pool["k"].at[:, page_ids, offs].set(
-                    k_new.astype(pool["k"].dtype)),
-                "v": pool["v"].at[:, page_ids, offs].set(
-                    v_new.astype(pool["v"].dtype)),
-            }
-            if self.mesh is not None:
-                from ..parallel.sharded_attention import sharded_paged_attention
-
-                out = sharded_paged_attention(
-                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
-                    mesh=self.mesh, head_axis=self.mesh_head_axis,
-                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-                    window=self.window,
-                )
-            else:
-                out = paged_attention(
-                    q[:, :, 0], pool["k"], pool["v"], lengths + 1, page_table,
-                    sm_scale=1.0 / math.sqrt(self.attn_hidden_dim),
-                    window=self.window,
-                )                                          # (B, nh, hd)
-        out = out.reshape(bs, 1, self.n_embd)
-        return self.out_projection(out), pool
+        return self.forward_extend_paged(x, pool, page_table, lengths)
 
 
 class FeedForward(Module):
@@ -491,7 +431,8 @@ class TransformerLayer(Module):
             from .moe import MoEFeedForward
 
             self.ff = MoEFeedForward(n_embd, middle_dim, n_experts,
-                                     top_k=moe_top_k, key=kf, dtype=dtype)
+                                     top_k=moe_top_k, p_dropout=p_dropout,
+                                     key=kf, dtype=dtype)
         else:
             self.ff = FeedForward(n_embd, middle_dim, p_dropout, bias,
                                   key=kf, dtype=dtype)
@@ -503,14 +444,12 @@ class TransformerLayer(Module):
             self.ln_2 = LayerNorm1d(n_embd, ln_eps, dtype=dtype)
 
     def forward(self, x: Array, key: Optional[jax.Array] = None) -> Array:
-        k1, k2 = _split(key, 2)
-        x = x + self.attention(self.ln_1(x), key=k1)
-        x = x + self.ff(self.ln_2(x), key=k2)
-        return x
+        return self.forward_with_aux(x, key=key)[0]
 
     def forward_with_aux(self, x: Array, key: Optional[jax.Array] = None):
         """(x, aux): MoE layers surface the load-balancing loss; dense
-        layers report 0."""
+        layers report 0.  ``forward`` is this with the aux dropped — one
+        body so train/inference paths cannot diverge."""
         k1, k2 = _split(key, 2)
         x = x + self.attention(self.ln_1(x), key=k1)
         if hasattr(self.ff, "forward_with_aux"):
@@ -610,20 +549,13 @@ class DecoderLM(Module):
 
     def forward(self, idx: Array, key: Optional[jax.Array] = None) -> Array:
         """(B,S) int32 token ids -> (B,S,n_vocab) logits."""
-        bs, seq = idx.shape
-        pos = jnp.arange(seq, dtype=jnp.int32)[None, :]
-        x = self._embed(idx, pos)
-        keys = _split(key, len(self.layers) + 1)
-        x = self.dropout(x, key=keys[0])
-        for layer, k in zip(self.layers, keys[1:]):
-            x = layer(x, key=k)
-        x = self.ln(x)
-        return self.lm_head(x)
+        return self.forward_with_aux(idx, key=key)[0]
 
     def forward_with_aux(self, idx: Array,
                          key: Optional[jax.Array] = None):
         """(logits, aux): summed MoE load-balancing loss across layers
-        (0 for dense models) — add ``alpha * aux`` to the training loss."""
+        (0 for dense models) — add ``alpha * aux`` to the training loss.
+        ``forward`` is this with the aux dropped (single body)."""
         bs, seq = idx.shape
         pos = jnp.arange(seq, dtype=jnp.int32)[None, :]
         x = self._embed(idx, pos)

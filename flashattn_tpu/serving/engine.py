@@ -188,6 +188,12 @@ class ContinuousBatchingEngine:
         self.draft_model = None
         self.spec_len = spec_len
         self.spec_stats = [0, 0]   # [accepted tokens, waves]
+        if draft_model is not None and collect_logits:
+            # _spec_ready is permanently False under collect_logits; keeping
+            # the draft would pay a useless prefill dispatch per admission
+            print("[engine] collect_logits disables speculative decoding; "
+                  "ignoring draft_model")
+            draft_model = None
         if draft_model is not None:
             assert mesh is None, "speculative + TP serving not wired yet"
             self.draft_model = draft_model.eval()
@@ -455,9 +461,37 @@ class ContinuousBatchingEngine:
                 return False
             if slot.length + self.spec_len > self.capacity:
                 return False
-        # preallocate write room for positions length..length+spec_len-1
-        return all(self._ensure_pages(i, self.slots[i].length
-                                      + self.spec_len - 1) for i in active)
+        # all-or-nothing preallocation of write room for positions
+        # length..length+spec_len-1: COUNT first so a half-failed prealloc
+        # can't strand pages one slot grabbed while another went dry (which
+        # would later truncate requests a plain-greedy engine completes)
+        need = 0
+        for i in active:
+            slot = self.slots[i]
+            need_cols = min((slot.length + self.spec_len - 1)
+                            // self.page_size + 1, self.pages_per_seq)
+            need += max(0, need_cols - len(slot.pages))
+        if need > self.pool.n_free:
+            return False
+        for i in active:
+            ok = self._ensure_pages(i, self.slots[i].length
+                                    + self.spec_len - 1)
+            assert ok  # guaranteed by the count above
+        return True
+
+    def _trim_pages(self, i: int) -> None:
+        """Release trailing pages beyond the next write position (stranded
+        speculative preallocation), so fallback paths see the same pool a
+        draft-free engine would."""
+        slot = self.slots[i]
+        needed_cols = slot.length // self.page_size + 1
+        freed = []
+        while len(slot.pages) > needed_cols and slot.pages[-1] is not None:
+            idx = len(slot.pages) - 1
+            freed.append(slot.pages.pop())
+            self.page_table[i, idx] = self._trash_page
+        if freed:
+            self.pool.release(freed)
 
     def _run_spec(self, active, tokens, lengths) -> None:
         self.pools, self.draft_pools, drafts, greedy = self._jit_spec(
@@ -559,9 +593,12 @@ class ContinuousBatchingEngine:
             tokens[i] = self.slots[i].next_input
             lengths[i] = self.slots[i].length
 
-        if self._spec_ready(active):
-            self._run_spec(active, tokens, lengths)
-            return True
+        if self.draft_model is not None:
+            if self._spec_ready(active):
+                self._run_spec(active, tokens, lengths)
+                return True
+            for i in active:   # return any stranded speculative prealloc
+                self._trim_pages(i)
 
         n_steps = self._decode_chunk_len(active)
         if n_steps > 1:

@@ -202,6 +202,12 @@ def beam_search_generate(model, prompt: Array,
     length penalty.  The reference's generate is greedy one-by-one with no
     cache (run_machine_translation.py:271-328).
 
+    Known cost: the prompt phase runs with beams already replicated (they
+    stay in lockstep via the identity parent), paying beam_size x the
+    prompt FLOPs.  Fine for MT-scale prompts; for long prompts, prefill at
+    batch B and tile the caches before calling (ragged per-row prompt ends
+    make the in-scan handoff the simpler correct choice here).
+
     Returns (B, max_prompt + max_new_tokens): each row's best hypothesis.
     """
     b, max_prompt = prompt.shape

@@ -54,6 +54,18 @@ def test_capacity_overflow_drops_not_corrupts():
     assert float(jnp.min(norms)) == 0.0
 
 
+def test_top1_router_gets_task_gradient():
+    """Switch top-1 keeps the RAW gate as the multiplier — renormalising
+    would make it exactly 1 and cut the router off from the task loss."""
+    key = jax.random.PRNGKey(20)
+    moe = MoEFeedForward(16, 32, 4, top_k=1, capacity_factor=4.0, key=key)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 16, 16))
+
+    # task-only loss (NO aux): router grad must still be nonzero
+    g = jax.grad(lambda m: jnp.sum(m(x) ** 2))(moe)
+    assert float(jnp.abs(g.router.weights).sum()) > 0
+
+
 def test_grads_reach_all_experts():
     key = jax.random.PRNGKey(6)
     moe = MoEFeedForward(16, 32, 4, top_k=2, capacity_factor=2.0, key=key)
