@@ -332,10 +332,18 @@ class MultiHeadAttention(Module):
             kk, dtype=jnp.int32)[None]                 # (B, k)
         q, k = self._rope(q, k, positions)
 
-        # scatter the chunk's K/V at per-row offsets (pages already owned)
-        cols = positions // page_size                  # (B, k) table columns
+        # scatter the chunk's K/V at per-row offsets (pages already owned).
+        # Positions are clamped to the table's capacity for the WRITE only:
+        # chunked prefill pads its final wave past short rows' prompts, and
+        # an out-of-range table column would otherwise be clamped by
+        # take_along_axis onto the row's LAST REAL page.  Clamped writes
+        # collapse onto position capacity-1, whose offset is overwritten
+        # before any read (attention is bounded by the true lengths).
+        cap = page_table.shape[1] * page_size
+        write_pos = jnp.minimum(positions, cap - 1)
+        cols = write_pos // page_size                  # (B, k) table columns
         page_ids = jnp.take_along_axis(page_table, cols, axis=1)
-        offs = positions % page_size
+        offs = write_pos % page_size
         flat_pages = page_ids.reshape(-1)
         flat_offs = offs.reshape(-1)
         k_new = k.transpose(1, 0, 2, 3).reshape(k.shape[1], -1, k.shape[3])

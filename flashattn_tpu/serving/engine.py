@@ -114,7 +114,8 @@ class ContinuousBatchingEngine:
                  dtype=jnp.float32, collect_logits: bool = False,
                  steps_per_dispatch: int = 8, mesh=None,
                  head_axis: str = "model", seed: int = 0,
-                 draft_model=None, spec_len: int = 4):
+                 draft_model=None, spec_len: int = 4,
+                 prefill_chunk: int = 512):
         self.model = model.eval()
         self.mesh = mesh
         if mesh is not None:
@@ -278,6 +279,20 @@ class ContinuousBatchingEngine:
 
         self._jit_prefill = _prefill_step
 
+        # Chunked prefill: prompts longer than ``prefill_chunk`` stream
+        # through fixed-shape forward_extend_paged waves instead of one
+        # giant padded dispatch — bounds the jit bucket sizes AND the
+        # latency spike a long prompt injects into the serving loop.
+        self.prefill_chunk = prefill_chunk
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _prefill_chunk_step(model, pools, x, table, base):
+            return model.forward_extend_paged(x, pools, table, base)
+
+        self._jit_prefill_chunk = _prefill_chunk_step
+        self._jit_sample = jax.jit(_sample_tokens,
+                                   static_argnames=("greedy_only",))
+
     # -- public API ----------------------------------------------------------
 
     @property
@@ -353,8 +368,11 @@ class ContinuousBatchingEngine:
         """One batched prefill dispatch for the newly admitted slots: every
         prompt position's K/V lands in its pages, the last position's logits
         seed generation.  Other slots' rows are idle (prompt_lens 0) and
-        their writes routed to the trash page."""
+        their writes routed to the trash page.  Prompts longer than
+        ``prefill_chunk`` stream through the chunked path instead."""
         s_max = max(len(self.slots[i].request.prompt) for i in admitted)
+        if s_max > self.prefill_chunk:
+            return self._prefill_chunked(admitted)
         s_pad = max(8, 1 << (s_max - 1).bit_length())  # pow2 buckets the jit
         s_pad = min(s_pad, self.capacity)
 
@@ -382,22 +400,25 @@ class ContinuousBatchingEngine:
             logits = np.asarray(logits)
 
         for i in admitted:
+            req = self.slots[i].request
+            if self.collect_logits:
+                for t in range(len(req.prompt)):
+                    req.logits.append(logits[i, t])
+        self._seed_after_prefill(admitted, sampled)
+
+    def _seed_after_prefill(self, admitted: List[int], sampled) -> None:
+        """Shared prefill epilogue: record lengths, append the sampled seed
+        token, and retire/allocate exactly like the decode epilogues."""
+        for i in admitted:
             slot = self.slots[i]
             req = slot.request
             n = len(req.prompt)
-            if self.collect_logits:
-                for t in range(n):
-                    req.logits.append(logits[i, t])
             slot.length = n
             slot.prompt_cursor = n
             self._release_behind_window(i)
             tok = int(sampled[i])
             req.generated.append(tok)
             slot.next_input = tok
-            # Same epilogue order as decode: normal retirement first, then
-            # just-in-time allocation of the next page (write position n;
-            # page already allocated iff n < pages * page_size — submit()
-            # guarantees n < capacity).
             hit_eos = req.eos_id is not None and tok == req.eos_id
             if (len(req.generated) >= req.max_new_tokens or hit_eos
                     or slot.length >= self.capacity):
@@ -405,6 +426,52 @@ class ContinuousBatchingEngine:
             elif not self._ensure_pages(i, slot.length):
                 req.truncated = True
                 self._retire(i)
+
+    def _prefill_chunked(self, admitted: List[int]) -> None:
+        """Stream long prompts through fixed (B, prefill_chunk) extend
+        waves.  Each wave consumes ``take = min(chunk, shortest remaining)``
+        real tokens per unfinished row, so no unfinished row is ever padded
+        mid-prompt; finished rows ride along with trash-routed tables."""
+        c = self.prefill_chunk
+        b = self.max_batch
+        consumed = {i: 0 for i in admitted}
+        plen = {i: len(self.slots[i].request.prompt) for i in admitted}
+        final_logits = np.zeros((b, self.model.n_vocab), np.float32)
+        while True:
+            unfinished = [i for i in admitted if consumed[i] < plen[i]]
+            if not unfinished:
+                break
+            take = min(c, min(plen[i] - consumed[i] for i in unfinished))
+            tokens = np.zeros((b, c), np.int32)
+            base = np.zeros((b,), np.int32)
+            table = np.full_like(self.page_table, self._trash_page)
+            for i in unfinished:
+                p = self.slots[i].request.prompt
+                tokens[i, :take] = p[consumed[i]:consumed[i] + take]
+                base[i] = consumed[i]
+                table[i] = self.page_table[i]
+            logits, self.pools = self._jit_prefill_chunk(
+                self.model, self.pools, jnp.asarray(tokens),
+                jnp.asarray(table), jnp.asarray(base))
+            if self.draft_model is not None:
+                _, self.draft_pools = self._jit_prefill_chunk(
+                    self.draft_model, self.draft_pools, jnp.asarray(tokens),
+                    jnp.asarray(table), jnp.asarray(base))
+            logits = np.asarray(logits)
+            for i in unfinished:
+                req = self.slots[i].request
+                if self.collect_logits:
+                    for t in range(take):
+                        req.logits.append(logits[i, t])
+                consumed[i] += take
+                if consumed[i] == plen[i]:
+                    final_logits[i] = logits[i, take - 1]
+
+        temps, topks, greedy = self._sampling_arrays()
+        sampled = np.asarray(self._jit_sample(
+            jnp.asarray(final_logits), temps, topks, self._next_key(),
+            greedy_only=greedy))
+        self._seed_after_prefill(admitted, sampled)
 
     def _ensure_pages(self, i: int, upto_pos: int) -> bool:
         """Allocate pages so the slot owns every table column up to the one

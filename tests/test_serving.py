@@ -266,3 +266,77 @@ def test_sampling_temperature_and_topk(model):
     for logits_row, tok in zip(r.logits[len(prompt) - 1:], r.generated):
         topk = np.argsort(logits_row)[::-1][:k]
         assert tok in topk, (tok, topk)
+
+
+class TestChunkedPrefill:
+    """Long prompts stream through fixed-size extend waves; results must be
+    indistinguishable from the single-dispatch prefill."""
+
+    def _model(self, window=None):
+        import flashattn_tpu as ft
+
+        return ft.DecoderLM(64, 32, 4, 512, p_dropout=0.0, n_layer=2,
+                            window=window, attn_impl="reference",
+                            key=jax.random.PRNGKey(0)).eval()
+
+    def test_matches_dense_forward(self):
+        model = self._model()
+        eng = ContinuousBatchingEngine(model, max_batch=2, page_size=4,
+                                       pages_per_seq=16, collect_logits=True,
+                                       prefill_chunk=8)
+        rng = np.random.default_rng(0)
+        reqs = [eng.submit(list(rng.integers(1, 60, 29)), 6),
+                eng.submit(list(rng.integers(1, 60, 13)), 9)]
+        eng.run()
+        for r in reqs:
+            full = r.prompt + r.generated
+            want = np.asarray(model(jnp.asarray([full[:len(r.logits)]],
+                                                jnp.int32))[0])
+            np.testing.assert_allclose(np.stack(r.logits), want,
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_equals_unchunked_engine(self):
+        model = self._model()
+        rng = np.random.default_rng(1)
+        prompts = [list(rng.integers(1, 60, n)) for n in (40, 7, 23)]
+
+        def run(chunk):
+            eng = ContinuousBatchingEngine(model, max_batch=3, page_size=8,
+                                           pages_per_seq=8,
+                                           prefill_chunk=chunk)
+            reqs = [eng.submit(p, 12) for p in prompts]
+            eng.run()
+            return [r.generated for r in reqs]
+
+        assert run(1024) == run(8)
+
+    def test_near_capacity_prompt(self):
+        """Final wave's padding positions overflow capacity: the clamped
+        scatter must not corrupt the real pages."""
+        model = self._model()
+        eng = ContinuousBatchingEngine(model, max_batch=1, page_size=4,
+                                       pages_per_seq=8, collect_logits=True,
+                                       prefill_chunk=16)
+        prompt = list(np.random.default_rng(2).integers(1, 60, 30))  # cap 32
+        r = eng.submit(prompt, 2)
+        eng.run()
+        full = r.prompt + r.generated
+        want = np.asarray(model(jnp.asarray([full[:len(r.logits)]],
+                                            jnp.int32))[0])
+        np.testing.assert_allclose(np.stack(r.logits), want,
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_windowed_chunked_prefill(self):
+        model = self._model(window=8)
+        rng = np.random.default_rng(3)
+        prompts = [list(rng.integers(1, 60, 25))]
+
+        def run(chunk):
+            eng = ContinuousBatchingEngine(model, max_batch=1, page_size=4,
+                                           pages_per_seq=16,
+                                           prefill_chunk=chunk)
+            reqs = [eng.submit(p, 10) for p in prompts]
+            eng.run()
+            return [r.generated for r in reqs]
+
+        assert run(1024) == run(8)
