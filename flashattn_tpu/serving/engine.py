@@ -104,6 +104,7 @@ class _Slot:
     length: int = 0          # tokens already in the KV cache
     next_input: int = 0      # token id to feed at position `length`
     prompt_cursor: int = 1   # prompt tokens consumed (first fed at admit)
+    shared_pages: int = 0    # leading pages attached from the prefix cache
 
 
 class ContinuousBatchingEngine:
@@ -115,7 +116,8 @@ class ContinuousBatchingEngine:
                  steps_per_dispatch: int = 8, mesh=None,
                  head_axis: str = "model", seed: int = 0,
                  draft_model=None, spec_len: int = 4,
-                 prefill_chunk: int = 512):
+                 prefill_chunk: int = 512,
+                 enable_prefix_cache: bool = False):
         self.model = model.eval()
         self.mesh = mesh
         if mesh is not None:
@@ -285,6 +287,28 @@ class ContinuousBatchingEngine:
         # latency spike a long prompt injects into the serving loop.
         self.prefill_chunk = prefill_chunk
 
+        # Prefix caching (opt-in): FULL pages of a prompt are content-
+        # addressed (key = the token prefix through that page) and shared
+        # read-only across requests — a request whose prompt prefix was
+        # served before attaches to the cached pages and prefills only the
+        # suffix (the chunked-prefill per-row base does the skipping).
+        # Refcount = attached slots + 1 while registered; pages return to
+        # the pool only at ref 0 (cache entries evict LRU when the pool is
+        # dry).  Shared pages are write-once: suffix writes start at the
+        # page boundary, and the last table column is never shared (the
+        # final-wave scatter clamp may spill garbage there).
+        self.enable_prefix_cache = (enable_prefix_cache
+                                    and self._window is None
+                                    and not collect_logits)
+        if enable_prefix_cache and self._window is not None:
+            print("[engine] sliding-window rolling release and prefix "
+                  "caching don't compose; prefix cache disabled")
+        if enable_prefix_cache and collect_logits:
+            print("[engine] collect_logits needs every position's forward; "
+                  "prefix cache disabled")
+        self._prefix_cache: Dict[tuple, int] = {}      # token-prefix -> page
+        self._page_refs: Dict[int, int] = {}           # shared page -> refs
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_step(model, pools, x, table, base):
             return model.forward_extend_paged(x, pools, table, base)
@@ -353,14 +377,35 @@ class ContinuousBatchingEngine:
         for i in range(self.max_batch):
             if self.slots[i] is not None or not self.queue:
                 continue
-            need = max(1, -(-len(self.queue[0].prompt) // self.page_size))
-            if self.pool.n_free < need:
+            prompt = self.queue[0].prompt
+            need = max(1, -(-len(prompt) // self.page_size))
+
+            # prefix cache: attach the longest run of already-cached FULL
+            # prompt pages (never the final token's page, so prefill always
+            # has at least one position to produce seed logits from)
+            shared: List[int] = []
+            if self.enable_prefix_cache:
+                max_cols = min((len(prompt) - 1) // self.page_size,
+                               self.pages_per_seq - 1)
+                for j in range(max_cols):
+                    page = self._prefix_cache.get(
+                        tuple(prompt[:self.page_size * (j + 1)]))
+                    if page is None:
+                        break
+                    shared.append(page)
+            own_need = need - len(shared)
+            if self.pool.n_free + self._evictable_pages() < own_need:
                 break
             req = self.queue.pop(0)
-            pages = [self.pool.alloc() for _ in range(need)]
+            for p in shared:           # protect from eviction before alloc
+                self._page_refs[p] += 1
+            own = [self._alloc_page() for _ in range(own_need)]
+            assert all(p is not None for p in own)  # guaranteed by the count
+            pages = shared + own
             self.page_table[i, :need] = pages
             self.slots[i] = _Slot(req, pages, length=0,
-                                  next_input=req.prompt[0], prompt_cursor=1)
+                                  next_input=req.prompt[0], prompt_cursor=1,
+                                  shared_pages=len(shared))
             admitted.append(i)
         return admitted
 
@@ -371,7 +416,10 @@ class ContinuousBatchingEngine:
         their writes routed to the trash page.  Prompts longer than
         ``prefill_chunk`` stream through the chunked path instead."""
         s_max = max(len(self.slots[i].request.prompt) for i in admitted)
-        if s_max > self.prefill_chunk:
+        if (s_max > self.prefill_chunk
+                or any(self.slots[i].shared_pages for i in admitted)):
+            # cached-prefix skipping needs the per-row base offsets only
+            # the chunked path has
             return self._prefill_chunked(admitted)
         s_pad = max(8, 1 << (s_max - 1).bit_length())  # pow2 buckets the jit
         s_pad = min(s_pad, self.capacity)
@@ -406,10 +454,30 @@ class ContinuousBatchingEngine:
                     req.logits.append(logits[i, t])
         self._seed_after_prefill(admitted, sampled)
 
+    def _register_prefix_pages(self, i: int) -> None:
+        """Content-address this slot's FULL prompt pages so later requests
+        with the same prefix can attach to them."""
+        if not self.enable_prefix_cache:
+            return
+        slot = self.slots[i]
+        prompt = slot.request.prompt
+        ncols = min((len(prompt) - 1) // self.page_size,
+                    self.pages_per_seq - 1)
+        for j in range(ncols):
+            key = tuple(prompt[:self.page_size * (j + 1)])
+            if key in self._prefix_cache:
+                continue
+            page = slot.pages[j]
+            # the page gains two holders: the cache entry AND the owning
+            # slot (which held it implicitly, outside the ref system)
+            self._page_refs[page] = self._page_refs.get(page, 0) + 2
+            self._prefix_cache[key] = page
+
     def _seed_after_prefill(self, admitted: List[int], sampled) -> None:
         """Shared prefill epilogue: record lengths, append the sampled seed
         token, and retire/allocate exactly like the decode epilogues."""
         for i in admitted:
+            self._register_prefix_pages(i)
             slot = self.slots[i]
             req = slot.request
             n = len(req.prompt)
@@ -434,7 +502,9 @@ class ContinuousBatchingEngine:
         mid-prompt; finished rows ride along with trash-routed tables."""
         c = self.prefill_chunk
         b = self.max_batch
-        consumed = {i: 0 for i in admitted}
+        # cached prefix pages already hold their K/V — start past them
+        consumed = {i: self.slots[i].shared_pages * self.page_size
+                    for i in admitted}
         plen = {i: len(self.slots[i].request.prompt) for i in admitted}
         final_logits = np.zeros((b, self.model.n_vocab), np.float32)
         while True:
@@ -473,6 +543,33 @@ class ContinuousBatchingEngine:
             greedy_only=greedy))
         self._seed_after_prefill(admitted, sampled)
 
+    def _alloc_page(self) -> Optional[int]:
+        """A free page, evicting the oldest cache-only prefix page if the
+        pool is dry.  None when nothing can be freed."""
+        if self.pool.n_free:
+            return self.pool.alloc()
+        for key, page in list(self._prefix_cache.items()):  # insertion order
+            if self._page_refs.get(page, 0) == 1:      # cache-only
+                del self._prefix_cache[key]
+                del self._page_refs[page]
+                return page
+        return None
+
+    def _evictable_pages(self) -> int:
+        return sum(1 for p in self._prefix_cache.values()
+                   if self._page_refs.get(p, 0) == 1)
+
+    def _drop_page_ref(self, page: int) -> None:
+        """Detach one holder from a page; return it to the pool when no
+        holder (slot or cache) remains."""
+        if page in self._page_refs:
+            self._page_refs[page] -= 1
+            if self._page_refs[page] <= 0:
+                del self._page_refs[page]
+                self.pool.release([page])
+        else:
+            self.pool.release([page])
+
     def _ensure_pages(self, i: int, upto_pos: int) -> bool:
         """Allocate pages so the slot owns every table column up to the one
         holding ``upto_pos``; False (no change rolled back beyond what was
@@ -480,9 +577,9 @@ class ContinuousBatchingEngine:
         slot = self.slots[i]
         need_cols = min(upto_pos // self.page_size + 1, self.pages_per_seq)
         while len(slot.pages) < need_cols:
-            if self.pool.n_free == 0:
+            page = self._alloc_page()
+            if page is None:
                 return False
-            page = self.pool.alloc()
             slot.pages.append(page)
             self.page_table[i, len(slot.pages) - 1] = page
         return True
@@ -506,7 +603,9 @@ class ContinuousBatchingEngine:
         slot = self.slots[i]
         slot.request.done = True
         self.finished.append(slot.request)
-        self.pool.release([p for p in slot.pages if p is not None])
+        for p in slot.pages:
+            if p is not None:
+                self._drop_page_ref(p)
         self.slots[i] = None
         # reset the WHOLE row: stale columns would route a later prefill's
         # padding-position scatters into pages owned by live requests
@@ -538,7 +637,7 @@ class ContinuousBatchingEngine:
             need_cols = min((slot.length + self.spec_len - 1)
                             // self.page_size + 1, self.pages_per_seq)
             need += max(0, need_cols - len(slot.pages))
-        if need > self.pool.n_free:
+        if need > self.pool.n_free + self._evictable_pages():
             return False
         for i in active:
             ok = self._ensure_pages(i, self.slots[i].length
@@ -552,13 +651,10 @@ class ContinuousBatchingEngine:
         draft-free engine would."""
         slot = self.slots[i]
         needed_cols = slot.length // self.page_size + 1
-        freed = []
         while len(slot.pages) > needed_cols and slot.pages[-1] is not None:
             idx = len(slot.pages) - 1
-            freed.append(slot.pages.pop())
+            self._drop_page_ref(slot.pages.pop())
             self.page_table[i, idx] = self._trash_page
-        if freed:
-            self.pool.release(freed)
 
     def _run_spec(self, active, tokens, lengths) -> None:
         self.pools, self.draft_pools, drafts, greedy = self._jit_spec(
