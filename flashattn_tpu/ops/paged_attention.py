@@ -134,7 +134,11 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
     b = pl.program_id(0)
     length = lengths_ref[b]             # incl. the chunk (see _paged_kernel)
     base = length - chunk
-    n = (length + page_size - 1) // page_size
+    # clamp the walk to the table row: a chunked prefill wave's padding can
+    # push length past capacity (its writes were clamped; only padding rows
+    # reference those positions, and their outputs are ignored) — without
+    # this, pages_ref[b, i] reads past the row on-chip
+    n = jnp.minimum((length + page_size - 1) // page_size, pages_per_seq)
     p0 = jnp.int32(0)
     if window is not None:
         # earliest chunk row (j=0) attends positions >= base + 1 - window
@@ -300,7 +304,8 @@ def paged_attention(
         # block-skip): high side = last valid page, low side = first
         # in-window page.  Without this the grid path loads every page slot
         # and the window's O(window) bandwidth saving never materialises.
-        hi = jnp.maximum(lens[b_] - 1, 0) // page_size
+        hi = jnp.minimum(jnp.maximum(lens[b_] - 1, 0) // page_size,
+                         pages_per_seq - 1)   # padding can exceed capacity
         i_ = jnp.minimum(i_, hi)
         if window is not None:
             # earliest page the kernel runs: chunk row j=0 at position

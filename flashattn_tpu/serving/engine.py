@@ -306,8 +306,8 @@ class ContinuousBatchingEngine:
         if enable_prefix_cache and collect_logits:
             print("[engine] collect_logits needs every position's forward; "
                   "prefix cache disabled")
-        self._prefix_cache: Dict[tuple, int] = {}      # token-prefix -> page
-        self._page_refs: Dict[int, int] = {}           # shared page -> refs
+        self._prefix_cache: Dict[bytes, int] = {}  # prefix digest -> page
+        self._page_refs: Dict[int, int] = {}       # shared page -> refs
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_step(model, pools, x, table, base):
@@ -387,14 +387,18 @@ class ContinuousBatchingEngine:
             if self.enable_prefix_cache:
                 max_cols = min((len(prompt) - 1) // self.page_size,
                                self.pages_per_seq - 1)
-                for j in range(max_cols):
-                    page = self._prefix_cache.get(
-                        tuple(prompt[:self.page_size * (j + 1)]))
+                for key in self._page_keys(prompt, max_cols):
+                    page = self._prefix_cache.get(key)
                     if page is None:
                         break
                     shared.append(page)
+                    # LRU touch: re-insert so hot prefixes evict last
+                    self._prefix_cache[key] = self._prefix_cache.pop(key)
             own_need = need - len(shared)
-            if self.pool.n_free + self._evictable_pages() < own_need:
+            # the shared pages are about to be protected (ref bump), so
+            # they must NOT count as evictable supply for this admission
+            if (self.pool.n_free + self._evictable_pages(exclude=shared)
+                    < own_need):
                 break
             req = self.queue.pop(0)
             for p in shared:           # protect from eviction before alloc
@@ -463,8 +467,7 @@ class ContinuousBatchingEngine:
         prompt = slot.request.prompt
         ncols = min((len(prompt) - 1) // self.page_size,
                     self.pages_per_seq - 1)
-        for j in range(ncols):
-            key = tuple(prompt[:self.page_size * (j + 1)])
+        for j, key in enumerate(self._page_keys(prompt, ncols)):
             if key in self._prefix_cache:
                 continue
             page = slot.pages[j]
@@ -512,7 +515,11 @@ class ContinuousBatchingEngine:
             if not unfinished:
                 break
             take = min(c, min(plen[i] - consumed[i] for i in unfinished))
-            tokens = np.zeros((b, c), np.int32)
+            # pow2-bucket the wave width: a 24-token cache-hit suffix should
+            # not pay a full prefill_chunk-wide dispatch (jit cache stays at
+            # log2(chunk) entries)
+            width = min(c, max(8, 1 << (take - 1).bit_length()))
+            tokens = np.zeros((b, width), np.int32)
             base = np.zeros((b,), np.int32)
             table = np.full_like(self.page_table, self._trash_page)
             for i in unfinished:
@@ -555,9 +562,23 @@ class ContinuousBatchingEngine:
                 return page
         return None
 
-    def _evictable_pages(self) -> int:
+    def _evictable_pages(self, exclude=()) -> int:
+        ex = set(exclude)
         return sum(1 for p in self._prefix_cache.values()
-                   if self._page_refs.get(p, 0) == 1)
+                   if self._page_refs.get(p, 0) == 1 and p not in ex)
+
+    def _page_keys(self, prompt, ncols: int) -> List[bytes]:
+        """Running-digest content keys for the first ``ncols`` FULL pages —
+        O(page_size) per page instead of O(prefix) token tuples."""
+        import hashlib
+
+        h = hashlib.sha256()
+        keys = []
+        for j in range(ncols):
+            page = prompt[j * self.page_size:(j + 1) * self.page_size]
+            h.update(np.asarray(page, np.int64).tobytes())
+            keys.append(h.digest())
+        return keys
 
     def _drop_page_ref(self, page: int) -> None:
         """Detach one holder from a page; return it to the pool when no

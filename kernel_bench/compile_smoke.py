@@ -208,6 +208,13 @@ def main():
                                       window=64)
     ocw = paged_attention(qc, kp128, kp128, lens_c, pidx, window=64)
     ok &= check("paged chunk=4 window=64", ocw, refcw, 2e-2)
+    # walk clamp: chunked-prefill padding can push lengths past the table
+    # capacity — the pipelined walk must stop at the row's last page (an
+    # unclamped pages_ref[b, 16] read is OOB on-chip) and stay correct
+    lens_over = jnp.asarray([128 * 16 + 48, 40, 40, 40], jnp.int32)
+    oco = paged_attention(qc, kp128, kp128, lens_over, pidx)
+    refo = paged_attention_reference(qc, kp128, kp128, lens_over, pidx)
+    ok &= check("paged chunk walk-clamp len>capacity", oco, refo, 2e-2)
 
     # sliding-window decode: pipelined walk starts mid-table (p0 > 0), grid
     # path skips out-of-window pages; window crossing a page boundary

@@ -326,6 +326,26 @@ class TestChunkedPrefill:
         np.testing.assert_allclose(np.stack(r.logits), want,
                                    atol=2e-4, rtol=2e-4)
 
+    def test_uneven_waves_overflow_capacity(self):
+        """Mixed prompt lengths make a final wave whose base + width pushes
+        positions AND the attention length past capacity — the scatter
+        clamp and the kernels' page-walk clamp must both hold."""
+        model = self._model()
+        rng = np.random.default_rng(7)
+        prompts = [list(rng.integers(1, 60, 3)),
+                   list(rng.integers(1, 60, 30))]   # cap = 32
+
+        def run(chunk):
+            eng = ContinuousBatchingEngine(model, max_batch=2, page_size=4,
+                                           pages_per_seq=8,
+                                           prefill_chunk=chunk)
+            reqs = [eng.submit(p, 2) for p in prompts]
+            eng.run()
+            return [r.generated for r in reqs]
+
+        # chunk 16: waves take 3 then 16 then 11 -> base 19 + width 16 > 32
+        assert run(1024) == run(16)
+
     def test_windowed_chunked_prefill(self):
         model = self._model(window=8)
         rng = np.random.default_rng(3)
