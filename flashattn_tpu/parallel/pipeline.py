@@ -57,6 +57,8 @@ def pipeline_apply(
     *,
     n_microbatches: int,
     axis: str = STAGE_AXIS,
+    data_axis: str | None = None,
+    param_specs: Any = None,
 ) -> Array:
     """Run ``x`` through the pipeline of stages.
 
@@ -71,6 +73,15 @@ def pipeline_apply(
         batch must divide evenly into ``n_microbatches``.
       mesh: mesh containing ``axis`` with size = number of stages.
       n_microbatches: GPipe microbatch count M (bubble ~ (S-1)/(M+S-1)).
+      data_axis: optional mesh axis sharding the *within-microbatch* batch
+        dim (DP composed with PP: each stage group works on its local batch
+        slice; gradient reduction over ``data_axis`` is inserted by AD/GSPMD
+        in the surrounding loss).
+      param_specs: optional pytree of ``PartitionSpec`` overriding the
+        default ``P(axis)`` per-leaf spec — lets stage weights ALSO carry a
+        tensor-parallel axis (leading dim must still be ``axis``), with
+        ``stage_fn`` issuing the matching ``psum`` over that axis
+        (Megatron-style TP inside each pipeline stage).
 
     Returns (batch, ...) activations to feed the (non-pipelined) head.
     """
@@ -83,10 +94,13 @@ def pipeline_apply(
     x_mb = x.reshape((n_microbatches, mb) + x.shape[1:])
 
     in_specs = (
-        jax.tree_util.tree_map(lambda _: P(axis), stacked_params),
-        P(),   # microbatch queue replicated; stage 0 reads it
+        param_specs if param_specs is not None
+        else jax.tree_util.tree_map(lambda _: P(axis), stacked_params),
+        # microbatch queue: replicated over stage/model, batch-within-
+        # microbatch sharded over data_axis when composing with DP
+        P(None, data_axis),
     )
-    out_specs = P()
+    out_specs = P(None, data_axis)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
