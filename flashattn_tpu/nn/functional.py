@@ -96,6 +96,52 @@ def dropout(
     return out
 
 
+def dropout_res_bias(
+    input: Array,
+    bias: Array,
+    residual: Array,
+    rate: float,
+    key: Optional[jax.Array] = None,
+) -> Array:
+    """Fused residual + dropout(input + bias) — the reference's
+    ``launch_ls_dropout_res_bias`` surface (src/includes/kernels.h:118-122,
+    declared-only there).
+
+    On TPU this is one XLA fusion: the bias broadcast, bernoulli mask,
+    select, rescale and residual add all land in a single elementwise kernel
+    around the producing matmul (measured — see PERF.md "fused dropout").
+    Inverted-dropout scaling matches LightSeq's 1/(1-ratio).
+    """
+    y = input + bias
+    if rate > 0.0 and key is not None:
+        keep = jax.random.bernoulli(key, 1.0 - rate, y.shape)
+        y = jnp.where(keep, y, jnp.zeros_like(y)) / (1.0 - rate)
+    return residual + y
+
+
+def dropout_act_bias(
+    input: Array,
+    bias: Array,
+    rate: float,
+    key: Optional[jax.Array] = None,
+    act: str = "gelu",
+) -> Array:
+    """Fused dropout(act(input + bias)) — the reference's
+    ``launch_ls_dropout_act_bias`` surface (src/includes/kernels.h:123-126).
+
+    ``act``: "gelu" (tanh approximation, matching :func:`GELU`) or "relu".
+    One XLA elementwise fusion on TPU; backward comes from AD over the same
+    fused graph (the reference declares a separate ``_bwd`` launcher,
+    kernels.h:128-137).
+    """
+    y = input + bias
+    y = GELU(y) if act == "gelu" else jnp.maximum(y, 0.0)
+    if rate > 0.0 and key is not None:
+        keep = jax.random.bernoulli(key, 1.0 - rate, y.shape)
+        y = jnp.where(keep, y, jnp.zeros_like(y)) / (1.0 - rate)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Pooling (reference nn.py:12-54,149-164)
 # ---------------------------------------------------------------------------

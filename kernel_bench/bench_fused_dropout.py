@@ -1,0 +1,84 @@
+"""Fused dropout+bias(+residual) — XLA fusion vs handwritten Pallas.
+
+Closes the last reference kernel-surface row (``launch_ls_dropout_res_bias``
+/ ``launch_ls_dropout_act_bias``, src/includes/kernels.h:113-175 — declared-
+only there): measures whether a hand-fused Pallas kernel beats XLA's own
+fusion of the op-graph composition (``nn.functional.dropout_res_bias``).
+
+Run ON TPU: PYTHONPATH=/root/repo:/root/.axon_site python kernel_bench/bench_fused_dropout.py
+"""
+
+import functools
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattn_tpu.nn.functional import dropout_res_bias
+from flashattn_tpu.utils.timing import device_loop_time
+
+
+def _fused_kernel(seed_ref, x_ref, b_ref, r_ref, o_ref, *, rate: float):
+    # one elementwise pass: bias add, PRNG mask, inverted-dropout rescale,
+    # residual add — the LightSeq fusion, TPU-side
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    y = x_ref[...] + b_ref[...]
+    bits = pltpu.prng_random_bits(y.shape)
+    thresh = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    keep = pltpu.bitcast(bits, jnp.uint32) >= thresh
+    y = jnp.where(keep, y, jnp.zeros_like(y)) / (1.0 - rate)
+    o_ref[...] = (r_ref[...] + y).astype(o_ref.dtype)
+
+
+def pallas_dropout_res_bias(x, bias, residual, rate, seed, block_rows=512):
+    n, d = x.shape
+    grid = (n // block_rows,)
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_rows, d), lambda i, s: (i, 0)),
+                pl.BlockSpec((1, d), lambda i, s: (0, 0)),
+                pl.BlockSpec((block_rows, d), lambda i, s: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_rows, d), lambda i, s: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
+    )(jnp.asarray([seed], jnp.int32), x, bias.reshape(1, d), residual)
+
+
+def main():
+    rate = 0.1
+    for (n, d, dtype) in [(8192, 1024, jnp.bfloat16),
+                          (32768, 1024, jnp.bfloat16),
+                          (8192, 4096, jnp.bfloat16),
+                          (8192, 1024, jnp.float32)]:
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (n, d), dtype)
+        b = jax.random.normal(jax.random.PRNGKey(1), (d,), dtype)
+        r = jax.random.normal(jax.random.PRNGKey(2), (n, d), dtype)
+
+        def xla_op(x, r):
+            return dropout_res_bias(x, b, r, rate, jax.random.PRNGKey(7))
+
+        def pallas_op(x, r):
+            return pallas_dropout_res_bias(x, b, r, rate, seed=7)
+
+        t_xla = device_loop_time(xla_op, (x, r))
+        t_pal = device_loop_time(pallas_op, (x, r))
+        bytes_moved = (3 * n * d + d) * x.dtype.itemsize
+        bw = lambda t: bytes_moved / t / 1e9
+        print(f"{n}x{d} {jnp.dtype(dtype).name}: XLA fusion {t_xla*1e6:.1f}us "
+              f"({bw(t_xla):.0f} GB/s) | Pallas {t_pal*1e6:.1f}us "
+              f"({bw(t_pal):.0f} GB/s) | pallas/xla {t_xla/t_pal:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

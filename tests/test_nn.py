@@ -106,3 +106,41 @@ def test_grad_check_functionals():
     grad_check(lambda a: F.softmax(a, 1), x, n_samples=5, tol=1e-2, epsilon=1e-3)
     grad_check(F.GELU, x, n_samples=5, tol=1e-2, epsilon=1e-3)
     grad_check(lambda a: F.logsumexp(a, 1), x, n_samples=5, tol=1e-2, epsilon=1e-3)
+
+
+def test_dropout_res_bias():
+    """Fused residual+dropout(x+bias) (reference kernels.h:118-122 surface):
+    matches the unfused composition with the same key; identity wiring at
+    rate 0 / no key."""
+    key = jax.random.PRNGKey(3)
+    x = _rand((64, 32), 1)
+    b = _rand((32,), 2)
+    r = _rand((64, 32), 3)
+    # no-dropout wiring
+    np.testing.assert_allclose(F.dropout_res_bias(x, b, r, 0.0, key),
+                               r + (x + b), rtol=1e-6)
+    np.testing.assert_allclose(F.dropout_res_bias(x, b, r, 0.5, None),
+                               r + (x + b), rtol=1e-6)
+    # same-key agreement with the unfused ops
+    want = r + F.dropout(x + b, 0.3, key)
+    got = F.dropout_res_bias(x, b, r, 0.3, key)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # differentiable
+    g = jax.grad(lambda x: jnp.sum(F.dropout_res_bias(x, b, r, 0.3, key) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("act", ["gelu", "relu"])
+def test_dropout_act_bias(act):
+    """Fused dropout(act(x+bias)) (reference kernels.h:123-126 surface)."""
+    key = jax.random.PRNGKey(4)
+    x = _rand((64, 32), 4)
+    b = _rand((32,), 5)
+    act_fn = F.GELU if act == "gelu" else (lambda y: jnp.maximum(y, 0.0))
+    np.testing.assert_allclose(F.dropout_act_bias(x, b, 0.0, key, act=act),
+                               act_fn(x + b), rtol=1e-6)
+    want = F.dropout(act_fn(x + b), 0.25, key)
+    got = F.dropout_act_bias(x, b, 0.25, key, act=act)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    g = jax.grad(lambda x: jnp.sum(F.dropout_act_bias(x, b, 0.25, key, act=act) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
