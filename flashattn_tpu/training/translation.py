@@ -137,8 +137,25 @@ def make_synthetic_dataset(n_examples: int, seed: int = 0):
 
 def get_dataset(dataset_name: str, model_max_length: int,
                 synthetic_size: int = 20000, seed: int = 0):
-    """IWSLT14 de-en (reference get_dataset :22-53) or synthetic fallback."""
+    """IWSLT14 de-en (reference get_dataset :22-53), the vendored genuine
+    de-en fixture (``dataset_name="deen-fixture"``), or synthetic fallback."""
     src_key, tgt_key = "de", "en"
+    if dataset_name == "deen-fixture":
+        # real parallel text, vendored (deen_fixture.py): held-out sentences
+        # combine constructions unseen in training, so validation BLEU
+        # measures generalisation instead of saturating like the synthetic
+        # corpus does
+        from .deen_fixture import make_fixture_dataset
+
+        all_ex = make_fixture_dataset(seed)
+        n_val = max(len(all_ex) // 10, 1)
+        dataset = {
+            "train": all_ex[: -2 * n_val],
+            "validation": all_ex[-2 * n_val: -n_val],
+            "test": all_ex[-n_val:],
+        }
+        print(json.dumps({"data_size": {s: len(dataset[s]) for s in dataset}}))
+        return dataset, src_key, tgt_key
     try:
         import datasets as hf_datasets
 
