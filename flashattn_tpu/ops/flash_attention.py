@@ -102,44 +102,70 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         # q is pre-scaled by sm_scale in the wrapper, so no per-tile rescale.
         q = q_ref[0, 0]                              # (block_q, d)
         k = k_ref[0, 0]                              # (block_k, d)
+        v = v_ref[0, 0]                              # (block_k, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                            # (block_q, block_k)
 
+        def update(s, keep):
+            m_prev = m_scr[...]                      # (block_q, 1)
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next)                 # (block_q, block_k)
+            if keep is not None and (len_ref is not None or window is not None):
+                # fully-masked rows (short varlen prefix, or a window that
+                # has no overlap with this block even though other rows'
+                # windows do): m == MASK makes every p entry exp2(0) == 1;
+                # zero them so l stays 0 and the empty-row guard yields 0
+                p = jnp.where(keep, p, 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv
+
         if causal or window is not None or len_ref is not None:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            keep = jnp.ones(s.shape, jnp.bool_)
+            # Mask only tiles that actually contain masked elements
+            # (diagonal crossings / window edges / varlen boundary blocks).
+            # Interior tiles skip the iota+where entirely -- at the default
+            # blocks the mask is a sizeable share of per-tile VPU time and
+            # most running tiles are interior.
+            row_min = qi * block_q
+            row_max = row_min + block_q - 1
+            col_min = ki * block_k
+            col_max = col_min + block_k - 1
+            needs_mask = False
             if causal:
-                keep &= cols <= rows
+                needs_mask |= col_max > row_min
             if window is not None:
-                keep &= cols > rows - window
-            if len_ref is not None:  # per-batch valid KV prefix
-                keep &= cols < row_len
-            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+                needs_mask |= row_max - window >= col_min
+            if len_ref is not None:
+                needs_mask |= col_min + block_k > row_len
 
-        m_prev = m_scr[...]                          # (block_q, 1)
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next)                     # (block_q, block_k)
-        if len_ref is not None or window is not None:
-            # fully-masked rows (short varlen prefix, or a window that has
-            # no overlap with this block even though other rows' windows
-            # do): m == MASK makes every p entry exp2(0) == 1; zero them so
-            # l stays 0 and the empty-row guard yields 0 output
-            p = jnp.where(keep, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            @pl.when(needs_mask)
+            def _masked():
+                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
+                keep = jnp.ones(s.shape, jnp.bool_)
+                if causal:
+                    keep &= cols <= rows
+                if window is not None:
+                    keep &= cols > rows - window
+                if len_ref is not None:  # per-batch valid KV prefix
+                    keep &= cols < row_len
+                update(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep)
 
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-
-        v = v_ref[0, 0]                              # (block_k, d)
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+            @pl.when(jnp.logical_not(needs_mask))
+            def _interior():
+                update(s, None)
+        else:
+            update(s, None)
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
@@ -278,11 +304,18 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref,
                     dk_scr, dv_scr,
                     *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                    num_q: int, window: Optional[int] = None):
+                    num_q: int, group: int = 1,
+                    window: Optional[int] = None):
+    # Grid is (b, h_kv, kv_block, group, q_block): for GQA the query-head
+    # group is an inner grid axis revisiting the SAME dk/dv output block, so
+    # dK/dV accumulate at h_kv granularity in VMEM scratch -- no (b, h,
+    # n_kv, d) per-query-head intermediate in HBM and no XLA group-sum
+    # afterwards (the HBM traffic GQA exists to avoid).
     ki = pl.program_id(2)
-    qi = pl.program_id(3)
+    gi = pl.program_id(3)
+    qi = pl.program_id(4)
 
-    @pl.when(qi == 0)
+    @pl.when(jnp.logical_and(gi == 0, qi == 0))
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
@@ -345,7 +378,7 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(qi == num_q - 1)
+    @pl.when(jnp.logical_and(gi == group - 1, qi == num_q - 1))
     def _finalize():
         dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -426,9 +459,9 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
     varlen = kv_lengths is not None
     len_args = [kv_lengths.astype(jnp.int32)] if varlen else []
 
-    def adapt(index_map):
-        # plain grid: 4 args; scalar-prefetch grid: 4 args + lens
-        return (lambda *a: index_map(*a[:4])) if varlen else index_map
+    def adapt(index_map, rank):
+        # plain grid: `rank` args; scalar-prefetch grid: rank args + lens
+        return (lambda *a: index_map(*a[:rank])) if varlen else index_map
 
     def bind(kern, **kw):
         return (functools.partial(kern, **kw) if varlen
@@ -436,12 +469,12 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
 
     def make_call(kernel, grid, in_specs, out_specs, out_shape,
                   scratch_shapes):
+        rank = len(grid)
         params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"))
-        in_specs = [pl.BlockSpec(s.block_shape, adapt(s.index_map))
+            dimension_semantics=("parallel",) * 3 + ("arbitrary",) * (rank - 3))
+        in_specs = [pl.BlockSpec(s.block_shape, adapt(s.index_map, rank))
                     for s in in_specs]
-        out_specs = [pl.BlockSpec(s.block_shape, adapt(s.index_map))
+        out_specs = [pl.BlockSpec(s.block_shape, adapt(s.index_map, rank))
                      for s in out_specs]
         if varlen:
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -463,49 +496,51 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                  axis=-1, keepdims=True)             # (b, h, n_q, 1)
 
-    # dKV grid is (b, h, kv_block, q_block): for a fixed KV block, q blocks
-    # strictly before the diagonal are skipped -- clamp their index map so
-    # the elided steps re-reference the diagonal block (no DMA).  A sliding
-    # window also skips q blocks past every col's window (high side).
+    # dKV grid is (b, h_kv, kv_block, group, q_block): for a fixed KV block,
+    # q blocks strictly before the diagonal are skipped -- clamp their index
+    # map so the elided steps re-reference the diagonal block (no DMA).  A
+    # sliding window also skips q blocks past every col's window (high
+    # side).  The GQA query-head group rides an inner grid axis revisiting
+    # the same dk/dv block, so dK/dV come out at h_kv granularity directly
+    # (no per-q-head HBM intermediate, no XLA group-sum).
     if causal:
-        def q_index(b_, h_, i, j):
+        def q_index(b_, hk_, i, g_, j):
             first = (i * block_k) // block_q
             j = jnp.maximum(j, first)
             if window is not None:
                 last = ((i + 1) * block_k - 1 + (window - 1)) // block_q
                 j = jnp.minimum(j, jnp.maximum(last, first))
-            return (b_, h_, j, 0)
+            return (b_, hk_ * group + g_, j, 0)
     else:
-        def q_index(b_, h_, i, j):
-            return (b_, h_, j, 0)
+        def q_index(b_, hk_, i, g_, j):
+            return (b_, hk_ * group + g_, j, 0)
 
     q_spec = pl.BlockSpec((1, 1, block_q, d), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_k, d),
-                           lambda b_, h_, i, j: (b_, h_ // group, i, 0))
-    stat_spec = pl.BlockSpec((1, 1, block_q, 1),
-                             lambda b_, h_, i, j: q_index(b_, h_, i, j))
+                           lambda b_, hk_, i, g_, j: (b_, hk_, i, 0))
+    stat_spec = pl.BlockSpec((1, 1, block_q, 1), q_index)
 
     dk, dv = make_call(
         bind(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
-             block_q=block_q, block_k=block_k, num_q=num_q, window=window),
-        grid=(b, h, num_kv, num_q),
+             block_q=block_q, block_k=block_k, num_q=num_q, group=group,
+             window=window),
+        grid=(b, h_kv, num_kv, group, num_q),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, hk_, i, g_, j: (b_, hk_, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, hk_, i, g_, j: (b_, hk_, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, n_kv, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, n_kv, d), v.dtype),
-        ],  # per-Q-head contributions; group-summed below for GQA
+            jax.ShapeDtypeStruct((b, h_kv, n_kv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, n_kv, d), v.dtype),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
     )(*len_args, q, k, v, do, lse, di)
-    if group > 1:
-        dk = dk.reshape(b, h_kv, group, n_kv, d).sum(axis=2).astype(k.dtype)
-        dv = dv.reshape(b, h_kv, group, n_kv, d).sum(axis=2).astype(v.dtype)
 
     # dQ grid is (b, h, q_block, kv_block): above-diagonal KV blocks skipped,
     # plus (windowed) KV blocks left of every row's window.

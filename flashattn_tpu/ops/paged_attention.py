@@ -116,11 +116,10 @@ def _paged_kernel(pages_ref, lengths_ref,  # scalar prefetch
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
-def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
-                      q_ref, k_hbm, v_hbm, o_ref,
-                      kbuf, vbuf, sems,
-                      *, page_size: int, pages_per_seq: int,
-                      window: Optional[int] = None, chunk: int = 1):
+def _paged_dma_body(pages_ref, lengths_ref, q_ref, k_hbm, v_hbm,
+                    ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksbuf, vsbuf, sems,
+                    *, page_size: int, pages_per_seq: int,
+                    window: Optional[int] = None, chunk: int = 1):
     """Manual double-buffered page walk (guide: Patterns/Double Buffering).
 
     One grid step = one sequence; pages stream HBM -> VMEM with two buffers,
@@ -130,7 +129,14 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
     the pallas-grid version must visit every slot.  A sliding ``window``
     starts the walk at the first page overlapping [length - window, length),
     so long histories pay only O(window) page loads.
+
+    Quantized (int8/fp8) pools stream their per-token scales alongside the
+    payload pages — scales arrive as (H, n_pages, page) so the DMA slice's
+    minor dim stays lane-aligned — and this path runs at payload bandwidth
+    (half the bytes of bf16), instead of falling back to the every-slot
+    grid walk.
     """
+    quantized = ks_hbm is not None
     b = pl.program_id(0)
     length = lengths_ref[b]             # incl. the chunk (see _paged_kernel)
     base = length - chunk
@@ -146,14 +152,19 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
     q = q_ref[0]                                      # (H, group*chunk, d)
     h, group, dd = q.shape
 
+    streams = [(kbuf, k_hbm), (vbuf, v_hbm)]
+    if quantized:
+        streams += [(ksbuf, ks_hbm), (vsbuf, vs_hbm)]
+
     def dma(buf, hbm, i, slot, kind):
         return pltpu.make_async_copy(
             hbm.at[:, pages_ref[b, i]], buf.at[slot], sems.at[slot, kind])
 
     @pl.when(n > p0)
     def _warmup():
-        dma(kbuf, k_hbm, p0, jax.lax.rem(p0, 2), 0).start()
-        dma(vbuf, v_hbm, p0, jax.lax.rem(p0, 2), 0 + 1).start()
+        s0 = jax.lax.rem(p0, 2)
+        for kind, (buf, hbm) in enumerate(streams):
+            dma(buf, hbm, p0, s0, kind).start()
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -162,11 +173,11 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
         @pl.when(i + 1 < n)
         def _prefetch():
             nxt = 1 - slot
-            dma(kbuf, k_hbm, i + 1, nxt, 0).start()
-            dma(vbuf, v_hbm, i + 1, nxt, 1).start()
+            for kind, (buf, hbm) in enumerate(streams):
+                dma(buf, hbm, i + 1, nxt, kind).start()
 
-        dma(kbuf, k_hbm, i, slot, 0).wait()
-        dma(vbuf, v_hbm, i, slot, 1).wait()
+        for kind, (buf, hbm) in enumerate(streams):
+            dma(buf, hbm, i, slot, kind).wait()
 
         k = kbuf[slot]                                # (H, page, d)
         v = vbuf[slot]
@@ -174,6 +185,9 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
             q, k.astype(q.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                             # (H, group, page)
+        if quantized:
+            # per-token K scale: rank-1 column rescale after the dot
+            s = s * ksbuf[slot].reshape(h, 1, page_size)
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * page_size
         j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % chunk
         keep = pos < base + j + 1
@@ -186,6 +200,10 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            # fold the V scale into p -- (H, group, page) is the smaller
+            # operand at decode shapes (group*chunk rows vs d columns)
+            p = p * vsbuf[slot].reshape(h, 1, page_size)
         pv = jax.lax.dot_general(
             p.astype(q.dtype), v.astype(q.dtype), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -200,38 +218,61 @@ def _paged_dma_kernel(pages_ref, lengths_ref,            # scalar prefetch
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
 
 
+def _paged_dma_kernel(pages_ref, lengths_ref, q_ref, k_hbm, v_hbm, o_ref,
+                      kbuf, vbuf, sems, **kw):
+    return _paged_dma_body(pages_ref, lengths_ref, q_ref, k_hbm, v_hbm,
+                           None, None, o_ref, kbuf, vbuf, None, None, sems,
+                           **kw)
+
+
 def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices,
-                               window=None, chunk=1):
+                               window=None, chunk=1, k_scales=None,
+                               v_scales=None):
     b, n_kv_heads, group, d = qg.shape   # group already folds the chunk
     _, _, page_size, _ = k_pages.shape
     pages_per_seq = page_indices.shape[1]
+    quantized = k_scales is not None
+
+    in_specs = [
+        pl.BlockSpec((1, n_kv_heads, group, d),
+                     lambda b_, pages, lens: (b_, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, n_kv_heads, page_size, d), k_pages.dtype),
+        pltpu.VMEM((2, n_kv_heads, page_size, d), v_pages.dtype),
+    ]
+    args = [qg, k_pages, v_pages]
+    if quantized:
+        # (H, n_pages, page, 1) -> (H, n_pages, page): the per-page DMA
+        # slice then has a lane-aligned minor dim (page_size), which a
+        # trailing 1 would not
+        args += [k_scales.reshape(n_kv_heads, -1, page_size),
+                 v_scales.reshape(n_kv_heads, -1, page_size)]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        scratch += [pltpu.VMEM((2, n_kv_heads, page_size), jnp.float32)] * 2
+        kernel = _paged_dma_body
+    else:
+        kernel = _paged_dma_kernel
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n_kv_heads, group, d),
-                         lambda b_, pages, lens: (b_, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_kv_heads, group, d),
                                lambda b_, pages, lens: (b_, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, n_kv_heads, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, n_kv_heads, page_size, d), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_paged_dma_kernel, page_size=page_size,
+        functools.partial(kernel, page_size=page_size,
                           pages_per_seq=pages_per_seq, window=window,
                           chunk=chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv_heads, group, d), qg.dtype),
         interpret=use_interpret_mode(),
-    )(page_indices.astype(jnp.int32), lengths.astype(jnp.int32),
-      qg, k_pages, v_pages)
+    )(page_indices.astype(jnp.int32), lengths.astype(jnp.int32), *args)
     return out
 
 
@@ -289,10 +330,14 @@ def paged_attention(
 
     # The manual-DMA path slices pages out of the (possibly VMEM-resident)
     # pool; Mosaic requires the minor dim of such slices to be lane-tile
-    # aligned, so gate on d % 128 (the grid path handles sub-tile head dims).
-    if pipelined and not quantized and d % 128 == 0:
-        out = _paged_attention_pipelined(qg, k_pages, v_pages, lengths,
-                                         page_indices, window, chunk)
+    # aligned, so gate on d % 128 (the grid path handles sub-tile head
+    # dims).  Quantized pools ride the same walk (scales streamed alongside
+    # payloads) when page_size keeps their slices aligned too.
+    if pipelined and d % 128 == 0 and (
+            not quantized or page_size % 128 == 0):
+        out = _paged_attention_pipelined(
+            qg, k_pages, v_pages, lengths, page_indices, window, chunk,
+            k_scales=k_scales, v_scales=v_scales)
         return unfold(out)
 
     def q_map(b_, i_, pages, lens):

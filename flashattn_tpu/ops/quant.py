@@ -206,8 +206,9 @@ def int8_weight_only_matmul(x: Array, w: QuantizedTensor,
 
 
 def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
-                    m_scr, l_scr, acc_scr,
-                    *, causal: bool, block_q: int, block_k: int, num_kv: int):
+                    m_scr, l_scr, acc_scr, q8_scr, qs_scr,
+                    *, causal: bool, block_q: int, block_k: int, num_kv: int,
+                    int8_mxu: bool):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -216,48 +217,93 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if int8_mxu:
+            # Quantize q ONCE per q-tile (the kv grid axis revisits it):
+            # symmetric per-row absmax so the scores dot can run int8 x int8
+            # on the MXU (2x bf16 MACs on v5e) with an int32 accumulator;
+            # the true scale comes back as a rank-1 rescale after the dot.
+            qf = q_ref[0, 0].astype(jnp.float32)          # (bq, d)
+            absmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+            qs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+            qs_scr[...] = qs
+            q8_scr[...] = jnp.clip(
+                jnp.round(qf / qs), -127, 127).astype(jnp.int8)
 
     should_run = True
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
 
+    def _accum_pv(p, alpha):
+        # v dequant: fold the per-token scale into the (bk, d) V tile --
+        # strictly fewer VPU ops than rescaling the (bq, bk) weights p.
+        q = q_ref[0, 0]
+        vs = vs_ref[0, 0]                                 # (bk, 1) f32
+        v8 = v_ref[0, 0]                                  # (bk, d) int8/fp8
+        v = (v8.astype(jnp.float32) * vs).astype(q.dtype)
+        pv = jax.lax.dot(p.astype(q.dtype), v,
+                         preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
     @pl.when(should_run)
     def _compute():
         q = q_ref[0, 0]                                   # (bq, d) bf16/f32
-        k8 = k_ref[0, 0]                                  # (bk, d) int8
+        k8 = k_ref[0, 0]                                  # (bk, d) int8/fp8
         ks = ks_ref[0, 0]                                 # (bk, 1) f32
 
-        # int8 K feeds the MXU in the input dtype; per-token scale is a
-        # rank-1 column rescale of the scores AFTER the dot:
-        #   q @ (k8 * ks)^T == (q @ k8^T) * ks^T
-        s = jax.lax.dot_general(
-            q, k8.astype(q.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * ks.reshape(1, -1)
+        if int8_mxu:
+            # int8 q-tile x int8 K on the MXU, int32 accumulate; the q row
+            # scale and per-token K scale are rank-1 rescales of the scores:
+            #   (q8*qs) @ (k8*ks)^T == (q8 @ k8^T) * qs * ks^T
+            s = jax.lax.dot_general(
+                q8_scr[...], k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qs_scr[...] * ks.reshape(1, -1)
+        else:
+            # fp8 payloads (no native fp8 MXU on v5e): dequantise K to the
+            # activation dtype and rescale the scores after the dot.
+            s = jax.lax.dot_general(
+                q, k8.astype(q.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ks.reshape(1, -1)
 
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            # Mask only diagonal-crossing tiles (same interior-tile skip as
+            # the bf16 flash kernel) -- interior tiles pay no iota+where.
+            row_min = qi * block_q
+            col_min = ki * block_k
 
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+            def update(s):
+                m_prev = m_scr[...]
+                l_prev = l_scr[...]
+                m_curr = jnp.max(s, axis=-1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[...] = m_next
+                l_scr[...] = l_next
+                _accum_pv(p, alpha)
 
-        # v dequant: fold the per-token scale into p (rank-1 row rescale of
-        # the (bq, bk) weights) so the MXU still sees int8-as-bf16 payloads.
-        vs = vs_ref[0, 0].reshape(1, -1)                  # (1, bk)
-        v8 = v_ref[0, 0]                                  # (bk, d) int8
-        p_scaled = (p * vs).astype(q.dtype)
-        pv = jax.lax.dot(p_scaled, v8.astype(q.dtype),
-                         preferred_element_type=jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha + pv
+            @pl.when(col_min + block_k - 1 > row_min)
+            def _masked():
+                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
+                update(jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE))
+
+            @pl.when(col_min + block_k - 1 <= row_min)
+            def _interior():
+                update(s)
+        else:
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            _accum_pv(p, alpha)
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
@@ -308,8 +354,13 @@ def flash_attention_kv_int8(
         def kv_index(b_, h_, q_, k_):
             return (b_, h_, k_, 0)
 
+    # int8 payloads run the scores dot on the MXU in int8 x int8 (q is
+    # quantised per-row in-kernel); fp8 has no native MXU path on v5e and
+    # keeps the dequant-to-activation-dtype dot.
+    int8_mxu = k.values.dtype == jnp.int8
     kernel = functools.partial(
         _kv8_fwd_kernel, causal=causal, block_q=bq, block_k=bk, num_kv=num_kv,
+        int8_mxu=int8_mxu,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -333,6 +384,8 @@ def flash_attention_kv_int8(
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.int8),       # q8 (int8_mxu path)
+            pltpu.VMEM((bq, 1), jnp.float32),    # q row scales
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),

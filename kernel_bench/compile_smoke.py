@@ -92,6 +92,29 @@ def main():
         q, q, q, True, window=256)))(qw)
     ok &= check("swa flash bwd", gw, gwr, 5e-2)
 
+    # -- EXTERNAL oracle: jax.nn.dot_product_attention ----------------------
+    # The repo's own jnp reference is the primary oracle; this cross-check
+    # breaks the self-referential loop by agreeing with an implementation we
+    # didn't write (VERDICT r1 item 8; mirrors the reference gating its
+    # speed tests on torch, tests/test_flash_attention.py:75-77).
+    def ext_oracle(q, k, v, causal, window=None):
+        lws = (window - 1, 0) if window is not None else None
+        out = jax.nn.dot_product_attention(
+            q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+            is_causal=causal, local_window_size=lws)
+        return out.swapaxes(1, 2)
+
+    for (dtype, causal, window) in [(jnp.float32, True, None),
+                                    (jnp.float32, False, None),
+                                    (jnp.bfloat16, True, None),
+                                    (jnp.bfloat16, True, 256)]:
+        qx = jax.random.normal(key, (2, 4, 2048, 64), dtype)
+        o = ft.flash_attention(qx, qx, qx, causal, impl="pallas",
+                               window=window)
+        ok &= check(
+            f"EXT oracle {dtype.__name__} c={causal} w={window}",
+            o, ext_oracle(qx, qx, qx, causal, window), 2e-2)
+
     # varlen flash: per-row KV-prefix masking, empty-row convention
     from flashattn_tpu.ops.flash_attention import flash_attention_varlen
 
@@ -156,9 +179,22 @@ def main():
     q = jax.random.normal(key, (2, 4, 327, 64), jnp.float32)
     kq = quantize_int8(q, axis=-1)
     o, _ = flash_attention_kv_int8(q, kq, kq, True)
-    ref = ft.flash_attention_reference(q, kq.dequantize(jnp.float32),
+    # the int8-MXU path also quantises q per row in-kernel; mirror it in the
+    # oracle (rounding commutes with the scalar scale prefold)
+    qd = quantize_int8(q, axis=-1).dequantize(jnp.float32)
+    ref = ft.flash_attention_reference(qd, kq.dequantize(jnp.float32),
                                        kq.dequantize(jnp.float32), True)
     ok &= check("int8-KV flash odd seq", o, ref, 3e-2)
+
+    # serving shape: D=128 bf16 activations over an int8 cache
+    qb = jax.random.normal(key, (2, 4, 2048, 128), jnp.bfloat16)
+    kqb = quantize_int8(qb.astype(jnp.float32), axis=-1)
+    o, _ = flash_attention_kv_int8(qb, kqb, kqb, True)
+    qbd = quantize_int8(qb.astype(jnp.float32), axis=-1).dequantize(jnp.float32)
+    ref = ft.flash_attention_reference(qbd.astype(jnp.bfloat16),
+                                       kqb.dequantize(jnp.float32),
+                                       kqb.dequantize(jnp.float32), True)
+    ok &= check("int8-KV flash D128 bf16", o, ref, 3e-2)
 
     # fp8 (e4m3) payloads through the same kernels
     from flashattn_tpu.ops.quant import quantize_fp8, quantize_int8_stochastic
@@ -232,7 +268,28 @@ def main():
     ref8 = paged_attention_reference(qd, kp8, kp8, lengths, pidx,
                                      k_scales=ks, v_scales=ks)
     o8 = paged_attention(qd, kp8, kp8, lengths, pidx, k_scales=ks, v_scales=ks)
-    ok &= check("paged decode int8 pages", o8, ref8, 2e-2)
+    ok &= check("paged decode int8 pages (grid, D=64)", o8, ref8, 2e-2)
+    # D=128 page=128 int8: rides the PIPELINED walk with scales streamed
+    # alongside payload pages (the short-history bandwidth fix)
+    ks128 = jnp.max(jnp.abs(kp128.astype(jnp.float32)), -1,
+                    keepdims=True) / 127.0
+    kp128_8 = jnp.round(kp128.astype(jnp.float32) / ks128).astype(jnp.int8)
+    ref8p = paged_attention_reference(qd128, kp128_8, kp128_8, lengths, pidx,
+                                      k_scales=ks128, v_scales=ks128)
+    o8p = paged_attention(qd128, kp128_8, kp128_8, lengths, pidx,
+                          k_scales=ks128, v_scales=ks128, pipelined=True)
+    ok &= check("paged decode int8 pages pipelined", o8p, ref8p, 2e-2)
+    refc8 = paged_attention_reference(qc, kp128_8, kp128_8, lens_c, pidx,
+                                      k_scales=ks128, v_scales=ks128)
+    oc8 = paged_attention(qc, kp128_8, kp128_8, lens_c, pidx,
+                          k_scales=ks128, v_scales=ks128, pipelined=True)
+    ok &= check("paged chunk=4 int8 pipelined", oc8, refc8, 2e-2)
+    refw8 = paged_attention_reference(qd128, kp128_8, kp128_8, lengths, pidx,
+                                      k_scales=ks128, v_scales=ks128,
+                                      window=300)
+    ow8 = paged_attention(qd128, kp128_8, kp128_8, lengths, pidx,
+                          k_scales=ks128, v_scales=ks128, window=300)
+    ok &= check("paged decode int8 window=300 pipelined", ow8, refw8, 2e-2)
 
     print("\nALL OK" if ok else "\nFAILURES PRESENT")
     return 0 if ok else 1

@@ -124,6 +124,27 @@ class TestChunkedPaged:
                                          k_scales=ks, v_scales=ks)
         np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
+    @pytest.mark.parametrize("window", [None, 200])
+    def test_chunk_int8_pages_pipelined(self, window):
+        """d=128 + page=128 int8 pools ride the pipelined DMA walk with
+        scales streamed alongside the payload pages."""
+        import jax
+
+        kp, vp, table, key = self._setup(d=128, page=128, pps=4)
+        ks = jnp.max(jnp.abs(kp), -1, keepdims=True) / 127.0
+        vs = jnp.max(jnp.abs(vp), -1, keepdims=True) / 127.0
+        kp8 = jnp.round(kp / ks).astype(jnp.int8)
+        vp8 = jnp.round(vp / vs).astype(jnp.int8)
+        q = jax.random.normal(key, (3, 4, 4, 128))
+        lengths = jnp.asarray([450, 8, 331], jnp.int32)
+        got = paged_attention(q, kp8, vp8, lengths, table,
+                              k_scales=ks, v_scales=vs, pipelined=True,
+                              window=window)
+        want = paged_attention_reference(q, kp8, vp8, lengths, table,
+                                         k_scales=ks, v_scales=vs,
+                                         window=window)
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
 
 def test_model_extend_matches_sequential_decode():
     """forward_extend_paged over k tokens == k sequential decode steps."""

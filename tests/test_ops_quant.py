@@ -67,10 +67,15 @@ def test_flash_attention_kv_int8(causal):
     v = jax.random.normal(ks[2], (b, h, n, d))
     kq, vq = quantize_kv(k, v)
     o, lse = flash_attention_kv_int8(q, kq, vq, causal)
-    # oracle: attention over the dequantised cache (isolates kernel error
-    # from quantisation error)
-    ref = flash_attention_reference(q, kq.dequantize(), vq.dequantize(), causal)
-    np.testing.assert_allclose(o, ref, atol=2e-5, rtol=1e-4)
+    # oracle: attention over the dequantised cache with q quantised the same
+    # way the kernel does (per-row symmetric int8 before the int8 MXU dot;
+    # rounding commutes with the scalar scale prefold, so quantising the raw
+    # q reproduces the kernel's grid exactly) -- isolates kernel error from
+    # quantisation error.
+    q_deq = quantize_int8(q, axis=-1).dequantize()
+    ref = flash_attention_reference(q_deq, kq.dequantize(), vq.dequantize(),
+                                    causal)
+    np.testing.assert_allclose(o, ref, atol=1e-4, rtol=1e-3)
     # and the total error vs the fp cache stays within int8 noise
     full = flash_attention_reference(q, k, v, causal)
     assert float(jnp.max(jnp.abs(o - full))) < 0.15
