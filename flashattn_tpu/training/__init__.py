@@ -1,6 +1,7 @@
 from .trainer import (
     ShardedTrainer,
     lm_loss,
+    make_distill_loss,
     make_eval_step,
     make_moe_loss,
     make_train_scan,

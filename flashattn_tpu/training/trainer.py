@@ -70,6 +70,41 @@ def make_moe_loss(aux_alpha: float = 0.01) -> Callable[..., Array]:
     return loss_fn
 
 
+def make_distill_loss(teacher: Any, alpha: float = 1.0,
+                      temperature: float = 1.0) -> Callable[..., Array]:
+    """Sequence-level knowledge distillation loss for speculative-decoding
+    drafts: KL(teacher || student) over the vocabulary at every unmasked
+    position, optionally mixed with the hard-label CE (``alpha`` weights the
+    KL term; ``1 - alpha`` the CE term).
+
+    The teacher runs under ``stop_gradient`` inside the jitted step, so one
+    ``make_train_scan(opt, loss_fn=make_distill_loss(target))`` trains a
+    draft whose greedy argmax tracks the target's — the acceptance-rate
+    objective of greedy-exact speculative decoding (serving/engine.py).
+    Green-field capability (the reference has no serving tier)."""
+
+    def loss_fn(student, tokens, targets, loss_mask=None, key=None):
+        t_logits = jax.lax.stop_gradient(teacher.eval()(tokens))
+        s_logits = student(tokens, key=key)
+        t_logp = jax.nn.log_softmax(t_logits / temperature, axis=-1)
+        s_logp = jax.nn.log_softmax(s_logits / temperature, axis=-1)
+        kl = jnp.sum(jnp.exp(t_logp) * (t_logp - s_logp), axis=-1)
+        if alpha < 1.0:
+            n_vocab = s_logits.shape[-1]
+            ce = F.softmax_loss(
+                s_logits.reshape(-1, n_vocab), targets.reshape(-1)
+            ).reshape(targets.shape)
+            per_pos = alpha * kl + (1.0 - alpha) * ce
+        else:
+            per_pos = kl
+        if loss_mask is None:
+            return jnp.mean(per_pos)
+        return (jnp.sum(per_pos * loss_mask)
+                / jnp.maximum(jnp.sum(loss_mask), 1.0))
+
+    return loss_fn
+
+
 def make_train_step(opt: Any,
                     loss_fn: Callable[..., Array] = lm_loss,
                     donate: bool = True,

@@ -1,0 +1,148 @@
+"""End-to-end speculative decoding win: trained target + distilled draft.
+
+VERDICT r1 item 4: the machinery was verified at the acceptance ceiling
+(self-draft 4.00/4, token-identical to greedy) but no configuration had
+beaten plain chunked greedy.  This bench constructs the configuration the
+scheme exists for:
+
+* a TARGET big enough that its decode step dwarfs the draft's
+  (8L / 1024 embd / 8 heads, D=128 -> the pipelined paged-decode path),
+* a 1L / 256 DRAFT distilled from the target (``make_distill_loss``) on the
+  framework's MT corpus, so greedy acceptance is earned, not self-drafted,
+* engine throughput measured for plain chunked greedy vs speculative with
+  the SAME target weights.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python kernel_bench/bench_speculative.py
+"""
+
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flashattn_tpu as ft
+from flashattn_tpu.serving import ContinuousBatchingEngine
+from flashattn_tpu.training import (
+    lm_loss, make_distill_loss, make_train_scan)
+from flashattn_tpu.training.translation import make_synthetic_dataset
+
+SEQ = 24            # src + <eos_de> + tgt + <eos_en> fits in 24 tokens
+BATCH = 64
+N_REQ = 16
+NEW_TOKENS = 32
+SPEC_LEN = 4
+
+
+def build_corpus(n_examples=6000, seed=0):
+    """Word-level token stream over the synthetic MT corpus (no BPE: the
+    lexicon IS the vocabulary)."""
+    examples = make_synthetic_dataset(n_examples, seed)
+    vocab = {"<pad>": 0, "<eos_de>": 1, "<eos_en>": 2}
+    for ex in examples:
+        for w in ex["de"].split() + ex["en"].split():
+            vocab.setdefault(w, len(vocab))
+    rows, masks = [], []
+    for ex in examples:
+        ids = ([vocab[w] for w in ex["de"].split()] + [vocab["<eos_de>"]]
+               + [vocab[w] for w in ex["en"].split()] + [vocab["<eos_en>"]])
+        ids = ids[:SEQ]
+        mask = [0.0] * (len(ex["de"].split()) + 1) + [1.0] * (
+            len(ids) - len(ex["de"].split()) - 1)
+        pad = SEQ - len(ids)
+        rows.append(ids + [0] * pad)
+        masks.append(mask[:SEQ] + [0.0] * pad)
+    return (np.asarray(rows, np.int32), np.asarray(masks, np.float32), vocab,
+            examples)
+
+
+def stack_batches(rows, masks, n_steps, seed):
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(rows))[: n_steps * BATCH]
+    tok = rows[idx].reshape(n_steps, BATCH, SEQ)
+    msk = masks[idx].reshape(n_steps, BATCH, SEQ)
+    return (jnp.asarray(tok[:, :, :-1]), jnp.asarray(tok[:, :, 1:]),
+            jnp.asarray(msk[:, :, 1:]))
+
+
+def train(model, loss_fn, rows, masks, n_steps, lr, seed, label):
+    opt = ft.Adam(lr=lr)
+    state = opt.init(model)
+    scan = make_train_scan(opt, loss_fn=loss_fn, grad_clip=1.0)
+    tok, tgt, msk = stack_batches(rows, masks, n_steps, seed)
+    t0 = time.perf_counter()
+    chunk = 50
+    losses = []
+    for s in range(0, n_steps, chunk):
+        model, state, ls = scan(model, state, tok[s:s + chunk],
+                                tgt[s:s + chunk], msk[s:s + chunk],
+                                jax.random.PRNGKey(seed + s))
+        losses.append(float(ls[-1]))
+    print(f"  {label}: {n_steps} steps in {time.perf_counter() - t0:.1f}s, "
+          f"loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    return model.eval()
+
+
+def bench(target, draft, prompts, label):
+    eng = ContinuousBatchingEngine(
+        target, max_batch=N_REQ, page_size=128, pages_per_seq=2,
+        steps_per_dispatch=8, draft_model=draft, spec_len=SPEC_LEN)
+    eng.submit(prompts[0], NEW_TOKENS)     # warmup compile
+    eng.run()
+    eng.finished.clear()
+    reqs = [eng.submit(p, NEW_TOKENS) for p in prompts]
+    t0 = time.perf_counter()
+    eng.run()
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.generated) for r in reqs)
+    extra = ""
+    if eng.spec_stats[1]:
+        acc, waves = eng.spec_stats
+        extra = f"  acceptance {acc / waves:.2f}/{SPEC_LEN}"
+    print(f"  {label:30s} {toks / dt:8.0f} new tok/s ({dt * 1e3:6.0f} ms)"
+          f"{extra}")
+    return toks / dt, [r.generated for r in reqs]
+
+
+def main():
+    smoke = bool(int(_os.environ.get("SPEC_SMOKE", "0")))  # tiny CPU check
+    rows, masks, vocab, examples = build_corpus(600 if smoke else 6000)
+    n_vocab = ((len(vocab) + 127) // 128) * 128
+    print(f"corpus: {len(rows)} examples, vocab {len(vocab)} -> {n_vocab}")
+
+    t_embd, t_layer, d_embd = (128, 2, 64) if smoke else (1024, 8, 256)
+    n_steps = 8 if smoke else 400
+    target = ft.DecoderLM(n_vocab, t_embd, 8, 2048, p_dropout=0.0,
+                          n_layer=t_layer, attn_impl="flash",
+                          key=jax.random.PRNGKey(0))
+    draft = ft.DecoderLM(n_vocab, d_embd, 2, 2048, p_dropout=0.0, n_layer=1,
+                         attn_impl="flash", key=jax.random.PRNGKey(1))
+
+    print(f"training target ({t_layer}L/{t_embd}) on the MT corpus ...")
+    target = train(target, lm_loss, rows, masks, n_steps, 1e-3, 2, "target")
+    print(f"distilling draft (1L/{d_embd}) from the target ...")
+    draft = train(draft, make_distill_loss(target), rows, masks, n_steps,
+                  2e-3, 3, "draft")
+
+    rng = np.random.default_rng(7)
+    pick = rng.permutation(len(examples))[:N_REQ]
+    prompts = []
+    for i in pick:
+        ids = [vocab[w] for w in examples[i]["de"].split()] + [vocab["<eos_de>"]]
+        prompts.append(ids)
+
+    print(f"serving {N_REQ} requests x {NEW_TOKENS} new tokens:")
+    t_plain, out_plain = bench(target, None, prompts, "greedy, 8 steps/dispatch")
+    t_spec, out_spec = bench(target, draft, prompts,
+                             f"speculative (distilled, k={SPEC_LEN})")
+    same = out_plain == out_spec
+    print(f"  outputs identical to greedy: {same}")
+    print(f"  SPEEDUP: {t_spec / t_plain:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

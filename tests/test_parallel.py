@@ -268,3 +268,35 @@ def test_lm_loss_masking():
     half_mask = jnp.concatenate([jnp.ones((2, 4)), jnp.zeros((2, 4))], axis=1)
     half = lm_loss(model, toks, toks, half_mask)
     assert not np.allclose(float(full), float(half))
+
+def test_distill_loss_trains_draft_toward_teacher():
+    """make_distill_loss: a student trained on the KL objective moves its
+    greedy argmax toward the teacher's (the speculative-decoding acceptance
+    objective, serving/engine.py)."""
+    from flashattn_tpu.training import make_distill_loss, make_train_step
+
+    teacher = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=2,
+                           attn_impl="reference", key=jax.random.PRNGKey(1))
+    student = ft.DecoderLM(64, 16, 2, 16, p_dropout=0.0, n_layer=1,
+                           attn_impl="reference", key=jax.random.PRNGKey(2))
+    opt = ft.Adam(lr=5e-3)
+    step = make_train_step(opt, loss_fn=make_distill_loss(teacher))
+    state = opt.init(student)
+    data = jax.random.randint(jax.random.PRNGKey(3), (8, 17), 0, 64)
+    tok, tgt = data[:, :-1], data[:, 1:]
+
+    def agreement(s):
+        return float(jnp.mean(
+            jnp.argmax(s(tok), -1) == jnp.argmax(teacher(tok), -1)))
+
+    a0 = agreement(student)
+    losses = []
+    for i in range(30):
+        student, state, loss = step(student, state, tok, tgt, None, None)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9
+    assert agreement(student) > a0
+    # alpha<1 mixes in hard-label CE and still runs
+    mixed = make_distill_loss(teacher, alpha=0.5)
+    l = mixed(student, tok, tgt, jnp.ones_like(tgt, jnp.float32), None)
+    assert jnp.isfinite(l)
