@@ -198,10 +198,27 @@ class ContinuousBatchingEngine:
                   "ignoring draft_model")
             draft_model = None
         if draft_model is not None:
-            assert mesh is None, "speculative + TP serving not wired yet"
             self.draft_model = draft_model.eval()
+            if mesh is not None:
+                # speculative + TP serving: the draft shards over the SAME
+                # (mesh, head_axis) as the target — its decode scan and the
+                # target's verify pass then both run under shard_map with
+                # head-sharded pools, one spec wave per dispatch as before
+                from ..parallel.sharding import apply_mesh, shard_model
+
+                dm = apply_mesh(self.draft_model, mesh, batch_axis=None,
+                                head_axis=head_axis)
+                self.draft_model = shard_model(dm, mesh, head_axis)
             self.draft_pools = self.draft_model.init_page_pools(
                 total_pages + 1, page_size, dtype)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dp_sharding = NamedSharding(
+                    mesh, P(head_axis, None, None, None))
+                self.draft_pools = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, dp_sharding),
+                    self.draft_pools)
 
             @functools.partial(jax.jit, donate_argnums=(2, 3),
                                static_argnames=("n_spec",))

@@ -1,0 +1,125 @@
+"""Round-2 change measurements: mask-skip, int8-MXU, GQA bwd, int8 paged.
+
+Runs the four VERDICT-r1 perf items' scoreboard numbers on the real chip.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u kernel_bench/r2_measure.py
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import flashattn_tpu as ft
+from flashattn_tpu.utils.timing import device_loop_time
+
+ROOFLINE = 175.0  # measured 8192^3 bf16 matmul TFLOP/s on this chip
+
+
+def flash_block_sweep():
+    print("== flash fwd causal bf16 B4 H8 D128: block sweep (mask-skip) ==")
+    B, H, D = 4, 8, 128
+    for N in (2048, 4096, 8192):
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), jnp.bfloat16)
+        flops = 4 * B * H * N * N * D * 0.5
+        raw_rows = []
+        for (bq, bk) in [(512, 1024), (512, 512), (256, 512), (1024, 1024),
+                         (256, 1024), (1024, 512)]:
+            if bq > N or bk > N:
+                continue
+            t = device_loop_time(
+                lambda x: ft.flash_attention(x, x, x, True, block_q=bq,
+                                             block_k=bk, impl="pallas"),
+                (q,), iters=60)
+            # raw = flops actually issued incl. masked-tile overcompute
+            tf = flops / t / 1e12
+            raw_rows.append((bq, bk, t * 1e3, tf))
+            print(f"  N={N} blocks=({bq},{bk}): {t*1e3:7.3f} ms  "
+                  f"{tf:6.1f} useful TFLOP/s ({tf/ROOFLINE*100:4.1f}% roof)")
+        best = max(raw_rows, key=lambda r: r[3])
+        print(f"  N={N} BEST blocks=({best[0]},{best[1]}) "
+              f"{best[3]:.1f} TFLOP/s")
+
+
+def int8_prefill():
+    print("== int8-KV flash vs bf16 (prefill, causal, B4 H8 D128) ==")
+    from flashattn_tpu.ops.quant import flash_attention_kv_int8, quantize_int8
+    B, H, D = 4, 8, 128
+    for N in (2048, 4096, 8192):
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), jnp.bfloat16)
+        kq = quantize_int8(q.astype(jnp.float32), axis=-1)
+        t_bf16 = device_loop_time(
+            lambda x: ft.flash_attention(x, x, x, True, impl="pallas"),
+            (q,), iters=60)
+        t_int8 = device_loop_time(
+            lambda x: flash_attention_kv_int8(x, kq, kq, True)[0],
+            (q,), iters=60)
+        flops = 4 * B * H * N * N * D * 0.5
+        print(f"  N={N}: bf16 {t_bf16*1e3:7.3f} ms ({flops/t_bf16/1e12:5.1f} TF) "
+              f"| int8-KV {t_int8*1e3:7.3f} ms ({flops/t_int8/1e12:5.1f} TF) "
+              f"| int8/bf16 {t_bf16/t_int8:5.2f}x")
+
+
+def gqa_bwd():
+    print("== flash bwd TFLOP/s (causal bf16 D128): MHA vs GQA 8q/2kv ==")
+    B, D = 4, 128
+    for N in (2048, 4096):
+        for (hq, hkv) in [(8, 8), (8, 2), (8, 1)]:
+            q = jax.random.normal(jax.random.PRNGKey(0), (B, hq, N, D),
+                                  jnp.bfloat16)
+            kv = jax.random.normal(jax.random.PRNGKey(1), (B, hkv, N, D),
+                                   jnp.bfloat16)
+
+            def bwd(q):
+                return jax.grad(lambda a, b: jnp.sum(
+                    ft.flash_attention(a, b, b, True, impl="pallas")
+                    .astype(jnp.float32)), argnums=0)(q, kv)
+
+            t = device_loop_time(jax.jit(bwd), (q,), iters=30)
+            flops = 5 * 2 * B * hq * N * N * D * 0.5
+            print(f"  N={N} {hq}q/{hkv}kv: {t*1e3:7.3f} ms  "
+                  f"{flops/t/1e12:6.1f} TFLOP/s")
+
+
+def paged_int8():
+    print("== paged decode µs/step (B16 8kv D128 page128): int8 pipelined ==")
+    from flashattn_tpu.ops.paged_attention import paged_attention
+    B, Hq, Hkv, D, page = 16, 8, 8, 128, 128
+    n_pages_total = B * 64
+    kp = jax.random.normal(jax.random.PRNGKey(0),
+                           (Hkv, n_pages_total, page, D), jnp.bfloat16)
+    ks = jnp.max(jnp.abs(kp.astype(jnp.float32)), -1, keepdims=True) / 127.0
+    kp8 = jnp.round(kp.astype(jnp.float32) / ks).astype(jnp.int8)
+    pidx = jnp.arange(B * 64, dtype=jnp.int32).reshape(B, 64)
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, Hq, D), jnp.bfloat16)
+    for hist in (1024, 8192):
+        lengths = jnp.full((B,), hist, jnp.int32)
+        for label, kwargs in [
+            ("bf16 pipelined", dict(k_pages=kp, v_pages=kp, pipelined=True)),
+            ("int8 pipelined", dict(k_pages=kp8, v_pages=kp8, k_scales=ks,
+                                    v_scales=ks, pipelined=True)),
+            ("int8 grid", dict(k_pages=kp8, v_pages=kp8, k_scales=ks,
+                               v_scales=ks, pipelined=False)),
+        ]:
+            t = device_loop_time(
+                lambda x: paged_attention(x, lengths=lengths,
+                                          page_indices=pidx, **kwargs),
+                (q,), iters=40)
+            itemsize = 1 if "int8" in label else 2
+            bw = 2 * Hkv * hist * D * B * itemsize / t / 1e9
+            print(f"  hist={hist} {label:15s}: {t*1e6:7.1f} µs  "
+                  f"({bw:5.0f} GB/s payload)")
+        # windowed int8 (the serving config)
+        t = device_loop_time(
+            lambda x: paged_attention(x, kp8, kp8, lengths, pidx,
+                                      k_scales=ks, v_scales=ks, window=1024),
+            (q,), iters=40)
+        print(f"  hist={hist} int8 window=1024 : {t*1e6:7.1f} µs")
+
+
+if __name__ == "__main__":
+    for fn in (flash_block_sweep, int8_prefill, gqa_bwd, paged_int8):
+        fn()

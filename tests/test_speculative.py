@@ -104,3 +104,23 @@ def test_speculative_with_rolling_window(draft):
                      draft_model=wdraft, spec_len=3, **kw)
     assert plain == spec
     assert eng.spec_stats[1] > 0
+
+
+def test_speculative_with_tp_serving(target, draft):
+    """Speculative + TP serving composed: draft sharded over the same
+    (mesh, head_axis) as the target; output identical to the plain
+    unsharded greedy engine."""
+    from flashattn_tpu.parallel import create_mesh
+
+    mesh = create_mesh((2,), ("model",))
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(1, 60, size=n)) for n in (5, 12, 1)]
+    maxnews, eoss = [10, 6, 8], [None, None, None]
+
+    kw = dict(max_batch=3, page_size=8, pages_per_seq=4)
+    plain, _ = _run(target, prompts, maxnews, eoss,
+                    steps_per_dispatch=1, **kw)
+    spec, eng = _run(target, prompts, maxnews, eoss,
+                     draft_model=draft, spec_len=3, mesh=mesh, **kw)
+    assert plain == spec
+    assert eng.spec_stats[1] > 0  # speculative waves actually ran
