@@ -54,7 +54,31 @@ def pallas_dropout_res_bias(x, bias, residual, rate, seed, block_rows=512):
     )(jnp.asarray([seed], jnp.int32), x, bias.reshape(1, d), residual)
 
 
+def _check_correctness():
+    """Gate the timing on kernel correctness: every output row must equal
+    either residual + (x+b)/(1-rate) (kept) or residual (dropped), with the
+    keep fraction near 1-rate."""
+    n, d, rate = 1024, 256, 0.25
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (d,), jnp.float32)
+    r = jax.random.normal(jax.random.PRNGKey(2), (n, d), jnp.float32)
+    out = pallas_dropout_res_bias(x, b, r, rate, seed=3, block_rows=256)
+    kept_val = r + (x + b) / (1.0 - rate)
+    is_kept = jnp.isclose(out, kept_val, atol=1e-5)
+    is_dropped = jnp.isclose(out, r, atol=1e-5)
+    assert bool(jnp.all(is_kept | is_dropped)), "unexpected output values"
+    frac = float(jnp.mean(is_kept))
+    assert abs(frac - (1.0 - rate)) < 0.02, f"keep fraction {frac}"
+    print(f"correctness OK (keep fraction {frac:.3f} ~ {1-rate})")
+
+
 def main():
+    if jax.default_backend() != "tpu":
+        # pltpu.prng_seed has no CPU lowering (same gate as
+        # ops/quant.quantize_int8_stochastic's fallback) — this bench only
+        # answers a TPU question anyway
+        raise SystemExit("bench_fused_dropout requires a TPU backend")
+    _check_correctness()
     rate = 0.1
     for (n, d, dtype) in [(8192, 1024, jnp.bfloat16),
                           (32768, 1024, jnp.bfloat16),

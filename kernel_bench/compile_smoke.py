@@ -290,6 +290,13 @@ def main():
     ow8 = paged_attention(qd128, kp128_8, kp128_8, lengths, pidx,
                           k_scales=ks128, v_scales=ks128, window=300)
     ok &= check("paged decode int8 window=300 pipelined", ow8, refw8, 2e-2)
+    # fp8 pools ride the same quantized pipelined walk
+    kp128_f8 = (kp128.astype(jnp.float32) / ks128).astype(jnp.float8_e4m3fn)
+    reff8 = paged_attention_reference(qd128, kp128_f8, kp128_f8, lengths,
+                                      pidx, k_scales=ks128, v_scales=ks128)
+    of8 = paged_attention(qd128, kp128_f8, kp128_f8, lengths, pidx,
+                          k_scales=ks128, v_scales=ks128, pipelined=True)
+    ok &= check("paged decode fp8 pages pipelined", of8, reff8, 3e-2)
 
     print("\nALL OK" if ok else "\nFAILURES PRESENT")
     return 0 if ok else 1
