@@ -26,8 +26,12 @@ def flash_block_sweep():
         q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), jnp.bfloat16)
         flops = 4 * B * H * N * N * D * 0.5
         raw_rows = []
+        # causal overcompute ~= N*block_k/2 regardless of block_q, so small
+        # block_k is the useful-fraction lever; large block_q keeps the MXU
+        # fed and amortises the per-tile softmax update
         for (bq, bk) in [(512, 1024), (512, 512), (256, 512), (1024, 1024),
-                         (256, 1024), (1024, 512)]:
+                         (1024, 512), (512, 256), (1024, 256), (2048, 256),
+                         (2048, 512)]:
             if bq > N or bk > N:
                 continue
             t = device_loop_time(
