@@ -236,8 +236,8 @@ def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices,
     in_specs = [
         pl.BlockSpec((1, n_kv_heads, group, d),
                      lambda b_, pages, lens: (b_, 0, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
         pltpu.VMEM((2, n_kv_heads, page_size, d), k_pages.dtype),
@@ -250,7 +250,7 @@ def _paged_attention_pipelined(qg, k_pages, v_pages, lengths, page_indices,
         # trailing 1 would not
         args += [k_scales.reshape(n_kv_heads, -1, page_size),
                  v_scales.reshape(n_kv_heads, -1, page_size)]
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
         scratch += [pltpu.VMEM((2, n_kv_heads, page_size), jnp.float32)] * 2
         kernel = _paged_dma_body
     else:

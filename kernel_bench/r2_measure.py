@@ -31,7 +31,7 @@ def flash_block_sweep():
         # fed and amortises the per-tile softmax update
         for (bq, bk) in [(512, 1024), (512, 512), (256, 512), (1024, 1024),
                          (1024, 512), (512, 256), (1024, 256), (2048, 256),
-                         (2048, 512)]:
+                         (2048, 512), (256, 256), (256, 128)]:
             if bq > N or bk > N:
                 continue
             t = device_loop_time(
