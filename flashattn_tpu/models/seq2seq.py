@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from ..module import Module
 from ..nn.basic import Dropout, Embedding, FusedLayerNorm, LayerNorm1d, Linear
-from .transformer import AttnImpl, FeedForward, MultiHeadAttention, _split
+from .transformer import (AttnImpl, FeedForward, MultiHeadAttention, _split,
+                          remat_policy)
 
 Array = jax.Array
 
@@ -137,10 +138,14 @@ class EncoderDecoderLM(Module):
                  middle_dim: int = 256, n_kv_head: Optional[int] = None,
                  attn_impl: AttnImpl = "flash",
                  use_fused_layernorm: bool = True,
+                 remat: bool = False, remat_policy: str = "nothing",
                  key: jax.Array, dtype=jnp.float32):
         self.n_embd = n_embd
         self.n_vocab = n_vocab
         self.n_positions = n_positions
+        # jax.checkpoint per encoder/decoder block (see transformer.py).
+        self.remat = remat
+        self.remat_policy = remat_policy
         n = n_encoder_layer + n_decoder_layer
         keys = jax.random.split(key, n + 4)
         self.token_embeddings = Embedding(n_vocab, n_embd, key=keys[0],
@@ -179,8 +184,11 @@ class EncoderDecoderLM(Module):
         but never read: every consumer masks via the lengths)."""
         keys = _split(key, len(self.encoder_layers) + 1)
         x = self._embed(src, keys[0])
+        step = lambda layer, x, k: layer(x, src_lens, key=k)
+        if self.remat:
+            step = jax.checkpoint(step, policy=remat_policy(self.remat_policy))
         for layer, k in zip(self.encoder_layers, keys[1:]):
-            x = layer(x, src_lens, key=k)
+            x = step(layer, x, k)
         return self.ln_enc(x)
 
     def decode(self, tgt: Array, memory: Array,
@@ -188,8 +196,11 @@ class EncoderDecoderLM(Module):
                key: Optional[jax.Array] = None) -> Array:
         keys = _split(key, len(self.decoder_layers) + 1)
         x = self._embed(tgt, keys[0])
+        step = lambda layer, x, k: layer(x, memory, src_lens, key=k)
+        if self.remat:
+            step = jax.checkpoint(step, policy=remat_policy(self.remat_policy))
         for layer, k in zip(self.decoder_layers, keys[1:]):
-            x = layer(x, memory, src_lens, key=k)
+            x = step(layer, x, k)
         return self.lm_head(self.ln(x))
 
     def forward(self, src: Array, tgt: Array,

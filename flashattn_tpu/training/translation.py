@@ -81,6 +81,9 @@ class MTConfig:
     beam_size: int = 4
     attn_impl: str = "flash"
     use_fused_layernorm: bool = True
+    # jax.checkpoint each transformer block: fit longer max_len / bigger
+    # batches by rematerialising activations in the backward pass
+    remat: bool = False
     workdir: Optional[str] = None
     synthetic_size: int = 20000  # offline fallback corpus size
     use_native_loader: bool = True  # C++ collate + prefetch (native/)
@@ -532,6 +535,7 @@ def run(config: MTConfig) -> Dict:
             n_encoder_layer=config.n_layer, n_decoder_layer=config.n_layer,
             attn_impl=config.attn_impl,
             use_fused_layernorm=config.use_fused_layernorm,
+            remat=config.remat,
             key=jax.random.PRNGKey(config.seed),
         )
     else:
@@ -541,6 +545,7 @@ def run(config: MTConfig) -> Dict:
             n_positions=config.model_max_length, p_dropout=config.p_dropout,
             n_layer=config.n_layer, attn_impl=config.attn_impl,
             use_fused_layernorm=config.use_fused_layernorm,
+            remat=config.remat,
             key=jax.random.PRNGKey(config.seed),
         )
     if config.lr_schedule == "cosine":
