@@ -113,6 +113,66 @@ def shard_model(model: Any, mesh: Mesh, model_axis: str = MODEL_AXIS,
     return jax.device_put(model, sharding_tree(model, mesh, model_axis, rule))
 
 
+def fsdp_spec_for(path: str, shape, mesh: Mesh,
+                  data_axis: str = DATA_AXIS,
+                  model_axis: str = MODEL_AXIS,
+                  min_size: int = 2**14) -> P:
+    """Compose the TP spec with ZeRO/FSDP sharding over the data axis.
+
+    The GSPMD formulation of ZeRO-3: each parameter (and therefore, via
+    ``zeros_like``, each Adam moment) is additionally partitioned over the
+    *data* axis on its largest still-replicated dimension.  XLA then
+    all-gathers the shard just before use in the forward/backward matmuls
+    and reduce-scatters the gradients — the classic FSDP schedule, expressed
+    purely as layout annotations with zero changes to the train step
+    (scaling-book recipe; no reference analogue, single-GPU).
+
+    Parameters smaller than ``min_size`` elements stay at their TP spec:
+    gathering a tiny layernorm vector costs more in latency than its
+    replication costs in HBM.
+    """
+    spec = tp_spec_for(path, model_axis)
+    ndim = len(shape)
+    dims = list(spec) + [None] * (ndim - len(spec))
+    n = mesh.shape[data_axis]
+    size = 1
+    for d in shape:
+        size *= int(d)
+
+    def as_spec(dims):
+        while dims and dims[-1] is None:  # P(None) != P() under ==
+            dims.pop()
+        return P(*dims)
+
+    if n == 1 or size < min_size:
+        return as_spec(dims)
+    best = None
+    for i in range(ndim):
+        if dims[i] is not None:
+            continue  # already TP-sharded
+        if shape[i] % n:
+            continue  # not divisible over the data axis
+        if best is None or shape[i] > shape[best]:
+            best = i
+    if best is not None:
+        dims[best] = data_axis
+    return as_spec(dims)
+
+
+def fsdp_sharding_tree(model: Any, mesh: Mesh,
+                       data_axis: str = DATA_AXIS,
+                       model_axis: str = MODEL_AXIS,
+                       min_size: int = 2**14) -> Any:
+    """Model-shaped pytree of NamedShardings under TP + FSDP rules."""
+
+    def leaf_sharding(path, leaf):
+        return NamedSharding(
+            mesh, fsdp_spec_for(_path_to_str(path), leaf.shape, mesh,
+                                data_axis, model_axis, min_size))
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, model)
+
+
 def apply_mesh(model: Module, mesh: Optional[Mesh],
                batch_axis: Optional[str] = DATA_AXIS,
                head_axis: Optional[str] = MODEL_AXIS) -> Module:

@@ -300,3 +300,65 @@ def test_distill_loss_trains_draft_toward_teacher():
     mixed = make_distill_loss(teacher, alpha=0.5)
     l = mixed(student, tok, tgt, jnp.ones_like(tgt, jnp.float32), None)
     assert jnp.isfinite(l)
+
+
+def test_fsdp_spec_composes_with_tp():
+    from flashattn_tpu.parallel.sharding import fsdp_spec_for
+
+    mesh = create_mesh((4, 2), ("data", "model"))
+    # column-parallel weight: TP on out dim, FSDP takes the free in dim
+    assert fsdp_spec_for("layers.0.ff.linear_in.weights", (64, 256), mesh) \
+        == P("data", "model")
+    # row-parallel weight: TP on in dim, FSDP on out dim
+    assert fsdp_spec_for("layers.0.attention.out_projection.weights",
+                         (256, 64), mesh) == P("model", "data")
+    # replicated-by-TP large weight: FSDP picks the largest divisible dim
+    assert fsdp_spec_for("some.other.weights", (128, 512), mesh) \
+        == P(None, "data")
+    # small params stay replicated (gather latency > HBM saving)
+    assert fsdp_spec_for("layers.0.ln_1.gamma", (64,), mesh) == P()
+    # indivisible dims are left alone
+    assert fsdp_spec_for("odd.weights", (130, 254), mesh, min_size=1) == P()
+
+
+def test_zero_trainer_shards_params_and_moments_over_data():
+    mesh = create_mesh((4, 2), ("data", "model"))
+    model = ft.DecoderLM(256, 128, 4, 16, p_dropout=0.0, n_layer=1,
+                         attn_impl="flash", key=jax.random.PRNGKey(3))
+    trainer = ShardedTrainer(model, ft.Adam(lr=5e-3), mesh, zero=True)
+    w = trainer.model.layers[0].ff.linear_in.weights
+    assert w.sharding.spec == P("data", "model")
+    # per-device shard is dp*tp-fold smaller: ZeRO's memory claim
+    assert w.addressable_shards[0].data.size == w.size // 8
+    # Adam moments inherit the FSDP layout via zeros_like: every big moment
+    # leaf is partitioned over the data axis
+    m_leaf = jax.tree_util.tree_leaves(trainer.opt_state)
+    big = [x for x in m_leaf if hasattr(x, "size") and x.size == w.size]
+    assert big and all("data" in jax.tree_util.tree_leaves(tuple(x.sharding.spec))
+                       for x in big)
+
+    data = jax.random.randint(jax.random.PRNGKey(4), (8, 17), 0, 256)
+    losses = [float(trainer.step(data[:, :-1], data[:, 1:]))
+              for _ in range(10)]
+    assert losses[-1] < losses[0]
+    # updated params keep the FSDP sharding after donated jit steps
+    w2 = trainer.model.layers[0].ff.linear_in.weights
+    assert w2.sharding.spec == P("data", "model")
+
+
+def test_zero_trainer_matches_plain_tp_losses():
+    """ZeRO relayouts must not change the math: loss trajectory equals the
+    plain TP trainer's to reduction-order tolerance."""
+    mesh = create_mesh((4, 2), ("data", "model"))
+
+    def build():
+        return ft.DecoderLM(128, 64, 4, 16, p_dropout=0.0, n_layer=2,
+                            attn_impl="flash", key=jax.random.PRNGKey(7))
+
+    t_plain = ShardedTrainer(build(), ft.Adam(lr=5e-3), mesh)
+    t_zero = ShardedTrainer(build(), ft.Adam(lr=5e-3), mesh, zero=True)
+    data = jax.random.randint(jax.random.PRNGKey(8), (8, 17), 0, 128)
+    for _ in range(5):
+        lp = float(t_plain.step(data[:, :-1], data[:, 1:]))
+        lz = float(t_zero.step(data[:, :-1], data[:, 1:]))
+        assert abs(lp - lz) < 1e-4, (lp, lz)
