@@ -108,17 +108,56 @@ def make_distill_loss(teacher: Any, alpha: float = 1.0,
 def make_train_step(opt: Any,
                     loss_fn: Callable[..., Array] = lm_loss,
                     donate: bool = True,
-                    grad_clip: Optional[float] = None) -> Callable:
+                    grad_clip: Optional[float] = None,
+                    accum_steps: int = 1) -> Callable:
     """Single-chip (or GSPMD-implicit) jitted train step.
 
     Returns step(model, opt_state, tokens, targets, loss_mask, key)
     -> (model, opt_state, loss).  ``grad_clip`` applies global-norm clipping.
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch's leading
+    dim is split into ``accum_steps`` microbatches, gradients are averaged
+    over a device-side ``lax.scan`` (one live microbatch of activations at
+    a time), then ONE optimiser update is applied — the standard lever for
+    effective batch sizes whose activations don't fit HBM, and it composes
+    with remat and ZeRO (grads accumulate in the params' sharding).
     """
 
+    def _grads(model, tokens, targets, loss_mask, key):
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn)(
+                model, tokens, targets, loss_mask, key)
+
+        def reshape(x):
+            assert x.shape[0] % accum_steps == 0, (
+                f"batch {x.shape[0]} not divisible by accum_steps {accum_steps}")
+            return x.reshape((accum_steps, x.shape[0] // accum_steps)
+                             + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(reshape, (tokens, targets, loss_mask))
+        keys = (jax.random.split(key, accum_steps) if key is not None
+                else jnp.zeros((accum_steps, 2), jnp.uint32))
+
+        def body(acc, mb):
+            (tok, tgt, msk), k = mb
+            k = k if key is not None else None
+            loss, grads = jax.value_and_grad(loss_fn)(model, tok, tgt, msk, k)
+            loss_sum, grad_sum = acc
+            # accumulate in f32 regardless of param dtype
+            grad_sum = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(a.dtype), grad_sum, grads)
+            return (loss_sum + loss, grad_sum), None
+
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), model)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zero_g), (micro, keys))
+        scale = 1.0 / accum_steps
+        return loss_sum * scale, jax.tree_util.tree_map(
+            lambda g, p: (g * scale).astype(p.dtype), grad_sum, model)
+
     def _step(model, opt_state, tokens, targets, loss_mask, key):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            model, tokens, targets, loss_mask, key
-        )
+        loss, grads = _grads(model, tokens, targets, loss_mask, key)
         if grad_clip is not None:
             grads = clip_by_global_norm(grads, grad_clip)
         model, opt_state = opt.step(model, grads, opt_state)

@@ -362,3 +362,45 @@ def test_zero_trainer_matches_plain_tp_losses():
         lp = float(t_plain.step(data[:, :-1], data[:, 1:]))
         lz = float(t_zero.step(data[:, :-1], data[:, 1:]))
         assert abs(lp - lz) < 1e-4, (lp, lz)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 over batch 8 must equal the full-batch step: same loss,
+    same updated params (fp-reorder tolerance). One optimiser update either
+    way -- the memory lever leaves the math unchanged."""
+    def build():
+        return ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                            attn_impl="reference", key=jax.random.PRNGKey(5))
+
+    opt = ft.Adam(lr=5e-3)
+    data = jax.random.randint(jax.random.PRNGKey(6), (8, 17), 0, 64)
+
+    m_full, s_full = build(), opt.init(build())
+    m_acc, s_acc = build(), opt.init(build())
+    step_full = make_train_step(opt, donate=False)
+    step_acc = make_train_step(opt, donate=False, accum_steps=4)
+    for _ in range(3):
+        m_full, s_full, l_full = step_full(
+            m_full, s_full, data[:, :-1], data[:, 1:], None, None)
+        m_acc, s_acc, l_acc = step_acc(
+            m_acc, s_acc, data[:, :-1], data[:, 1:], None, None)
+    assert abs(float(l_full) - float(l_acc)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(m_full),
+                    jax.tree_util.tree_leaves(m_acc)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_grad_accumulation_with_mask_and_key():
+    """Masked loss + dropout keys: runs and stays finite (mean-of-means over
+    microbatches is the standard accumulation semantics)."""
+    model = ft.DecoderLM(64, 32, 4, 16, p_dropout=0.1, n_layer=1,
+                         attn_impl="reference", key=jax.random.PRNGKey(5))
+    opt = ft.Adam(lr=5e-3)
+    state = opt.init(model)
+    step = make_train_step(opt, donate=False, accum_steps=2, grad_clip=1.0)
+    data = jax.random.randint(jax.random.PRNGKey(6), (4, 17), 0, 64)
+    mask = (jax.random.uniform(jax.random.PRNGKey(7), (4, 16)) > 0.3
+            ).astype(jnp.float32)
+    model, state, loss = step(model, state, data[:, :-1], data[:, 1:], mask,
+                              jax.random.PRNGKey(8))
+    assert jnp.isfinite(loss)
