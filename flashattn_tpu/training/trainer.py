@@ -37,7 +37,8 @@ def lm_loss(model: Any, tokens: Array, targets: Array,
     loss_mask: (B, S) 1.0 where the position contributes (reference masks
                source tokens + padding out of the MT loss)
     """
-    logits = model(tokens, key=key)
+    # f32 loss math regardless of compute dtype (bf16 logsumexp is lossy)
+    logits = model(tokens, key=key).astype(jnp.float32)
     n_vocab = logits.shape[-1]
     losses = F.softmax_loss(
         logits.reshape(-1, n_vocab), targets.reshape(-1)
@@ -56,6 +57,7 @@ def make_moe_loss(aux_alpha: float = 0.01) -> Callable[..., Array]:
 
     def loss_fn(model, tokens, targets, loss_mask=None, key=None):
         logits, aux = model.forward_with_aux(tokens, key=key)
+        logits = logits.astype(jnp.float32)
         n_vocab = logits.shape[-1]
         losses = F.softmax_loss(
             logits.reshape(-1, n_vocab), targets.reshape(-1)
@@ -84,8 +86,9 @@ def make_distill_loss(teacher: Any, alpha: float = 1.0,
     Green-field capability (the reference has no serving tier)."""
 
     def loss_fn(student, tokens, targets, loss_mask=None, key=None):
-        t_logits = jax.lax.stop_gradient(teacher.eval()(tokens))
-        s_logits = student(tokens, key=key)
+        t_logits = jax.lax.stop_gradient(teacher.eval()(tokens)).astype(
+            jnp.float32)
+        s_logits = student(tokens, key=key).astype(jnp.float32)
         t_logp = jax.nn.log_softmax(t_logits / temperature, axis=-1)
         s_logp = jax.nn.log_softmax(s_logits / temperature, axis=-1)
         kl = jnp.sum(jnp.exp(t_logp) * (t_logp - s_logp), axis=-1)
@@ -103,6 +106,31 @@ def make_distill_loss(teacher: Any, alpha: float = 1.0,
                 / jnp.maximum(jnp.sum(loss_mask), 1.0))
 
     return loss_fn
+
+
+def make_mixed_precision_loss(loss_fn: Callable[..., Array] = lm_loss,
+                              compute_dtype=jnp.bfloat16) -> Callable[..., Array]:
+    """bf16-compute / f32-master-weight training (the standard TPU recipe).
+
+    Wraps any ``loss_fn(model, ...)``: parameters are cast to
+    ``compute_dtype`` *inside* the differentiated function, so every
+    forward/backward matmul feeds the MXU in bf16 (~2x f32 MAC throughput)
+    while ``jax.grad`` differentiates through the cast and delivers f32
+    gradients against the f32 master weights — Adam moments and the update
+    stay full precision.  No loss scaling needed: bf16 keeps f32's exponent
+    range (unlike fp16), and the loss fns upcast logits to f32 before the
+    logsumexp.  Drop-in for make_train_step / make_train_scan /
+    ShardedTrainer(loss_fn=...).
+    """
+
+    def wrapped(model, tokens, targets, loss_mask=None, key=None):
+        cast = jax.tree_util.tree_map(
+            lambda p: (p.astype(compute_dtype)
+                       if jnp.issubdtype(p.dtype, jnp.floating) else p),
+            model)
+        return loss_fn(cast, tokens, targets, loss_mask, key)
+
+    return wrapped
 
 
 def make_train_step(opt: Any,
