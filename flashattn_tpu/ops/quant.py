@@ -206,11 +206,13 @@ def int8_weight_only_matmul(x: Array, w: QuantizedTensor,
 
 
 def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
-                    m_scr, l_scr, acc_scr, q8_scr, qs_scr,
-                    *, causal: bool, block_q: int, block_k: int, num_kv: int,
+                    m_scr, l_scr, acc_scr, *q8_scratch,
+                    causal: bool, block_q: int, block_k: int, num_kv: int,
                     int8_mxu: bool):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    if int8_mxu:
+        q8_scr, qs_scr = q8_scratch  # only allocated on the int8-MXU path
 
     @pl.when(ki == 0)
     def _init():
@@ -233,7 +235,17 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
     if causal:
         should_run = (qi + 1) * block_q - 1 >= ki * block_k
 
-    def _accum_pv(p, alpha):
+    def update(s):
+        # online-softmax state update + PV accumulation (shared by the
+        # masked / interior / non-causal paths)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
         # v dequant: fold the per-token scale into the (bk, d) V tile --
         # strictly fewer VPU ops than rescaling the (bq, bk) weights p.
         q = q_ref[0, 0]
@@ -272,18 +284,6 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
             row_min = qi * block_q
             col_min = ki * block_k
 
-            def update(s):
-                m_prev = m_scr[...]
-                l_prev = l_scr[...]
-                m_curr = jnp.max(s, axis=-1, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp2(m_prev - m_next)
-                p = jnp.exp2(s - m_next)
-                l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-                m_scr[...] = m_next
-                l_scr[...] = l_next
-                _accum_pv(p, alpha)
-
             @pl.when(col_min + block_k - 1 > row_min)
             def _masked():
                 rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
@@ -294,16 +294,7 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
             def _interior():
                 update(s)
         else:
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=-1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s - m_next)
-            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            m_scr[...] = m_next
-            l_scr[...] = l_next
-            _accum_pv(p, alpha)
+            update(s)
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
@@ -384,9 +375,10 @@ def flash_attention_kv_int8(
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.int8),       # q8 (int8_mxu path)
+        ] + ([
+            pltpu.VMEM((bq, d), jnp.int8),       # q8 (int8-MXU path only)
             pltpu.VMEM((bq, 1), jnp.float32),    # q row scales
-        ],
+        ] if int8_mxu else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),

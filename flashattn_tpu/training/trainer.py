@@ -72,7 +72,7 @@ def make_moe_loss(aux_alpha: float = 0.01) -> Callable[..., Array]:
     return loss_fn
 
 
-def make_distill_loss(teacher: Any, alpha: float = 1.0,
+def make_distill_loss(teacher: Any = None, alpha: float = 1.0,
                       temperature: float = 1.0) -> Callable[..., Array]:
     """Sequence-level knowledge distillation loss for speculative-decoding
     drafts: KL(teacher || student) over the vocabulary at every unmasked
@@ -83,10 +83,23 @@ def make_distill_loss(teacher: Any, alpha: float = 1.0,
     ``make_train_scan(opt, loss_fn=make_distill_loss(target))`` trains a
     draft whose greedy argmax tracks the target's — the acceptance-rate
     objective of greedy-exact speculative decoding (serving/engine.py).
-    Green-field capability (the reference has no serving tier)."""
+    Green-field capability (the reference has no serving tier).
 
-    def loss_fn(student, tokens, targets, loss_mask=None, key=None):
-        t_logits = jax.lax.stop_gradient(teacher.eval()(tokens)).astype(
+    A closure-captured ``teacher`` is baked into the jitted step as an HLO
+    constant — fine for small teachers, but a large one bloats the
+    executable (and remote-compile setups reject >100MB programs).  Pass
+    ``teacher=None`` here and supply the teacher at call time instead via
+    the step factories' ``ctx`` argument:
+    ``make_train_scan(...)(model, state, tok, tgt, msk, key, ctx=teacher)``.
+    """
+
+    def loss_fn(student, tokens, targets, loss_mask=None, key=None,
+                ctx=None):
+        t_model = ctx if ctx is not None else teacher
+        assert t_model is not None, (
+            "make_distill_loss: no teacher — pass one at construction or "
+            "via the step's ctx argument")
+        t_logits = jax.lax.stop_gradient(t_model.eval()(tokens)).astype(
             jnp.float32)
         s_logits = student(tokens, key=key).astype(jnp.float32)
         t_logp = jax.nn.log_softmax(t_logits / temperature, axis=-1)
@@ -133,6 +146,14 @@ def make_mixed_precision_loss(loss_fn: Callable[..., Array] = lm_loss,
     return wrapped
 
 
+def _call_loss(loss_fn, model, tokens, targets, loss_mask, key, ctx):
+    """Invoke a loss fn, forwarding ``ctx`` only when supplied (older loss
+    fns take 5 args; ctx-aware ones like make_distill_loss take 6)."""
+    if ctx is None:
+        return loss_fn(model, tokens, targets, loss_mask, key)
+    return loss_fn(model, tokens, targets, loss_mask, key, ctx)
+
+
 def make_train_step(opt: Any,
                     loss_fn: Callable[..., Array] = lm_loss,
                     donate: bool = True,
@@ -140,8 +161,12 @@ def make_train_step(opt: Any,
                     accum_steps: int = 1) -> Callable:
     """Single-chip (or GSPMD-implicit) jitted train step.
 
-    Returns step(model, opt_state, tokens, targets, loss_mask, key)
+    Returns step(model, opt_state, tokens, targets, loss_mask, key, ctx=None)
     -> (model, opt_state, loss).  ``grad_clip`` applies global-norm clipping.
+    ``ctx`` is an optional pytree forwarded to the loss fn as a 6th argument
+    (e.g. a distillation teacher) — passing it at call time keeps its params
+    out of the compiled executable (a closure-captured teacher is baked in
+    as HLO constants; remote-compile setups reject >100MB programs).
 
     ``accum_steps > 1`` enables gradient accumulation: the batch's leading
     dim is split into ``accum_steps`` microbatches, gradients are averaged
@@ -149,12 +174,16 @@ def make_train_step(opt: Any,
     a time), then ONE optimiser update is applied — the standard lever for
     effective batch sizes whose activations don't fit HBM, and it composes
     with remat and ZeRO (grads accumulate in the params' sharding).
+    Microbatches are weighted by their loss-mask token counts, so the
+    result equals the full-batch masked mean even when valid-token counts
+    differ across microbatches (assumes the loss is a masked mean over
+    positions, as every loss fn in this module is).
     """
 
-    def _grads(model, tokens, targets, loss_mask, key):
+    def _grads(model, tokens, targets, loss_mask, key, ctx):
         if accum_steps == 1:
-            return jax.value_and_grad(loss_fn)(
-                model, tokens, targets, loss_mask, key)
+            return jax.value_and_grad(lambda m: _call_loss(
+                loss_fn, m, tokens, targets, loss_mask, key, ctx))(model)
 
         def reshape(x):
             assert x.shape[0] % accum_steps == 0, (
@@ -169,23 +198,29 @@ def make_train_step(opt: Any,
         def body(acc, mb):
             (tok, tgt, msk), k = mb
             k = k if key is not None else None
-            loss, grads = jax.value_and_grad(loss_fn)(model, tok, tgt, msk, k)
-            loss_sum, grad_sum = acc
-            # accumulate in f32 regardless of param dtype
+            loss, grads = jax.value_and_grad(lambda m: _call_loss(
+                loss_fn, m, tok, tgt, msk, k, ctx))(model)
+            # Weight by the microbatch's valid-token count: the loss fn
+            # returns sum(l*m)/sum(m), so summing w_i * (loss_i, grads_i)
+            # and dividing by sum(w) reproduces the FULL-batch masked mean
+            # exactly even when mask counts differ across microbatches.
+            w = (jnp.sum(msk).astype(jnp.float32) if msk is not None
+                 else jnp.float32(1.0))
+            loss_sum, grad_sum, w_sum = acc
             grad_sum = jax.tree_util.tree_map(
-                lambda a, g: a + g.astype(a.dtype), grad_sum, grads)
-            return (loss_sum + loss, grad_sum), None
+                lambda a, g: a + w * g.astype(a.dtype), grad_sum, grads)
+            return (loss_sum + w * loss, grad_sum, w_sum + w), None
 
         zero_g = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), model)
-        (loss_sum, grad_sum), _ = jax.lax.scan(
-            body, (jnp.float32(0.0), zero_g), (micro, keys))
-        scale = 1.0 / accum_steps
+        (loss_sum, grad_sum, w_sum), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zero_g, jnp.float32(0.0)), (micro, keys))
+        scale = 1.0 / jnp.maximum(w_sum, 1e-9)
         return loss_sum * scale, jax.tree_util.tree_map(
             lambda g, p: (g * scale).astype(p.dtype), grad_sum, model)
 
-    def _step(model, opt_state, tokens, targets, loss_mask, key):
-        loss, grads = _grads(model, tokens, targets, loss_mask, key)
+    def _step(model, opt_state, tokens, targets, loss_mask, key, ctx=None):
+        loss, grads = _grads(model, tokens, targets, loss_mask, key, ctx)
         if grad_clip is not None:
             grads = clip_by_global_norm(grads, grad_clip)
         model, opt_state = opt.step(model, grads, opt_state)
@@ -212,7 +247,7 @@ def make_train_scan(opt: Any,
     hundreds of dispatches per batch.
     """
 
-    def _scan(model, opt_state, tokens, targets, loss_mask, key):
+    def _scan(model, opt_state, tokens, targets, loss_mask, key, ctx=None):
         # targets (not tokens) carries the step count: the tokens slot may be
         # a dict pytree (seq2seq src/src_lens/tgt_in), targets is always an
         # array with leading (n_steps,).
@@ -221,7 +256,8 @@ def make_train_scan(opt: Any,
         def body(carry, batch):
             model, opt_state = carry
             tok, tgt, msk, k = batch
-            loss, grads = jax.value_and_grad(loss_fn)(model, tok, tgt, msk, k)
+            loss, grads = jax.value_and_grad(lambda m: _call_loss(
+                loss_fn, m, tok, tgt, msk, k, ctx))(model)
             if grad_clip is not None:
                 grads = clip_by_global_norm(grads, grad_clip)
             model, opt_state = opt.step(model, grads, opt_state)

@@ -9,7 +9,6 @@ instead of per-point Python loops.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Tuple
 
@@ -23,11 +22,6 @@ class Graph:
     N: int
     X: List[Tuple[float, float]]
     y: List[int]
-
-    @property
-    def arrays(self) -> Tuple[np.ndarray, np.ndarray]:
-        """(N, 2) float32 features and (N,) int32 labels, jnp-ready."""
-        return (np.asarray(self.X, np.float32), np.asarray(self.y, np.int32))
 
 
 def _cloud(N: int, seed: int) -> np.ndarray:

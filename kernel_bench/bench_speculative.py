@@ -62,14 +62,18 @@ def build_corpus(n_examples=6000, seed=0):
 
 def stack_batches(rows, masks, n_steps, seed):
     rng = np.random.default_rng(seed)
-    idx = rng.permutation(len(rows))[: n_steps * BATCH]
+    need = n_steps * BATCH
+    # cycle shuffled epochs when the corpus is smaller than the step budget
+    reps = -(-need // len(rows))
+    idx = np.concatenate([rng.permutation(len(rows))
+                          for _ in range(reps)])[:need]
     tok = rows[idx].reshape(n_steps, BATCH, SEQ)
     msk = masks[idx].reshape(n_steps, BATCH, SEQ)
     return (jnp.asarray(tok[:, :, :-1]), jnp.asarray(tok[:, :, 1:]),
             jnp.asarray(msk[:, :, 1:]))
 
 
-def train(model, loss_fn, rows, masks, n_steps, lr, seed, label):
+def train(model, loss_fn, rows, masks, n_steps, lr, seed, label, ctx=None):
     opt = ft.Adam(lr=lr)
     state = opt.init(model)
     scan = make_train_scan(opt, loss_fn=loss_fn, grad_clip=1.0)
@@ -78,9 +82,12 @@ def train(model, loss_fn, rows, masks, n_steps, lr, seed, label):
     chunk = 50
     losses = []
     for s in range(0, n_steps, chunk):
+        # ctx (the distillation teacher) rides as a call argument so its
+        # params stay out of the compiled executable (CLAUDE.md: closed-over
+        # >100MB arrays embed as HLO constants and the remote compile 413s)
         model, state, ls = scan(model, state, tok[s:s + chunk],
                                 tgt[s:s + chunk], msk[s:s + chunk],
-                                jax.random.PRNGKey(seed + s))
+                                jax.random.PRNGKey(seed + s), ctx)
         losses.append(float(ls[-1]))
     print(f"  {label}: {n_steps} steps in {time.perf_counter() - t0:.1f}s, "
           f"loss {losses[0]:.3f} -> {losses[-1]:.3f}")
@@ -125,8 +132,8 @@ def main():
     print(f"training target ({t_layer}L/{t_embd}) on the MT corpus ...")
     target = train(target, lm_loss, rows, masks, n_steps, 1e-3, 2, "target")
     print(f"distilling draft (1L/{d_embd}) from the target ...")
-    draft = train(draft, make_distill_loss(target), rows, masks, n_steps,
-                  2e-3, 3, "draft")
+    draft = train(draft, make_distill_loss(), rows, masks, n_steps,
+                  2e-3, 3, "draft", ctx=target)
 
     rng = np.random.default_rng(7)
     pick = rng.permutation(len(examples))[:N_REQ]

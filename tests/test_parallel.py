@@ -442,3 +442,63 @@ def test_mixed_precision_loss_trains_with_f32_master_weights():
     assert float(l_mp) < 4.0  # it actually learns
     # bf16 rounding stays a perturbation, not a divergence
     assert abs(float(l_mp) - float(l_fp)) < 0.1, (float(l_mp), float(l_fp))
+
+
+def test_grad_accumulation_masked_mean_matches_full_batch():
+    """Uneven mask counts across microbatches: mask-count weighting must
+    reproduce the full-batch masked mean exactly (the unweighted
+    mean-of-means diverges ~2x at this mask skew)."""
+    def build():
+        return ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                            attn_impl="reference", key=jax.random.PRNGKey(5))
+
+    opt = ft.Adam(lr=5e-3)
+    data = jax.random.randint(jax.random.PRNGKey(6), (8, 17), 0, 64)
+    # first half almost fully masked out, second half fully counted
+    mask = jnp.concatenate([
+        jnp.zeros((4, 16)).at[:, 0].set(1.0), jnp.ones((4, 16))], axis=0)
+
+    m_full, s_full = build(), opt.init(build())
+    m_acc, s_acc = build(), opt.init(build())
+    step_full = make_train_step(opt, donate=False)
+    step_acc = make_train_step(opt, donate=False, accum_steps=2)
+    for _ in range(3):
+        m_full, s_full, l_full = step_full(
+            m_full, s_full, data[:, :-1], data[:, 1:], mask, None)
+        m_acc, s_acc, l_acc = step_acc(
+            m_acc, s_acc, data[:, :-1], data[:, 1:], mask, None)
+    assert abs(float(l_full) - float(l_acc)) < 1e-5, (float(l_full),
+                                                      float(l_acc))
+    for a, b in zip(jax.tree_util.tree_leaves(m_full),
+                    jax.tree_util.tree_leaves(m_acc)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_distill_teacher_via_ctx_matches_closure():
+    """ctx-threaded teacher (kept out of the executable) must train the
+    draft identically to the closure-captured teacher."""
+    from flashattn_tpu.training import make_distill_loss, make_train_scan
+
+    teacher = ft.DecoderLM(64, 48, 4, 16, p_dropout=0.0, n_layer=2,
+                           attn_impl="reference", key=jax.random.PRNGKey(0))
+
+    def build():
+        return ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                            attn_impl="reference", key=jax.random.PRNGKey(1))
+
+    opt = ft.Adam(lr=5e-3)
+    data = jax.random.randint(jax.random.PRNGKey(2), (3, 4, 17), 0, 64)
+    tok, tgt = data[:, :, :-1], data[:, :, 1:]
+    msk = jnp.ones(tgt.shape, jnp.float32)
+
+    scan_closure = make_train_scan(opt, loss_fn=make_distill_loss(teacher),
+                                   donate=False)
+    m1, s1, l1 = scan_closure(build(), opt.init(build()), tok, tgt, msk,
+                              jax.random.PRNGKey(3))
+    scan_ctx = make_train_scan(opt, loss_fn=make_distill_loss(), donate=False)
+    m2, s2, l2 = scan_ctx(build(), opt.init(build()), tok, tgt, msk,
+                          jax.random.PRNGKey(3), teacher)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
