@@ -95,6 +95,12 @@ class Request:
     logits: List[np.ndarray] = dataclasses.field(default_factory=list)
     done: bool = False
     truncated: bool = False  # stopped early (KV page pool exhausted)
+    cancelled: bool = False  # engine.cancel() — pages freed, done=True
+    # streaming: called as on_token(request, new_tokens) after each engine
+    # step that landed tokens for this request (decode chunks deliver up to
+    # steps_per_dispatch at once — device-side batching is not per-token)
+    on_token: Optional[Callable[["Request", List[int]], None]] = None
+    _streamed: int = 0  # tokens already delivered to on_token
 
 
 @dataclasses.dataclass
@@ -343,7 +349,9 @@ class ContinuousBatchingEngine:
 
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_id: Optional[int] = None, temperature: float = 0.0,
-               top_k: Optional[int] = None) -> Request:
+               top_k: Optional[int] = None,
+               on_token: Optional[Callable[[Request, List[int]], None]] = None,
+               ) -> Request:
         if not prompt:
             raise ValueError("prompt must be non-empty")
         if len(prompt) >= self.capacity:
@@ -356,10 +364,30 @@ class ContinuousBatchingEngine:
                 f"prompt needs {need} pages but the pool only has "
                 f"{self.pool.total}; request can never be admitted")
         req = Request(list(prompt), max_new_tokens, eos_id,
-                      temperature=temperature, top_k=top_k, uid=self._uid)
+                      temperature=temperature, top_k=top_k, uid=self._uid,
+                      on_token=on_token)
         self._uid += 1
         self.queue.append(req)
         return req
+
+    def cancel(self, req: Request) -> bool:
+        """Cancel a request: a queued one is dropped, an active one is
+        retired immediately (KV pages returned to the pool, partial
+        ``generated`` kept).  Returns False if it already finished."""
+        if req.done:
+            return False
+        req.cancelled = True
+        if req in self.queue:
+            self.queue.remove(req)
+            req.done = True
+            self.finished.append(req)
+            return True
+        for i, slot in enumerate(self.slots):
+            if slot is not None and slot.request is req:
+                self._retire(i)
+                self._flush_stream(req)
+                return True
+        return False  # unknown request
 
     def run(self, max_steps: int = 10_000) -> List[Request]:
         """Drive until every submitted request finishes; returns them."""
@@ -779,7 +807,33 @@ class ContinuousBatchingEngine:
 
     def step(self) -> bool:
         """One engine iteration: admit (+ batched prefill), decode one token
-        per active slot, advance/retire.  Returns False when idle."""
+        per active slot, advance/retire.  Returns False when idle.
+
+        Streaming epilogue: after the iteration's work, every request that
+        gained tokens has them delivered through its ``on_token`` callback
+        (live slots and requests that finished this step alike)."""
+        # honor cancelled flags set directly on requests between steps
+        for i, slot in enumerate(self.slots):
+            if slot is not None and slot.request.cancelled:
+                self._retire(i)
+        self.queue = [r for r in self.queue if not r.cancelled]
+        pre_finished = len(self.finished)
+        progressed = self._step_inner()
+        for slot in self.slots:
+            if slot is not None:
+                self._flush_stream(slot.request)
+        for req in self.finished[pre_finished:]:
+            self._flush_stream(req)
+        return progressed
+
+    @staticmethod
+    def _flush_stream(req: Request) -> None:
+        if req.on_token is not None and len(req.generated) > req._streamed:
+            new = req.generated[req._streamed:]
+            req._streamed = len(req.generated)
+            req.on_token(req, new)
+
+    def _step_inner(self) -> bool:
         admitted = self._admit()
         if admitted:
             self._prefill(admitted)

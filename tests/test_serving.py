@@ -360,3 +360,55 @@ class TestChunkedPrefill:
             return [r.generated for r in reqs]
 
         assert run(1024) == run(8)
+
+
+def test_streaming_callback_delivers_all_tokens_in_order(model):
+    """on_token must stream exactly the generated sequence, in order, in
+    per-dispatch batches (chunked decode delivers several at once)."""
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                   pages_per_seq=4, steps_per_dispatch=4)
+    streamed = {}
+
+    def on_token(req, new):
+        assert new, "callback must never fire empty"
+        streamed.setdefault(req.uid, []).extend(new)
+
+    reqs = [eng.submit([1, 2, 3], 12, on_token=on_token),
+            eng.submit([4, 5], 7, on_token=on_token)]
+    eng.run()
+    for r in reqs:
+        assert r.done
+        assert streamed[r.uid] == r.generated
+        assert len(r.generated) == r.max_new_tokens
+
+
+def test_cancel_queued_and_active(model):
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, steps_per_dispatch=1)
+    active = eng.submit([1, 2, 3], 50)
+    queued = eng.submit([4, 5, 6], 50)
+    # admit + prefill the first request, decode a couple of tokens
+    for _ in range(3):
+        eng.step()
+    assert not active.done and len(active.generated) >= 1
+    # cancel the queued one: dropped without ever running
+    assert eng.cancel(queued)
+    assert queued.done and queued.cancelled and queued.generated == []
+    # cancel the active one: retired immediately, pages back in the pool
+    partial = list(active.generated)
+    assert eng.cancel(active)
+    assert active.done and active.cancelled
+    assert active.generated == partial
+    assert eng.pool.n_free == eng.pool.total
+    assert not eng.step()  # engine idle
+    assert eng.cancel(active) is False  # double-cancel is a no-op
+
+
+def test_cancel_flag_honored_between_steps(model):
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, steps_per_dispatch=1)
+    req = eng.submit([1, 2, 3], 50)
+    eng.step()  # admit + prefill
+    req.cancelled = True  # set directly, no engine call
+    eng.step()
+    assert req.done and eng.pool.n_free == eng.pool.total
