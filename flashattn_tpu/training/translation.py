@@ -84,6 +84,8 @@ class MTConfig:
     # jax.checkpoint each transformer block: fit longer max_len / bigger
     # batches by rematerialising activations in the backward pass
     remat: bool = False
+    # bf16 compute over f32 master weights (make_mixed_precision_loss)
+    mixed_precision: bool = False
     workdir: Optional[str] = None
     synthetic_size: int = 20000  # offline fallback corpus size
     use_native_loader: bool = True  # C++ collate + prefetch (native/)
@@ -561,7 +563,14 @@ def run(config: MTConfig) -> Dict:
     opt = ft.Adam(lr=lr)
     opt_state = opt.init(model)
     loss_fn = seq2seq_loss if seq2seq else lm_loss
-    scan_fn = make_train_scan(opt, loss_fn,
+    if config.mixed_precision:
+        # bf16 fwd/bwd over f32 master weights; eval/generation stay f32
+        from .trainer import make_mixed_precision_loss
+
+        train_loss_fn = make_mixed_precision_loss(loss_fn)
+    else:
+        train_loss_fn = loss_fn
+    scan_fn = make_train_scan(opt, train_loss_fn,
                               grad_clip=config.grad_clip or None)
 
     @jax.jit

@@ -160,3 +160,20 @@ def test_mt_app_seq2seq_smoke(tmp_path):
     assert np.isfinite(results["train_loss"])
     assert np.isfinite(results["validation_loss"])
     assert "bleu" in results
+
+
+def test_mt_app_mixed_precision_remat_smoke(tmp_path):
+    """--mixed-precision + --remat through the MT app: bf16 compute over f32
+    master weights with per-block checkpointing still learns."""
+    from flashattn_tpu.training.translation import MTConfig, run
+
+    cfg = MTConfig(
+        n_epochs=1, samples_per_epoch=192, batch_size=32,
+        n_vocab=300, n_embd=64, n_head=4, n_layer=1, model_max_length=24,
+        synthetic_size=400, save_checkpoints=False, use_native_loader=False,
+        p_dropout=0.0, steps_per_dispatch=4, workdir=str(tmp_path),
+        mixed_precision=True, remat=True,
+    )
+    results = run(cfg)
+    assert np.isfinite(results["train_loss"])
+    assert np.isfinite(results["validation_loss"])
