@@ -1,5 +1,6 @@
 from . import datasets
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import (AsyncCheckpointManager, restore_checkpoint,
+                         save_checkpoint)
 from .debug import (
     assert_finite,
     check_2norm,

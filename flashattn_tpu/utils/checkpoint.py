@@ -28,6 +28,32 @@ def save_checkpoint(path: str, model: Any, opt_state: Any = None,
     ckptr.save(path, payload, force=True)
 
 
+class AsyncCheckpointManager:
+    """Non-blocking checkpoint writes: training continues while the previous
+    snapshot flushes to disk in a background thread (orbax
+    ``AsyncCheckpointer``).  ``save`` blocks only until device buffers are
+    copied to host (ms), not until files land; call ``wait`` (or rely on the
+    next ``save``'s implicit barrier) before reading the files back."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, path: str, model: Any, opt_state: Any = None,
+             step: int = 0) -> None:
+        self._ckptr.save(os.path.abspath(path),
+                         {"model": model, "opt_state": opt_state,
+                          "step": step}, force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
 def restore_checkpoint(path: str, model_template: Any,
                        opt_state_template: Any = None) -> Tuple[Any, Any, int]:
     """Restore (model, opt_state, step).

@@ -110,3 +110,24 @@ def test_kernel_bench_harness_runs_on_cpu():
 
     results = kt.run("ln")
     assert len(results) == 1 and results[0].custom_ms > 0
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    import flashattn_tpu as ft
+    from flashattn_tpu.utils.checkpoint import (AsyncCheckpointManager,
+                                                restore_checkpoint)
+
+    model = ft.DecoderLM(32, 16, 2, 8, p_dropout=0.0, n_layer=1,
+                         attn_impl="reference", key=jax.random.PRNGKey(0))
+    opt = ft.Adam(lr=1e-2)
+    state = opt.init(model)
+    mgr = AsyncCheckpointManager()
+    mgr.save(str(tmp_path / "ackpt"), model, state, step=3)
+    mgr.wait()  # barrier before reading back
+    template = ft.DecoderLM(32, 16, 2, 8, p_dropout=0.0, n_layer=1,
+                            attn_impl="reference", key=jax.random.PRNGKey(9))
+    restored, rstate, step = restore_checkpoint(
+        str(tmp_path / "ackpt"), template, opt.init(template))
+    assert step == 3
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 32)
+    np.testing.assert_allclose(model(idx), restored(idx), atol=1e-6)
+    mgr.close()
