@@ -22,6 +22,12 @@ import time
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
+
+if bool(int(_os.environ.get("SPEC_SMOKE", "0"))):
+    # CPU smoke: the axon TPU plugin registers via jax plugin
+    # discovery even without PYTHONPATH, and its first dispatch
+    # hangs when the relay is unreachable -- force CPU early.
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
