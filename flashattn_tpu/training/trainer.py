@@ -326,6 +326,21 @@ class ShardedTrainer:
 
         self._jit_step = jax.jit(_step, donate_argnums=(0, 1))
 
+        def _scan(model, opt_state, tokens, targets, loss_mask, keys):
+            def body(carry, batch):
+                model, opt_state = carry
+                tok, tgt, msk, k = batch
+                loss, grads = jax.value_and_grad(self.loss_fn)(
+                    model, tok, tgt, msk, k)
+                model, opt_state = opt.step(model, grads, opt_state)
+                return (model, opt_state), loss
+
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), (tokens, targets, loss_mask, keys))
+            return model, opt_state, losses
+
+        self._jit_scan = jax.jit(_scan, donate_argnums=(0, 1))
+
     def put_batch(self, *arrays):
         return tuple(jax.device_put(a, self.batch_sharding) for a in arrays)
 
@@ -337,3 +352,23 @@ class ShardedTrainer:
             self.model, self.opt_state, tokens, targets, loss_mask, key
         )
         return loss
+
+    def scan_steps(self, tokens, targets, loss_mask=None, key=None):
+        """K train steps in ONE dispatch over the mesh: arrays carry a
+        leading (n_steps,) axis, batches stay sharded over the data axis
+        (spec ``P(None, data)``), and the whole lax.scan runs device-side —
+        the multi-host analogue of ``make_train_scan``'s relay amortiser.
+        Returns the (n_steps,) per-step losses."""
+        n = targets.shape[0]
+        stack_sharding = NamedSharding(self.mesh, P(None, self.data_axis))
+        put = lambda a: jax.device_put(a, stack_sharding)
+        tokens = jax.tree_util.tree_map(put, tokens)
+        targets = put(targets)
+        if loss_mask is None:
+            loss_mask = jnp.ones(targets.shape, jnp.float32)
+        loss_mask = put(loss_mask)
+        keys = jax.random.split(
+            key if key is not None else jax.random.PRNGKey(0), n)
+        self.model, self.opt_state, losses = self._jit_scan(
+            self.model, self.opt_state, tokens, targets, loss_mask, keys)
+        return losses

@@ -502,3 +502,26 @@ def test_distill_teacher_via_ctx_matches_closure():
     for a, b in zip(jax.tree_util.tree_leaves(m1),
                     jax.tree_util.tree_leaves(m2)):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_sharded_trainer_scan_steps_matches_sequential():
+    """K-steps-in-one-dispatch over the mesh == K sequential trainer.step
+    calls (p_dropout=0 so per-step keys are inert)."""
+    mesh = create_mesh((2, 4), ("data", "model"))
+
+    def build():
+        return ft.DecoderLM(64, 32, 4, 16, p_dropout=0.0, n_layer=1,
+                            attn_impl="flash", key=jax.random.PRNGKey(3))
+
+    t_seq = ShardedTrainer(build(), ft.Adam(lr=5e-3), mesh)
+    t_scan = ShardedTrainer(build(), ft.Adam(lr=5e-3), mesh, zero=True)
+    data = jax.random.randint(jax.random.PRNGKey(4), (3, 8, 17), 0, 64)
+    tok, tgt = data[:, :, :-1], data[:, :, 1:]
+    seq_losses = [float(t_seq.step(tok[i], tgt[i])) for i in range(3)]
+    scan_losses = np.asarray(t_scan.scan_steps(tok, tgt))
+    np.testing.assert_allclose(seq_losses, scan_losses, atol=1e-5, rtol=1e-5)
+    # params agree after the same 3 updates (ZeRO relayout included)
+    for a, b in zip(jax.tree_util.tree_leaves(t_seq.model),
+                    jax.tree_util.tree_leaves(t_scan.model)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
