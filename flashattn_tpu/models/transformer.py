@@ -117,10 +117,13 @@ class MultiHeadAttention(Module):
         self.rope_theta = rope_theta
         # Multi-chip wiring (static): set via parallel.sharding.apply_mesh.
         # GSPMD cannot partition pallas_call, so the flash path switches to
-        # the shard_map shim when a mesh is attached.
+        # the shard_map shim when a mesh is attached.  mesh_seq_axis selects
+        # sequence/context parallelism: activations sharded over the
+        # sequence dim, attention via the differentiable ring (ppermute).
         self.mesh = None
         self.mesh_batch_axis = None
         self.mesh_head_axis = None
+        self.mesh_seq_axis = None
         kq, kk, kv, ko = jax.random.split(key, 4)
         kv_dim = self.n_kv_head * self.attn_hidden_dim
         self.q_projection = Linear(n_embd, n_embd, bias, key=kq, dtype=dtype)
@@ -167,7 +170,27 @@ class MultiHeadAttention(Module):
         """
         bs, nh, seq, hd = q.shape
         if self.attn_impl == "flash":
-            if self.mesh is not None:
+            if (self.mesh is not None and self.mesh_seq_axis is not None
+                    and self.mesh_seq_axis in self.mesh.axis_names):
+                # SP/context parallelism: the differentiable ring.  Axes the
+                # mesh doesn't carry are normalised away so a pure seq mesh
+                # (or seq x model) works with the default axis names.
+                from ..parallel.sharded_attention import ring_flash_attention
+
+                assert kv_lengths is None, (
+                    "ring attention path does not support varlen masks")
+                assert self.window is None, (
+                    "ring attention path does not support sliding windows")
+                names = self.mesh.axis_names
+                out = ring_flash_attention(
+                    q, k, v, self.causal, mesh=self.mesh,
+                    seq_axis=self.mesh_seq_axis,
+                    batch_axis=(self.mesh_batch_axis
+                                if self.mesh_batch_axis in names else None),
+                    head_axis=(self.mesh_head_axis
+                               if self.mesh_head_axis in names else None),
+                )
+            elif self.mesh is not None:
                 from ..parallel.sharded_attention import sharded_flash_attention
 
                 out = sharded_flash_attention(

@@ -175,9 +175,13 @@ def fsdp_sharding_tree(model: Any, mesh: Mesh,
 
 def apply_mesh(model: Module, mesh: Optional[Mesh],
                batch_axis: Optional[str] = DATA_AXIS,
-               head_axis: Optional[str] = MODEL_AXIS) -> Module:
+               head_axis: Optional[str] = MODEL_AXIS,
+               seq_axis: Optional[str] = None) -> Module:
     """Wire the mesh into every MultiHeadAttention so the Pallas kernel runs
     under shard_map (GSPMD cannot partition pallas_call directly).
+    ``seq_axis`` selects sequence/context parallelism: attention goes
+    through the differentiable ring (activations sharded over the sequence
+    dim) instead of the head-sharded shim.
 
     Validates GQA head counts against the mesh up front: both ``n_head`` and
     ``n_kv_head`` must be divisible by the ``head_axis`` size, or the failure
@@ -196,7 +200,8 @@ def apply_mesh(model: Module, mesh: Optional[Mesh],
                         f"mesh axis {head_axis!r} of size {tp}: both head "
                         f"counts must be divisible by the axis size")
             return m.replace(mesh=mesh, mesh_batch_axis=batch_axis,
-                             mesh_head_axis=head_axis)
+                             mesh_head_axis=head_axis,
+                             mesh_seq_axis=seq_axis)
         return m
 
     from ..module import map_module_tree
