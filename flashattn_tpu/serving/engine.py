@@ -816,6 +816,10 @@ class ContinuousBatchingEngine:
         for i, slot in enumerate(self.slots):
             if slot is not None and slot.request.cancelled:
                 self._retire(i)
+        for r in self.queue:
+            if r.cancelled:  # never ran: mark finished so callers unblock
+                r.done = True
+                self.finished.append(r)
         self.queue = [r for r in self.queue if not r.cancelled]
         pre_finished = len(self.finished)
         progressed = self._step_inner()

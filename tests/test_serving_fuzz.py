@@ -137,3 +137,49 @@ def test_engine_fuzz(model, seed):
         if not r.truncated:
             assert (len(r.generated) == r.max_new_tokens
                     or len(full) >= capacity)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_fuzz_random_cancels(model, seed):
+    """Random cancels mid-flight (queued and active, sometimes via the bare
+    cancelled flag) across mixed configurations: pool accounting must
+    balance, surviving requests must finish, cancelled ones must stop."""
+    rng = np.random.default_rng(300 + seed)
+    page_size = int(rng.choice([4, 8, 16]))
+    pages_per_seq = int(rng.integers(2, 5))
+    max_batch = int(rng.integers(1, 4))
+    capacity = page_size * pages_per_seq
+    eng = ContinuousBatchingEngine(
+        model, max_batch=max_batch, page_size=page_size,
+        pages_per_seq=pages_per_seq,
+        steps_per_dispatch=int(rng.choice([1, 4])))
+    reqs = []
+    for _ in range(int(rng.integers(4, 9))):
+        plen = int(rng.integers(1, max(2, capacity - 2)))
+        prompt = rng.integers(0, 64, size=plen).tolist()
+        reqs.append(eng.submit(
+            prompt, int(rng.integers(1, 8)),
+            on_token=lambda r, new: None))
+    cancelled = set()
+    for step_i in range(200):
+        if not eng.step():
+            break
+        if rng.random() < 0.4 and len(cancelled) < len(reqs):
+            victim = reqs[int(rng.integers(0, len(reqs)))]
+            if not victim.done:
+                if rng.random() < 0.5:
+                    eng.cancel(victim)
+                else:
+                    victim.cancelled = True  # honored next step
+                cancelled.add(victim.uid)
+    else:
+        pytest.fail("engine did not drain in 200 steps")
+    assert all(r.done for r in reqs)
+    assert eng.pool.n_free == eng.pool.total, "leaked KV pages"
+    for r in reqs:
+        if r.cancelled:
+            assert len(r.generated) <= r.max_new_tokens
+        else:
+            hit_capacity = len(r.prompt) + len(r.generated) >= capacity
+            assert (len(r.generated) == r.max_new_tokens or r.truncated
+                    or hit_capacity)
