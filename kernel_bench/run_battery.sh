@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-2 on-chip measurement battery. Run when the TPU relay is up:
+#   bash kernel_bench/run_battery.sh
+# Logs land in /tmp/battery/. compile_smoke gates everything else.
+set -u
+mkdir -p /tmp/battery
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$t" "$@" > "/tmp/battery/$name.log" 2>&1
+  local rc=$?
+  tail -3 "/tmp/battery/$name.log"
+  echo "--- $name rc=$rc"
+  return $rc
+}
+
+run compile_smoke 1800 python -u kernel_bench/compile_smoke.py || {
+  echo "SMOKE FAILED - stopping battery"; exit 1; }
+run r2_measure 3600 python -u kernel_bench/r2_measure.py
+run fused_dropout 1200 python -u kernel_bench/bench_fused_dropout.py
+run train_precision 2400 python -u kernel_bench/bench_train_precision.py
+run serving 2400 python -u kernel_bench/bench_serving.py
+run speculative 3600 python -u kernel_bench/bench_speculative.py
+run bench_headline 1200 python -u bench.py
+echo "BATTERY DONE $(date)"
