@@ -345,38 +345,64 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)                       # (block_q, block_k)
+
+        def accum(s, keep):
+            p = jnp.exp2(s - lse * LOG2E)            # (block_q, block_k) f32
+            if keep is not None and len_ref is not None:
+                # empty rows carry lse = -inf -> exp2(+inf); zero them
+                p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
+            # dV += P^T @ dO
+            dv_scr[...] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = dO @ V^T
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (block_q, block_k)
+            ds = p * (dp - di) * sm_scale
+            # dK += dS^T @ Q
+            dk_scr[...] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
         if causal or window is not None or len_ref is not None:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            keep = jnp.ones(s.shape, jnp.bool_)
+            # Interior-tile skip (same inequalities as the fwd kernel):
+            # only diagonal-crossing / window-edge / varlen-boundary tiles
+            # pay the iota+where mask.
+            row_min = qi * block_q
+            row_max = row_min + block_q - 1
+            col_min = ki * block_k
+            needs_mask = False
             if causal:
-                keep &= cols <= rows
+                needs_mask |= col_min + block_k - 1 > row_min
             if window is not None:
-                keep &= cols > rows - window
+                needs_mask |= row_max - window >= col_min
             if len_ref is not None:
-                keep &= cols < row_len
-            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+                needs_mask |= col_min + block_k > row_len
 
-        p = jnp.exp2(s - lse * LOG2E)                # (block_q, block_k) f32
-        if len_ref is not None:
-            # empty rows carry lse = -inf -> exp2(+inf); zero them instead
-            p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
+            @pl.when(needs_mask)
+            def _masked():
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 0) + row_min
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1) + col_min
+                keep = jnp.ones(s.shape, jnp.bool_)
+                if causal:
+                    keep &= cols <= rows
+                if window is not None:
+                    keep &= cols > rows - window
+                if len_ref is not None:
+                    keep &= cols < row_len
+                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep)
 
-        # dV += P^T @ dO
-        dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dP = dO @ V^T
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                            # (block_q, block_k)
-        ds = p * (dp - di) * sm_scale
-        # dK += dS^T @ Q
-        dk_scr[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            @pl.when(jnp.logical_not(needs_mask))
+            def _interior():
+                accum(s, None)
+        else:
+            accum(s, None)
 
     @pl.when(jnp.logical_and(gi == group - 1, qi == num_q - 1))
     def _finalize():
@@ -417,28 +443,53 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)
-        if causal or window is not None or len_ref is not None:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            keep = jnp.ones(s.shape, jnp.bool_)
-            if causal:
-                keep &= cols <= rows
-            if window is not None:
-                keep &= cols > rows - window
-            if len_ref is not None:
-                keep &= cols < row_len
-            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp2(s - lse * LOG2E)
-        if len_ref is not None:
-            p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - di) * sm_scale
-        dq_scr[...] += jax.lax.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-        )
+        def accum(s, keep):
+            p = jnp.exp2(s - lse * LOG2E)
+            if keep is not None and len_ref is not None:
+                p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - di) * sm_scale
+            dq_scr[...] += jax.lax.dot(
+                ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            )
+
+        if causal or window is not None or len_ref is not None:
+            # interior-tile skip, same inequalities as fwd/dKV
+            row_min = qi * block_q
+            row_max = row_min + block_q - 1
+            col_min = ki * block_k
+            needs_mask = False
+            if causal:
+                needs_mask |= col_min + block_k - 1 > row_min
+            if window is not None:
+                needs_mask |= row_max - window >= col_min
+            if len_ref is not None:
+                needs_mask |= col_min + block_k > row_len
+
+            @pl.when(needs_mask)
+            def _masked():
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 0) + row_min
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1) + col_min
+                keep = jnp.ones(s.shape, jnp.bool_)
+                if causal:
+                    keep &= cols <= rows
+                if window is not None:
+                    keep &= cols > rows - window
+                if len_ref is not None:
+                    keep &= cols < row_len
+                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep)
+
+            @pl.when(jnp.logical_not(needs_mask))
+            def _interior():
+                accum(s, None)
+        else:
+            accum(s, None)
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
