@@ -177,10 +177,14 @@ class MultiHeadAttention(Module):
                 # (or seq x model) works with the default axis names.
                 from ..parallel.sharded_attention import ring_flash_attention
 
-                assert kv_lengths is None, (
-                    "ring attention path does not support varlen masks")
-                assert self.window is None, (
-                    "ring attention path does not support sliding windows")
+                # real raises, not asserts: under python -O a stripped guard
+                # would silently compute full attention instead of failing
+                if kv_lengths is not None:
+                    raise ValueError(
+                        "ring attention path does not support varlen masks")
+                if self.window is not None:
+                    raise ValueError(
+                        "ring attention path does not support sliding windows")
                 names = self.mesh.axis_names
                 out = ring_flash_attention(
                     q, k, v, self.causal, mesh=self.mesh,

@@ -743,21 +743,28 @@ def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None,
     # kernel (seen as ~4e-2 "kernel error" at seq 2048 bf16).
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    keep = None
     if causal:
         nq, nk = s.shape[-2:]
-        mask = jnp.arange(nk)[None, :] <= jnp.arange(nq)[:, None]
+        keep = jnp.arange(nk)[None, :] <= jnp.arange(nq)[:, None]
         if window is not None:
-            mask &= jnp.arange(nk)[None, :] > jnp.arange(nq)[:, None] - window
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            keep &= jnp.arange(nk)[None, :] > jnp.arange(nq)[:, None] - window
+        s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     if kv_lengths is not None:
         nk = s.shape[-1]
         valid = jnp.arange(nk)[None, None, None, :] < kv_lengths[:, None, None, None]
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+        keep = valid if keep is None else (keep & valid)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    if kv_lengths is not None:
-        # rows with no valid keys output 0 (same convention as the kernel)
-        e = jnp.where(valid, e, 0.0)
+    if keep is not None and kv_lengths is not None:
+        # Rows with NO live keys output 0 (the kernel's convention).  The
+        # zeroing must use the COMBINED mask: a short varlen row whose
+        # in-prefix keys are all outside the sliding window has m == MASK,
+        # making every masked e equal 1 — zeroing only the kv_lengths
+        # positions previously left such rows emitting a spurious uniform
+        # average over the prefix (and its dV pollution in backward).
+        e = jnp.where(keep, e, 0.0)
     l = jnp.sum(e, axis=-1, keepdims=True)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = jnp.einsum("bhqk,bhkd->bhqd", (e / l_safe).astype(v.dtype), v,

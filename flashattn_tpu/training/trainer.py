@@ -297,12 +297,17 @@ class ShardedTrainer:
     def __init__(self, model: Any, opt: Any, mesh: Mesh,
                  data_axis: str = DATA_AXIS, model_axis: str = MODEL_AXIS,
                  loss_fn: Callable[..., Array] = lm_loss,
-                 zero: bool = False):
+                 zero: bool = False, grad_clip: Optional[float] = None,
+                 seed: int = 0):
         self.mesh = mesh
         self.opt = opt
         self.data_axis = data_axis
         self.model_axis = model_axis
         self.loss_fn = loss_fn
+        # scan_steps draws fresh per-dispatch keys from here when the caller
+        # passes none (a fixed default key would replay identical dropout
+        # masks every dispatch)
+        self._scan_key = jax.random.PRNGKey(seed)
 
         model = apply_mesh(model, mesh, batch_axis=data_axis, head_axis=model_axis)
         if zero:
@@ -321,25 +326,16 @@ class ShardedTrainer:
             loss, grads = jax.value_and_grad(self.loss_fn)(
                 model, tokens, targets, loss_mask, key
             )
+            if grad_clip is not None:
+                grads = clip_by_global_norm(grads, grad_clip)
             model, opt_state = opt.step(model, grads, opt_state)
             return model, opt_state, loss
 
         self._jit_step = jax.jit(_step, donate_argnums=(0, 1))
-
-        def _scan(model, opt_state, tokens, targets, loss_mask, keys):
-            def body(carry, batch):
-                model, opt_state = carry
-                tok, tgt, msk, k = batch
-                loss, grads = jax.value_and_grad(self.loss_fn)(
-                    model, tok, tgt, msk, k)
-                model, opt_state = opt.step(model, grads, opt_state)
-                return (model, opt_state), loss
-
-            (model, opt_state), losses = jax.lax.scan(
-                body, (model, opt_state), (tokens, targets, loss_mask, keys))
-            return model, opt_state, losses
-
-        self._jit_scan = jax.jit(_scan, donate_argnums=(0, 1))
+        # one scan implementation: reuse the generic factory (grad clipping,
+        # distill ctx, shared body) instead of duplicating the loop here
+        self._jit_scan = make_train_scan(opt, loss_fn=loss_fn,
+                                         grad_clip=grad_clip)
 
     def put_batch(self, *arrays):
         return tuple(jax.device_put(a, self.batch_sharding) for a in arrays)
@@ -353,13 +349,14 @@ class ShardedTrainer:
         )
         return loss
 
-    def scan_steps(self, tokens, targets, loss_mask=None, key=None):
+    def scan_steps(self, tokens, targets, loss_mask=None, key=None,
+                   ctx=None):
         """K train steps in ONE dispatch over the mesh: arrays carry a
         leading (n_steps,) axis, batches stay sharded over the data axis
         (spec ``P(None, data)``), and the whole lax.scan runs device-side —
         the multi-host analogue of ``make_train_scan``'s relay amortiser.
-        Returns the (n_steps,) per-step losses."""
-        n = targets.shape[0]
+        Returns the (n_steps,) per-step losses.  With ``key=None`` a fresh
+        key is drawn from the trainer's internal stream per call."""
         stack_sharding = NamedSharding(self.mesh, P(None, self.data_axis))
         put = lambda a: jax.device_put(a, stack_sharding)
         tokens = jax.tree_util.tree_map(put, tokens)
@@ -367,8 +364,8 @@ class ShardedTrainer:
         if loss_mask is None:
             loss_mask = jnp.ones(targets.shape, jnp.float32)
         loss_mask = put(loss_mask)
-        keys = jax.random.split(
-            key if key is not None else jax.random.PRNGKey(0), n)
+        if key is None:
+            self._scan_key, key = jax.random.split(self._scan_key)
         self.model, self.opt_state, losses = self._jit_scan(
-            self.model, self.opt_state, tokens, targets, loss_mask, keys)
+            self.model, self.opt_state, tokens, targets, loss_mask, key, ctx)
         return losses

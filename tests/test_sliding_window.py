@@ -208,3 +208,47 @@ def test_rolling_buffer_frees_pages_behind_window():
     want = np.asarray(model(jnp.asarray([full[:len(r.logits)]],
                                         jnp.int32))[0])
     np.testing.assert_allclose(np.stack(r.logits), want, atol=2e-4, rtol=2e-4)
+
+
+def test_varlen_window_fully_masked_rows_multi_tile():
+    """varlen + window at multi-tile blocks: rows past kv_len + window - 1
+    have NO live keys — kernel and oracle must both emit exactly 0 there and
+    agree (fwd and grads) on live rows.  Regression: the oracle previously
+    zeroed only kv_lengths-masked positions, so such rows emitted a spurious
+    uniform average over the prefix (and polluted dV)."""
+    from flashattn_tpu.ops.flash_attention import (
+        flash_attention_reference, flash_attention_varlen)
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (3, 1, 64, 16), jnp.float32)
+    lens = jnp.asarray([64, 33, 16], jnp.int32)
+    win = 24
+
+    o_k = flash_attention_varlen(q, q, q, lens, True, impl="pallas",
+                                 block_q=16, block_k=16, window=win)
+    o_r = flash_attention_reference(q, q, q, True, kv_lengths=lens,
+                                    window=win)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_r),
+                               atol=2e-5, rtol=1e-4)
+    # fully-masked rows (r >= len + win - 1) are exactly zero in BOTH
+    for b, ln in enumerate([64, 33, 16]):
+        dead = np.arange(64) >= ln + win - 1
+        if dead.any():
+            assert np.abs(np.asarray(o_k)[b, :, dead]).max() == 0.0
+            assert np.abs(np.asarray(o_r)[b, :, dead]).max() == 0.0
+
+    def loss_k(q, k, v):
+        return jnp.sum(flash_attention_varlen(
+            q, k, v, lens, True, impl="pallas", block_q=16, block_k=16,
+            window=win) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(flash_attention_reference(
+            q, k, v, True, kv_lengths=lens, window=win) ** 2)
+
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2))(q, q, q)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, q, q)
+    for a, b, name in zip(g_k, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3,
+                                   err_msg=f"d{name} mismatch")
