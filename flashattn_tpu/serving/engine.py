@@ -35,14 +35,17 @@ import numpy as np
 Array = jax.Array
 
 
-def _sample_tokens(logits, temps, topks, key, *, greedy_only: bool = False):
-    """Per-row sampling: temperature 0 -> greedy; top_k 0 -> unrestricted.
+def _sample_tokens(logits, temps, topks, topps, key, *,
+                   greedy_only: bool = False):
+    """Per-row sampling: temperature 0 -> greedy; top_k 0 -> unrestricted;
+    top_p 0 (or 1) -> no nucleus cut.
 
-    logits (B, V); temps (B,) f32; topks (B,) int32.  Full-sort top-k keeps
-    per-row k dynamic (fine at LM-head scales; the sort is once per dispatch).
-    ``greedy_only`` (static) skips the sort+categorical entirely — the host
-    scheduler passes it when every active request has temperature 0, so the
-    common greedy workload never pays the V·log V sort in the decode loop.
+    logits (B, V); temps (B,) f32; topks (B,) int32; topps (B,) f32.
+    Full-sort top-k/top-p keeps per-row parameters dynamic (fine at LM-head
+    scales; ONE sort serves both cuts per dispatch).  ``greedy_only``
+    (static) skips the sort+categorical entirely — the host scheduler
+    passes it when every active request has temperature 0, so the common
+    greedy workload never pays the V·log V sort in the decode loop.
     """
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
     if greedy_only:
@@ -51,8 +54,20 @@ def _sample_tokens(logits, temps, topks, key, *, greedy_only: bool = False):
     sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
     k_idx = jnp.clip(jnp.where(topks > 0, topks, v) - 1, 0, v - 1)
     thresh = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=1)
-    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
-    scaled = masked / jnp.maximum(temps, 1e-6)[:, None]
+    # nucleus (top-p): smallest prefix of the temperature-scaled sorted
+    # distribution whose mass reaches p; `cum - p_i < p` always keeps the
+    # top-1 token.  Rows with top_p disabled get a -inf threshold.
+    temp_safe = jnp.maximum(temps, 1e-6)[:, None]
+    p_sorted = jax.nn.softmax(sorted_desc / temp_safe, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    keep_sorted = (cum - p_sorted) < topps[:, None]
+    cnt = jnp.maximum(jnp.sum(keep_sorted, axis=-1), 1)
+    p_thresh = jnp.take_along_axis(sorted_desc, (cnt - 1)[:, None], axis=1)
+    p_on = (topps > 0.0) & (topps < 1.0)
+    p_thresh = jnp.where(p_on[:, None], p_thresh, -jnp.inf)
+    masked = jnp.where((logits >= thresh) & (logits >= p_thresh),
+                       logits, -jnp.inf)
+    scaled = masked / temp_safe
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy)
 
@@ -84,9 +99,11 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     eos_id: Optional[int] = None
-    # sampling: 0 temperature = greedy; top_k limits candidates (None = all)
+    # sampling: 0 temperature = greedy; top_k limits candidates (None =
+    # all); top_p keeps the smallest nucleus of mass >= p (None/1.0 = off)
     temperature: float = 0.0
     top_k: Optional[int] = None
+    top_p: Optional[float] = None
     # filled by the engine:
     uid: int = -1
     generated: List[int] = dataclasses.field(default_factory=list)
@@ -252,13 +269,13 @@ class ContinuousBatchingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy",))
-        def _step(model, pools, tokens, table, lengths, temps, topks, key,
-                  greedy):
+        def _step(model, pools, tokens, table, lengths, temps, topks,
+                  topps, key, greedy):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
-            return pools, _sample_tokens(logits[:, 0], temps, topks, key,
-                                         greedy_only=greedy), out
+            return pools, _sample_tokens(logits[:, 0], temps, topks, topps,
+                                         key, greedy_only=greedy), out
 
         self._jit_step = _step
 
@@ -269,14 +286,14 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("n_steps", "greedy"))
         def _step_many(model, pools, tokens, table, lengths, temps, topks,
-                       key, n_steps, greedy):
+                       topps, key, n_steps, greedy):
             keys = jax.random.split(key, n_steps)
 
             def body(carry, k):
                 pools, tokens, lengths = carry
                 logits, pools = model.forward_decode_paged(
                     tokens[:, None], pools, table, lengths)
-                nxt = _sample_tokens(logits[:, 0], temps, topks, k,
+                nxt = _sample_tokens(logits[:, 0], temps, topks, topps, k,
                                      greedy_only=greedy)
                 return (pools, nxt, lengths + 1), nxt
 
@@ -292,13 +309,13 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy",))
         def _prefill_step(model, pools, tokens, table, lens, temps, topks,
-                          key, greedy):
+                          topps, key, greedy):
             logits, pools = model.forward_prefill_paged(tokens, pools, table,
                                                         lens)
             last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
             chosen = jnp.take_along_axis(
                 logits, last[:, None, None], axis=1)[:, 0]      # (B, V)
-            sampled = _sample_tokens(chosen, temps, topks, key,
+            sampled = _sample_tokens(chosen, temps, topks, topps, key,
                                      greedy_only=greedy)
             return pools, sampled, (logits if collect_logits else None)
 
@@ -349,7 +366,7 @@ class ContinuousBatchingEngine:
 
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_id: Optional[int] = None, temperature: float = 0.0,
-               top_k: Optional[int] = None,
+               top_k: Optional[int] = None, top_p: Optional[float] = None,
                on_token: Optional[Callable[[Request, List[int]], None]] = None,
                ) -> Request:
         if not prompt:
@@ -364,8 +381,8 @@ class ContinuousBatchingEngine:
                 f"prompt needs {need} pages but the pool only has "
                 f"{self.pool.total}; request can never be admitted")
         req = Request(list(prompt), max_new_tokens, eos_id,
-                      temperature=temperature, top_k=top_k, uid=self._uid,
-                      on_token=on_token)
+                      temperature=temperature, top_k=top_k, top_p=top_p,
+                      uid=self._uid, on_token=on_token)
         self._uid += 1
         self.queue.append(req)
         return req
@@ -402,15 +419,18 @@ class ContinuousBatchingEngine:
         return sub
 
     def _sampling_arrays(self):
-        """(temps, topks, all_greedy): all_greedy is a host-side static flag
-        that lets the jitted steps skip sampling entirely."""
+        """(temps, topks, topps, all_greedy): all_greedy is a host-side
+        static flag that lets the jitted steps skip sampling entirely."""
         temps = np.zeros((self.max_batch,), np.float32)
         topks = np.zeros((self.max_batch,), np.int32)
+        topps = np.zeros((self.max_batch,), np.float32)
         for i, slot in enumerate(self.slots):
             if slot is not None:
                 temps[i] = slot.request.temperature
                 topks[i] = slot.request.top_k or 0
-        return jnp.asarray(temps), jnp.asarray(topks), not temps.any()
+                topps[i] = slot.request.top_p or 0.0
+        return (jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
+                not temps.any())
 
     # -- scheduler ------------------------------------------------------------
 
@@ -482,15 +502,16 @@ class ContinuousBatchingEngine:
             lens[i] = len(p)
             table[i] = self.page_table[i]
 
-        temps, topks, greedy = self._sampling_arrays()
+        temps, topks, topps, greedy = self._sampling_arrays()
         self.pools, sampled, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
-            jnp.asarray(lens), temps, topks, self._next_key(), greedy=greedy)
+            jnp.asarray(lens), temps, topks, topps, self._next_key(),
+            greedy=greedy)
         if self.draft_model is not None:
             # the draft's pools must hold the same history (same page ids)
             self.draft_pools, _, _ = self._jit_prefill(
                 self.draft_model, self.draft_pools, jnp.asarray(tokens),
-                jnp.asarray(table), jnp.asarray(lens), temps, topks,
+                jnp.asarray(table), jnp.asarray(lens), temps, topks, topps,
                 self._next_key(), greedy=True)
         sampled = np.asarray(sampled)
         if self.collect_logits:
@@ -589,9 +610,9 @@ class ContinuousBatchingEngine:
                 if consumed[i] == plen[i]:
                     final_logits[i] = logits[i, take - 1]
 
-        temps, topks, greedy = self._sampling_arrays()
+        temps, topks, topps, greedy = self._sampling_arrays()
         sampled = np.asarray(self._jit_sample(
-            jnp.asarray(final_logits), temps, topks, self._next_key(),
+            jnp.asarray(final_logits), temps, topks, topps, self._next_key(),
             greedy_only=greedy))
         self._seed_after_prefill(admitted, sampled)
 
@@ -777,11 +798,12 @@ class ContinuousBatchingEngine:
         return max(1, 1 << (max(k, 1).bit_length() - 1))
 
     def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
-        temps, topks, greedy = self._sampling_arrays()
+        temps, topks, topps, greedy = self._sampling_arrays()
         self.pools, sampled = self._jit_step_many(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, self._next_key(), n_steps=n_steps, greedy=greedy)
+            temps, topks, topps, self._next_key(), n_steps=n_steps,
+            greedy=greedy)
         sampled = np.asarray(sampled)                  # (K, B)
         for i in active:
             slot = self.slots[i]
@@ -864,11 +886,11 @@ class ContinuousBatchingEngine:
             self._run_chunk(active, tokens, lengths, n_steps)
             return True
 
-        temps, topks, greedy = self._sampling_arrays()
+        temps, topks, topps, greedy = self._sampling_arrays()
         self.pools, sampled, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, self._next_key(), greedy=greedy)
+            temps, topks, topps, self._next_key(), greedy=greedy)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             step_logits = np.asarray(step_logits)

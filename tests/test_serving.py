@@ -412,3 +412,30 @@ def test_cancel_flag_honored_between_steps(model):
     req.cancelled = True  # set directly, no engine call
     eng.step()
     assert req.done and eng.pool.n_free == eng.pool.total
+
+
+def test_sample_tokens_top_p_nucleus():
+    """Unit-test the sampler: tiny top_p collapses to greedy; top_p
+    restricts support to the nucleus; disabled rows are unaffected."""
+    from flashattn_tpu.serving.engine import _sample_tokens
+
+    logits = jnp.asarray([
+        [5.0, 4.9, 0.0, -1.0, -2.0],   # two dominant tokens
+        [5.0, 4.9, 0.0, -1.0, -2.0],
+        [5.0, 4.9, 0.0, -1.0, -2.0],
+    ])
+    temps = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+    topks = jnp.zeros((3,), jnp.int32)
+    # row0: p=1e-4 -> nucleus is exactly the argmax; row1: p=0 -> off;
+    # row2: p=0.95 -> top two tokens only (their mass > 0.97)
+    topps = jnp.asarray([1e-4, 0.0, 0.95], jnp.float32)
+    counts = np.zeros((3, 5), np.int64)
+    for s in range(200):
+        toks = np.asarray(_sample_tokens(
+            logits, temps, topks, topps, jax.random.PRNGKey(s)))
+        for r in range(3):
+            counts[r, toks[r]] += 1
+    assert counts[0, 0] == 200                 # collapsed to greedy
+    assert counts[1, 2:].sum() > 0 or counts[1, 1] > 0  # unrestricted row varies
+    assert counts[2, 2:].sum() == 0            # nucleus excludes the tail
+    assert counts[2, 1] > 0                    # but keeps the runner-up
