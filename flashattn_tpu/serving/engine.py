@@ -72,6 +72,32 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
     return jnp.where(temps > 0, sampled, greedy)
 
 
+def _apply_stop(req: "Request") -> bool:
+    """Trim ``req.generated`` at the earliest stop-sequence match (match
+    kept in the output).  Returns True when a match ended the request."""
+    if not req.stop or not req.generated:
+        return False
+    gen = req.generated
+    best = None
+    for seq in req.stop:
+        n = len(seq)
+        if n == 0 or n > len(gen):
+            continue
+        # only the region a new token could have completed needs scanning,
+        # but generated lists are short host-side; scan from the front so
+        # the EARLIEST match wins deterministically
+        for end in range(n, len(gen) + 1):
+            if gen[end - n:end] == seq:
+                if best is None or end < best:
+                    best = end
+                break
+    if best is None:
+        return False
+    del gen[best:]
+    req._streamed = min(req._streamed, len(gen))
+    return True
+
+
 class PagePool:
     """Host-side free list of physical page ids."""
 
@@ -104,6 +130,11 @@ class Request:
     temperature: float = 0.0
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    # stop sequences (token-id lists): generation ends when the tail of
+    # ``generated`` equals one of them; the match is kept in the output.
+    # Checked host-side per engine step, so chunked decode may overshoot
+    # device-side — the overshoot is trimmed before callbacks/finish.
+    stop: Optional[List[List[int]]] = None
     # filled by the engine:
     uid: int = -1
     generated: List[int] = dataclasses.field(default_factory=list)
@@ -367,6 +398,7 @@ class ContinuousBatchingEngine:
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_id: Optional[int] = None, temperature: float = 0.0,
                top_k: Optional[int] = None, top_p: Optional[float] = None,
+               stop: Optional[List[List[int]]] = None,
                on_token: Optional[Callable[[Request, List[int]], None]] = None,
                ) -> Request:
         if not prompt:
@@ -382,6 +414,7 @@ class ContinuousBatchingEngine:
                 f"{self.pool.total}; request can never be admitted")
         req = Request(list(prompt), max_new_tokens, eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
+                      stop=[list(s) for s in stop] if stop else None,
                       uid=self._uid, on_token=on_token)
         self._uid += 1
         self.queue.append(req)
@@ -845,6 +878,12 @@ class ContinuousBatchingEngine:
         self.queue = [r for r in self.queue if not r.cancelled]
         pre_finished = len(self.finished)
         progressed = self._step_inner()
+        # stop sequences: trim at the earliest match, then retire
+        for i, slot in enumerate(self.slots):
+            if slot is not None and _apply_stop(slot.request):
+                self._retire(i)
+        for req in self.finished[pre_finished:]:
+            _apply_stop(req)
         for slot in self.slots:
             if slot is not None:
                 self._flush_stream(slot.request)

@@ -439,3 +439,38 @@ def test_sample_tokens_top_p_nucleus():
     assert counts[1, 2:].sum() > 0 or counts[1, 1] > 0  # unrestricted row varies
     assert counts[2, 2:].sum() == 0            # nucleus excludes the tail
     assert counts[2, 1] > 0                    # but keeps the runner-up
+
+
+def test_stop_sequences(model):
+    """Generation ends at the earliest stop-sequence match (match kept);
+    outputs are a prefix of the unconstrained greedy generation."""
+    eng0 = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                    pages_per_seq=4, steps_per_dispatch=4)
+    free = eng0.submit([1, 2, 3], 20)
+    eng0.run()
+    full = list(free.generated)
+    assert len(full) == 20
+    # stop at the 5th token's value: generation must end exactly there
+    stop_tok = full[4]
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, steps_per_dispatch=4)
+    req = eng.submit([1, 2, 3], 20, stop=[[stop_tok]])
+    eng.run()
+    assert req.done
+    first = full.index(stop_tok)
+    assert req.generated == full[:first + 1]
+    assert eng.pool.n_free == eng.pool.total
+    # multi-token stop: the pair (full[2], full[3])
+    eng2 = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                    pages_per_seq=4, steps_per_dispatch=4)
+    req2 = eng2.submit([1, 2, 3], 20, stop=[[full[2], full[3]]])
+    eng2.run()
+    assert req2.generated == full[:4]
+    # streaming never delivers past the trim
+    eng3 = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                    pages_per_seq=4, steps_per_dispatch=4)
+    streamed = []
+    req3 = eng3.submit([1, 2, 3], 20, stop=[[stop_tok]],
+                       on_token=lambda r, new: streamed.extend(new))
+    eng3.run()
+    assert streamed == req3.generated == full[:first + 1]
