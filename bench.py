@@ -36,6 +36,28 @@ import jax.numpy as jnp
 
 
 def main():
+    # Fail fast if the TPU relay is unreachable: backend init otherwise
+    # hangs indefinitely on the first dispatch (no traceback), eating the
+    # caller's entire timeout. Probe in a watchdog thread.
+    import threading
+
+    probed = threading.Event()
+
+    def probe():
+        jax.devices()
+        probed.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not probed.wait(timeout=180):
+        print(json.dumps({
+            "metric": "flash_attention fwd TFLOP/s (causal bf16)",
+            "value": None, "unit": "TFLOP/s", "vs_baseline": None,
+            "error": "TPU relay unreachable (backend init timed out)",
+        }))
+        import os
+        os._exit(1)
+
     import flashattn_tpu as ft
     from flashattn_tpu.utils.timing import device_loop_time
 
