@@ -36,17 +36,27 @@ Array = jax.Array
 
 
 def _sample_tokens(logits, temps, topks, topps, key, *,
-                   greedy_only: bool = False):
+                   greedy_only: bool = False,
+                   presence=None, reps=None):
     """Per-row sampling: temperature 0 -> greedy; top_k 0 -> unrestricted;
-    top_p 0 (or 1) -> no nucleus cut.
+    top_p 0 (or 1) -> no nucleus cut; repetition penalty (HF rule) when
+    ``presence``/``reps`` are given.
 
-    logits (B, V); temps (B,) f32; topks (B,) int32; topps (B,) f32.
-    Full-sort top-k/top-p keeps per-row parameters dynamic (fine at LM-head
-    scales; ONE sort serves both cuts per dispatch).  ``greedy_only``
-    (static) skips the sort+categorical entirely — the host scheduler
-    passes it when every active request has temperature 0, so the common
-    greedy workload never pays the V·log V sort in the decode loop.
+    logits (B, V); temps (B,) f32; topks (B,) int32; topps (B,) f32;
+    presence (B, V) f32 counts of already-seen tokens (prompt + generated);
+    reps (B,) f32 (1.0 = off).  Full-sort top-k/top-p keeps per-row
+    parameters dynamic (fine at LM-head scales; ONE sort serves both cuts
+    per dispatch).  ``greedy_only`` (static) skips the sort+categorical
+    entirely — the host scheduler passes it when every active request has
+    temperature 0, so the common greedy workload never pays the V·log V
+    sort in the decode loop.
     """
+    if presence is not None:
+        # HF repetition penalty: for seen tokens, positive logits divide by
+        # the penalty, non-positive multiply (both push probability down)
+        pen = jnp.maximum(reps, 1e-6)[:, None]
+        adj = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where((presence > 0) & (pen != 1.0), adj, logits)
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
     if greedy_only:
         return greedy
@@ -130,6 +140,9 @@ class Request:
     temperature: float = 0.0
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    # HF-style repetition penalty over prompt+generated tokens (None/1.0 =
+    # off; >1 discourages repeats). Applies to greedy decoding too.
+    repetition_penalty: Optional[float] = None
     # stop sequences (token-id lists): generation ends when the tail of
     # ``generated`` equals one of them; the match is kept in the output.
     # Checked host-side per engine step, so chunked decode may overshoot
@@ -299,14 +312,17 @@ class ContinuousBatchingEngine:
             self._jit_spec = _spec_step
 
         @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("greedy",))
+                           static_argnames=("greedy", "rep"))
         def _step(model, pools, tokens, table, lengths, temps, topks,
-                  topps, key, greedy):
+                  topps, presence, reps, key, greedy, rep):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
-            return pools, _sample_tokens(logits[:, 0], temps, topks, topps,
-                                         key, greedy_only=greedy), out
+            nxt = _sample_tokens(logits[:, 0], temps, topks, topps, key,
+                                 greedy_only=greedy,
+                                 presence=presence if rep else None,
+                                 reps=reps)
+            return pools, nxt, out
 
         self._jit_step = _step
 
@@ -315,21 +331,26 @@ class ContinuousBatchingEngine:
         # scan K greedy steps device-side in ONE dispatch — each host
         # dispatch costs a round trip (~25ms through remote relays).
         @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("n_steps", "greedy"))
+                           static_argnames=("n_steps", "greedy", "rep"))
         def _step_many(model, pools, tokens, table, lengths, temps, topks,
-                       topps, key, n_steps, greedy):
+                       topps, presence, reps, key, n_steps, greedy, rep):
             keys = jax.random.split(key, n_steps)
 
             def body(carry, k):
-                pools, tokens, lengths = carry
+                pools, tokens, lengths, presence = carry
                 logits, pools = model.forward_decode_paged(
                     tokens[:, None], pools, table, lengths)
                 nxt = _sample_tokens(logits[:, 0], temps, topks, topps, k,
-                                     greedy_only=greedy)
-                return (pools, nxt, lengths + 1), nxt
+                                     greedy_only=greedy,
+                                     presence=presence if rep else None,
+                                     reps=reps)
+                if rep:  # newly sampled tokens join the seen set mid-chunk
+                    presence = presence.at[
+                        jnp.arange(presence.shape[0]), nxt].add(1.0)
+                return (pools, nxt, lengths + 1, presence), nxt
 
-            (pools, _, _), sampled = jax.lax.scan(
-                body, (pools, tokens, lengths), keys)
+            (pools, _, _, _), sampled = jax.lax.scan(
+                body, (pools, tokens, lengths, presence), keys)
             return pools, sampled                      # sampled: (K, B)
 
         self._jit_step_many = _step_many
@@ -338,16 +359,18 @@ class ContinuousBatchingEngine:
         # vs the reference's per-token full-model re-runs
         # (run_machine_translation.py:300-323).
         @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("greedy",))
+                           static_argnames=("greedy", "rep"))
         def _prefill_step(model, pools, tokens, table, lens, temps, topks,
-                          topps, key, greedy):
+                          topps, presence, reps, key, greedy, rep):
             logits, pools = model.forward_prefill_paged(tokens, pools, table,
                                                         lens)
             last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
             chosen = jnp.take_along_axis(
                 logits, last[:, None, None], axis=1)[:, 0]      # (B, V)
             sampled = _sample_tokens(chosen, temps, topks, topps, key,
-                                     greedy_only=greedy)
+                                     greedy_only=greedy,
+                                     presence=presence if rep else None,
+                                     reps=reps)
             return pools, sampled, (logits if collect_logits else None)
 
         self._jit_prefill = _prefill_step
@@ -387,6 +410,7 @@ class ContinuousBatchingEngine:
         self._jit_prefill_chunk = _prefill_chunk_step
         self._jit_sample = jax.jit(_sample_tokens,
                                    static_argnames=("greedy_only",))
+        # presence/reps ride as keyword arrays through the same jit
 
     # -- public API ----------------------------------------------------------
 
@@ -398,6 +422,7 @@ class ContinuousBatchingEngine:
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_id: Optional[int] = None, temperature: float = 0.0,
                top_k: Optional[int] = None, top_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
                stop: Optional[List[List[int]]] = None,
                on_token: Optional[Callable[[Request, List[int]], None]] = None,
                ) -> Request:
@@ -414,6 +439,7 @@ class ContinuousBatchingEngine:
                 f"{self.pool.total}; request can never be admitted")
         req = Request(list(prompt), max_new_tokens, eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
+                      repetition_penalty=repetition_penalty,
                       stop=[list(s) for s in stop] if stop else None,
                       uid=self._uid, on_token=on_token)
         self._uid += 1
@@ -464,6 +490,29 @@ class ContinuousBatchingEngine:
                 topps[i] = slot.request.top_p or 0.0
         return (jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
                 not temps.any())
+
+    def _penalty_arrays(self):
+        """(reps, presence, rep_on): presence counts prompt+generated
+        tokens per active row.  rep_on is a host-side static flag — when no
+        active request carries a penalty, the jitted steps skip the
+        (B, V) work entirely (presence collapses to a (B, 1) dummy)."""
+        reps = np.ones((self.max_batch,), np.float32)
+        rep_on = False
+        for i, slot in enumerate(self.slots):
+            if slot is not None and slot.request.repetition_penalty:
+                reps[i] = slot.request.repetition_penalty
+                rep_on = rep_on or reps[i] != 1.0
+        if not rep_on:
+            return (jnp.asarray(reps),
+                    jnp.zeros((self.max_batch, 1), jnp.float32), False)
+        presence = np.zeros((self.max_batch, self.model.n_vocab), np.float32)
+        for i, slot in enumerate(self.slots):
+            if slot is not None:
+                for t in slot.request.prompt:
+                    presence[i, t] += 1.0
+                for t in slot.request.generated:
+                    presence[i, t] += 1.0
+        return jnp.asarray(reps), jnp.asarray(presence), True
 
     # -- scheduler ------------------------------------------------------------
 
@@ -536,16 +585,17 @@ class ContinuousBatchingEngine:
             table[i] = self.page_table[i]
 
         temps, topks, topps, greedy = self._sampling_arrays()
+        reps, presence, rep_on = self._penalty_arrays()
         self.pools, sampled, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
-            jnp.asarray(lens), temps, topks, topps, self._next_key(),
-            greedy=greedy)
+            jnp.asarray(lens), temps, topks, topps, presence, reps,
+            self._next_key(), greedy=greedy, rep=rep_on)
         if self.draft_model is not None:
             # the draft's pools must hold the same history (same page ids)
             self.draft_pools, _, _ = self._jit_prefill(
                 self.draft_model, self.draft_pools, jnp.asarray(tokens),
                 jnp.asarray(table), jnp.asarray(lens), temps, topks, topps,
-                self._next_key(), greedy=True)
+                presence, reps, self._next_key(), greedy=True, rep=False)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             logits = np.asarray(logits)
@@ -644,9 +694,11 @@ class ContinuousBatchingEngine:
                     final_logits[i] = logits[i, take - 1]
 
         temps, topks, topps, greedy = self._sampling_arrays()
+        reps, presence, rep_on = self._penalty_arrays()
         sampled = np.asarray(self._jit_sample(
             jnp.asarray(final_logits), temps, topks, topps, self._next_key(),
-            greedy_only=greedy))
+            greedy_only=greedy,
+            presence=presence if rep_on else None, reps=reps))
         self._seed_after_prefill(admitted, sampled)
 
     def _alloc_page(self) -> Optional[int]:
@@ -743,6 +795,8 @@ class ContinuousBatchingEngine:
         for i in active:
             slot = self.slots[i]
             req = slot.request
+            if req.repetition_penalty and req.repetition_penalty != 1.0:
+                return False  # spec argmax verification ignores penalties
             if req.temperature > 0:
                 return False
             if slot.length + self.spec_len > self.capacity:
@@ -832,11 +886,12 @@ class ContinuousBatchingEngine:
 
     def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
         temps, topks, topps, greedy = self._sampling_arrays()
+        reps, presence, rep_on = self._penalty_arrays()
         self.pools, sampled = self._jit_step_many(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, topps, self._next_key(), n_steps=n_steps,
-            greedy=greedy)
+            temps, topks, topps, presence, reps, self._next_key(),
+            n_steps=n_steps, greedy=greedy, rep=rep_on)
         sampled = np.asarray(sampled)                  # (K, B)
         for i in active:
             slot = self.slots[i]
@@ -926,10 +981,12 @@ class ContinuousBatchingEngine:
             return True
 
         temps, topks, topps, greedy = self._sampling_arrays()
+        reps, presence, rep_on = self._penalty_arrays()
         self.pools, sampled, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, topps, self._next_key(), greedy=greedy)
+            temps, topks, topps, presence, reps, self._next_key(),
+            greedy=greedy, rep=rep_on)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             step_logits = np.asarray(step_logits)

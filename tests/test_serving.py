@@ -474,3 +474,37 @@ def test_stop_sequences(model):
                        on_token=lambda r, new: streamed.extend(new))
     eng3.run()
     assert streamed == req3.generated == full[:first + 1]
+
+
+def test_repetition_penalty_matches_dense_reference(model):
+    """Greedy + repetition penalty through the engine (incl. the chunked
+    path's device-side presence carry) must equal a host-side dense loop
+    applying the HF rule at every step."""
+    prompt = [5, 9, 2]
+    n_new = 12
+    pen = 1.5
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, steps_per_dispatch=4)
+    req = eng.submit(prompt, n_new, repetition_penalty=pen)
+    eng.run()
+
+    seen = np.zeros((64,), np.float32)
+    for t in prompt:
+        seen[t] += 1
+    toks = list(prompt)
+    expect = []
+    for _ in range(n_new):
+        logits = _dense_logits(model, toks)[-1].astype(np.float64)
+        adj = np.where(logits > 0, logits / pen, logits * pen)
+        logits = np.where(seen > 0, adj, logits)
+        nxt = int(np.argmax(logits))
+        expect.append(nxt)
+        toks.append(nxt)
+        seen[nxt] += 1
+    assert req.generated == expect
+    # sanity: the penalty actually changed the output vs plain greedy
+    eng2 = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                    pages_per_seq=4, steps_per_dispatch=4)
+    plain = eng2.submit(prompt, n_new)
+    eng2.run()
+    assert plain.generated != expect
