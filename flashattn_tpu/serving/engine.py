@@ -64,14 +64,20 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
     sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
     k_idx = jnp.clip(jnp.where(topks > 0, topks, v) - 1, 0, v - 1)
     thresh = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=1)
-    # nucleus (top-p): smallest prefix of the temperature-scaled sorted
-    # distribution whose mass reaches p; `cum - p_i < p` always keeps the
-    # top-1 token.  Rows with top_p disabled get a -inf threshold.
+    # nucleus (top-p) over the RENORMALISED top-k survivors (standard
+    # HF/vLLM sequential semantics).  The survivors are exactly the sorted
+    # prefix, so one sort serves both cuts: positions >= k collapse to
+    # -inf before the softmax, and the cutoff is the smallest prefix of
+    # the temperature-scaled survivor distribution reaching mass p
+    # (`cum - p_i < p` always keeps the top-1 token).  Rows with top_p
+    # disabled get a -inf threshold.
     temp_safe = jnp.maximum(temps, 1e-6)[:, None]
-    p_sorted = jax.nn.softmax(sorted_desc / temp_safe, axis=-1)
+    in_k = jnp.arange(v)[None, :] <= k_idx[:, None]
+    sorted_surv = jnp.where(in_k, sorted_desc, -jnp.inf)
+    p_sorted = jax.nn.softmax(sorted_surv / temp_safe, axis=-1)
     cum = jnp.cumsum(p_sorted, axis=-1)
     keep_sorted = (cum - p_sorted) < topps[:, None]
-    cnt = jnp.maximum(jnp.sum(keep_sorted, axis=-1), 1)
+    cnt = jnp.maximum(jnp.sum(keep_sorted & in_k, axis=-1), 1)
     p_thresh = jnp.take_along_axis(sorted_desc, (cnt - 1)[:, None], axis=1)
     p_on = (topps > 0.0) & (topps < 1.0)
     p_thresh = jnp.where(p_on[:, None], p_thresh, -jnp.inf)
@@ -84,23 +90,28 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
 
 def _apply_stop(req: "Request") -> bool:
     """Trim ``req.generated`` at the earliest stop-sequence match (match
-    kept in the output).  Returns True when a match ended the request."""
+    kept in the output).  Returns True when a match ended the request.
+
+    Incremental: only matches a token appended since the last scan could
+    have COMPLETED are checked (no earlier match can exist — it would
+    have retired the request in a prior step), so total work over a
+    generation is linear, not quadratic."""
     if not req.stop or not req.generated:
         return False
     gen = req.generated
+    max_n = max(len(s) for s in req.stop)
+    scan_from = max(0, req._stop_scanned - max_n + 1)
     best = None
     for seq in req.stop:
         n = len(seq)
         if n == 0 or n > len(gen):
             continue
-        # only the region a new token could have completed needs scanning,
-        # but generated lists are short host-side; scan from the front so
-        # the EARLIEST match wins deterministically
-        for end in range(n, len(gen) + 1):
+        for end in range(max(n, scan_from + n), len(gen) + 1):
             if gen[end - n:end] == seq:
                 if best is None or end < best:
                     best = end
                 break
+    req._stop_scanned = len(gen)
     if best is None:
         return False
     del gen[best:]
@@ -162,6 +173,7 @@ class Request:
     # steps_per_dispatch at once — device-side batching is not per-token)
     on_token: Optional[Callable[["Request", List[int]], None]] = None
     _streamed: int = 0  # tokens already delivered to on_token
+    _stop_scanned: int = 0  # generated length already scanned for stops
 
 
 @dataclasses.dataclass
@@ -170,12 +182,20 @@ class _Slot:
     pages: List[Optional[int]]  # None = released behind the sliding window
     length: int = 0          # tokens already in the KV cache
     next_input: int = 0      # token id to feed at position `length`
-    prompt_cursor: int = 1   # prompt tokens consumed (first fed at admit)
     shared_pages: int = 0    # leading pages attached from the prefix cache
+    # repetition penalty: per-vocab counts of seen tokens (lazily built at
+    # admit from the prompt, incremented as tokens land) + how many
+    # generated tokens have been folded in
+    presence: Optional[np.ndarray] = None
+    presence_counted: int = 0
 
 
 class ContinuousBatchingEngine:
-    """Greedy continuous-batching decoder for a :class:`DecoderLM`."""
+    """Continuous-batching decoder for a :class:`DecoderLM`: paged KV
+    pools, batched/chunked prefill, per-request sampling (temperature,
+    top-k, top-p, repetition penalty), stop sequences, streaming,
+    cancellation, prefix caching and speculative decoding.  Temperature-0
+    requests ride a greedy fast path that skips sampling entirely."""
 
     def __init__(self, model, *, max_batch: int = 8, page_size: int = 128,
                  pages_per_seq: int = 16, total_pages: Optional[int] = None,
@@ -505,13 +525,17 @@ class ContinuousBatchingEngine:
         if not rep_on:
             return (jnp.asarray(reps),
                     jnp.zeros((self.max_batch, 1), jnp.float32), False)
+        # per-slot presence vectors are maintained INCREMENTALLY (built from
+        # the prompt at admit, new tokens folded in here), so per-step host
+        # work is O(new tokens), not O(history)
         presence = np.zeros((self.max_batch, self.model.n_vocab), np.float32)
         for i, slot in enumerate(self.slots):
-            if slot is not None:
-                for t in slot.request.prompt:
-                    presence[i, t] += 1.0
-                for t in slot.request.generated:
-                    presence[i, t] += 1.0
+            if slot is not None and slot.presence is not None:
+                new = slot.request.generated[slot.presence_counted:]
+                if new:
+                    np.add.at(slot.presence, new, 1.0)
+                    slot.presence_counted = len(slot.request.generated)
+                presence[i] = slot.presence
         return jnp.asarray(reps), jnp.asarray(presence), True
 
     # -- scheduler ------------------------------------------------------------
@@ -554,9 +578,12 @@ class ContinuousBatchingEngine:
             assert all(p is not None for p in own)  # guaranteed by the count
             pages = shared + own
             self.page_table[i, :need] = pages
-            self.slots[i] = _Slot(req, pages, length=0,
-                                  next_input=req.prompt[0], prompt_cursor=1,
-                                  shared_pages=len(shared))
+            slot = _Slot(req, pages, length=0, next_input=req.prompt[0],
+                         shared_pages=len(shared))
+            if req.repetition_penalty and req.repetition_penalty != 1.0:
+                slot.presence = np.zeros((self.model.n_vocab,), np.float32)
+                np.add.at(slot.presence, req.prompt, 1.0)
+            self.slots[i] = slot
             admitted.append(i)
         return admitted
 
@@ -632,9 +659,7 @@ class ContinuousBatchingEngine:
             self._register_prefix_pages(i)
             slot = self.slots[i]
             req = slot.request
-            n = len(req.prompt)
-            slot.length = n
-            slot.prompt_cursor = n
+            slot.length = len(req.prompt)
             self._release_behind_window(i)
             tok = int(sampled[i])
             req.generated.append(tok)

@@ -508,3 +508,21 @@ def test_repetition_penalty_matches_dense_reference(model):
     plain = eng2.submit(prompt, n_new)
     eng2.run()
     assert plain.generated != expect
+
+
+def test_sample_tokens_top_k_top_p_sequential():
+    """top_p composes with top_k sequentially (HF/vLLM): the nucleus is
+    computed over the RENORMALISED top-k survivors, so a token inside the
+    raw-distribution nucleus but outside the renormalised one is excluded."""
+    from flashattn_tpu.serving.engine import _sample_tokens
+
+    # softmax ~ [0.50, 0.20, 0.15, 0.15] scaled: top-2 renormalise to
+    # [0.714, 0.286]; top_p=0.6 keeps ONLY token 0 (raw nucleus keeps 2)
+    logits = jnp.log(jnp.asarray([[0.50, 0.20, 0.15, 0.15]]))
+    temps = jnp.asarray([1.0], jnp.float32)
+    topks = jnp.asarray([2], jnp.int32)
+    topps = jnp.asarray([0.6], jnp.float32)
+    for s in range(100):
+        tok = int(_sample_tokens(logits, temps, topks, topps,
+                                 jax.random.PRNGKey(s))[0])
+        assert tok == 0, tok
