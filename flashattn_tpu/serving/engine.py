@@ -37,19 +37,19 @@ Array = jax.Array
 
 def _sample_tokens(logits, temps, topks, topps, key, *,
                    greedy_only: bool = False,
-                   presence=None, reps=None):
+                   presence=None, reps=None, minps=None):
     """Per-row sampling: temperature 0 -> greedy; top_k 0 -> unrestricted;
-    top_p 0 (or 1) -> no nucleus cut; repetition penalty (HF rule) when
-    ``presence``/``reps`` are given.
+    top_p 0 (or 1) -> no nucleus cut; min_p 0 -> no min-p cut; repetition
+    penalty (HF rule) when ``presence``/``reps`` are given.
 
-    logits (B, V); temps (B,) f32; topks (B,) int32; topps (B,) f32;
+    logits (B, V); temps (B,) f32; topks (B,) int32; topps/minps (B,) f32;
     presence (B, V) f32 counts of already-seen tokens (prompt + generated);
     reps (B,) f32 (1.0 = off).  Full-sort top-k/top-p keeps per-row
     parameters dynamic (fine at LM-head scales; ONE sort serves both cuts
-    per dispatch).  ``greedy_only`` (static) skips the sort+categorical
-    entirely — the host scheduler passes it when every active request has
-    temperature 0, so the common greedy workload never pays the V·log V
-    sort in the decode loop.
+    per dispatch; min-p needs no sort at all).  ``greedy_only`` (static)
+    skips the sort+categorical entirely — the host scheduler passes it
+    when every active request has temperature 0, so the common greedy
+    workload never pays the V·log V sort in the decode loop.
     """
     if presence is not None:
         # HF repetition penalty: for seen tokens, positive logits divide by
@@ -81,8 +81,16 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
     p_thresh = jnp.take_along_axis(sorted_desc, (cnt - 1)[:, None], axis=1)
     p_on = (topps > 0.0) & (topps < 1.0)
     p_thresh = jnp.where(p_on[:, None], p_thresh, -jnp.inf)
-    masked = jnp.where((logits >= thresh) & (logits >= p_thresh),
-                       logits, -jnp.inf)
+    keep = (logits >= thresh) & (logits >= p_thresh)
+    if minps is not None:
+        # min-p: drop tokens whose temperature-scaled probability is below
+        # min_p * p_max; equivalent threshold in logit space is
+        # max_logit + T*log(min_p), so no extra softmax/sort is needed
+        m_on = minps > 0.0
+        mp_thresh = (jnp.max(logits, axis=-1, keepdims=True)
+                     + temp_safe * jnp.log(jnp.maximum(minps, 1e-9))[:, None])
+        keep &= (logits >= mp_thresh) | ~m_on[:, None]
+    masked = jnp.where(keep, logits, -jnp.inf)
     scaled = masked / temp_safe
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy)
@@ -151,6 +159,7 @@ class Request:
     temperature: float = 0.0
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    min_p: Optional[float] = None  # drop tokens with p < min_p * p_max
     # HF-style repetition penalty over prompt+generated tokens (None/1.0 =
     # off; >1 discourages repeats). Applies to greedy decoding too.
     repetition_penalty: Optional[float] = None
@@ -334,14 +343,14 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy", "rep"))
         def _step(model, pools, tokens, table, lengths, temps, topks,
-                  topps, presence, reps, key, greedy, rep):
+                  topps, minps, presence, reps, key, greedy, rep):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
             nxt = _sample_tokens(logits[:, 0], temps, topks, topps, key,
                                  greedy_only=greedy,
                                  presence=presence if rep else None,
-                                 reps=reps)
+                                 reps=reps, minps=minps)
             return pools, nxt, out
 
         self._jit_step = _step
@@ -353,7 +362,8 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("n_steps", "greedy", "rep"))
         def _step_many(model, pools, tokens, table, lengths, temps, topks,
-                       topps, presence, reps, key, n_steps, greedy, rep):
+                       topps, minps, presence, reps, key, n_steps, greedy,
+                       rep):
             keys = jax.random.split(key, n_steps)
 
             def body(carry, k):
@@ -363,7 +373,7 @@ class ContinuousBatchingEngine:
                 nxt = _sample_tokens(logits[:, 0], temps, topks, topps, k,
                                      greedy_only=greedy,
                                      presence=presence if rep else None,
-                                     reps=reps)
+                                     reps=reps, minps=minps)
                 if rep:  # newly sampled tokens join the seen set mid-chunk
                     presence = presence.at[
                         jnp.arange(presence.shape[0]), nxt].add(1.0)
@@ -381,7 +391,7 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy", "rep"))
         def _prefill_step(model, pools, tokens, table, lens, temps, topks,
-                          topps, presence, reps, key, greedy, rep):
+                          topps, minps, presence, reps, key, greedy, rep):
             logits, pools = model.forward_prefill_paged(tokens, pools, table,
                                                         lens)
             last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
@@ -390,7 +400,7 @@ class ContinuousBatchingEngine:
             sampled = _sample_tokens(chosen, temps, topks, topps, key,
                                      greedy_only=greedy,
                                      presence=presence if rep else None,
-                                     reps=reps)
+                                     reps=reps, minps=minps)
             return pools, sampled, (logits if collect_logits else None)
 
         self._jit_prefill = _prefill_step
@@ -442,6 +452,7 @@ class ContinuousBatchingEngine:
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_id: Optional[int] = None, temperature: float = 0.0,
                top_k: Optional[int] = None, top_p: Optional[float] = None,
+               min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
                stop: Optional[List[List[int]]] = None,
                on_token: Optional[Callable[[Request, List[int]], None]] = None,
@@ -459,7 +470,7 @@ class ContinuousBatchingEngine:
                 f"{self.pool.total}; request can never be admitted")
         req = Request(list(prompt), max_new_tokens, eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      repetition_penalty=repetition_penalty,
+                      min_p=min_p, repetition_penalty=repetition_penalty,
                       stop=[list(s) for s in stop] if stop else None,
                       uid=self._uid, on_token=on_token)
         self._uid += 1
@@ -503,13 +514,15 @@ class ContinuousBatchingEngine:
         temps = np.zeros((self.max_batch,), np.float32)
         topks = np.zeros((self.max_batch,), np.int32)
         topps = np.zeros((self.max_batch,), np.float32)
+        minps = np.zeros((self.max_batch,), np.float32)
         for i, slot in enumerate(self.slots):
             if slot is not None:
                 temps[i] = slot.request.temperature
                 topks[i] = slot.request.top_k or 0
                 topps[i] = slot.request.top_p or 0.0
+                minps[i] = slot.request.min_p or 0.0
         return (jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
-                not temps.any())
+                jnp.asarray(minps), not temps.any())
 
     def _penalty_arrays(self):
         """(reps, presence, rep_on): presence counts prompt+generated
@@ -611,18 +624,19 @@ class ContinuousBatchingEngine:
             lens[i] = len(p)
             table[i] = self.page_table[i]
 
-        temps, topks, topps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, greedy = self._sampling_arrays()
         reps, presence, rep_on = self._penalty_arrays()
         self.pools, sampled, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
-            jnp.asarray(lens), temps, topks, topps, presence, reps,
+            jnp.asarray(lens), temps, topks, topps, minps, presence, reps,
             self._next_key(), greedy=greedy, rep=rep_on)
         if self.draft_model is not None:
             # the draft's pools must hold the same history (same page ids)
             self.draft_pools, _, _ = self._jit_prefill(
                 self.draft_model, self.draft_pools, jnp.asarray(tokens),
                 jnp.asarray(table), jnp.asarray(lens), temps, topks, topps,
-                presence, reps, self._next_key(), greedy=True, rep=False)
+                minps, presence, reps, self._next_key(), greedy=True,
+                rep=False)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             logits = np.asarray(logits)
@@ -718,12 +732,12 @@ class ContinuousBatchingEngine:
                 if consumed[i] == plen[i]:
                     final_logits[i] = logits[i, take - 1]
 
-        temps, topks, topps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, greedy = self._sampling_arrays()
         reps, presence, rep_on = self._penalty_arrays()
         sampled = np.asarray(self._jit_sample(
             jnp.asarray(final_logits), temps, topks, topps, self._next_key(),
             greedy_only=greedy,
-            presence=presence if rep_on else None, reps=reps))
+            presence=presence if rep_on else None, reps=reps, minps=minps))
         self._seed_after_prefill(admitted, sampled)
 
     def _alloc_page(self) -> Optional[int]:
@@ -910,12 +924,12 @@ class ContinuousBatchingEngine:
         return max(1, 1 << (max(k, 1).bit_length() - 1))
 
     def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
-        temps, topks, topps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, greedy = self._sampling_arrays()
         reps, presence, rep_on = self._penalty_arrays()
         self.pools, sampled = self._jit_step_many(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, topps, presence, reps, self._next_key(),
+            temps, topks, topps, minps, presence, reps, self._next_key(),
             n_steps=n_steps, greedy=greedy, rep=rep_on)
         sampled = np.asarray(sampled)                  # (K, B)
         for i in active:
@@ -1005,12 +1019,12 @@ class ContinuousBatchingEngine:
             self._run_chunk(active, tokens, lengths, n_steps)
             return True
 
-        temps, topks, topps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, greedy = self._sampling_arrays()
         reps, presence, rep_on = self._penalty_arrays()
         self.pools, sampled, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, topps, presence, reps, self._next_key(),
+            temps, topks, topps, minps, presence, reps, self._next_key(),
             greedy=greedy, rep=rep_on)
         sampled = np.asarray(sampled)
         if self.collect_logits:

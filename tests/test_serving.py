@@ -526,3 +526,26 @@ def test_sample_tokens_top_k_top_p_sequential():
         tok = int(_sample_tokens(logits, temps, topks, topps,
                                  jax.random.PRNGKey(s))[0])
         assert tok == 0, tok
+
+
+def test_sample_tokens_min_p():
+    """min-p keeps only tokens with p >= min_p * p_max (temperature-scaled);
+    min_p=0 leaves the distribution unrestricted."""
+    from flashattn_tpu.serving.engine import _sample_tokens
+
+    # probs [0.5, 0.3, 0.15, 0.05]: min_p=0.5 keeps {0, 1} (0.3 >= 0.25),
+    # excludes 2 (0.15 < 0.25)
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05],
+                                  [0.5, 0.3, 0.15, 0.05]]))
+    temps = jnp.ones((2,), jnp.float32)
+    topks = jnp.zeros((2,), jnp.int32)
+    topps = jnp.zeros((2,), jnp.float32)
+    minps = jnp.asarray([0.5, 0.0], jnp.float32)
+    seen = [set(), set()]
+    for s in range(300):
+        toks = np.asarray(_sample_tokens(
+            logits, temps, topks, topps, jax.random.PRNGKey(s), minps=minps))
+        seen[0].add(int(toks[0]))
+        seen[1].add(int(toks[1]))
+    assert seen[0] == {0, 1}, seen[0]
+    assert len(seen[1]) >= 3  # unrestricted row explores the tail
