@@ -37,19 +37,23 @@ Array = jax.Array
 
 def _sample_tokens(logits, temps, topks, topps, key, *,
                    greedy_only: bool = False,
-                   presence=None, reps=None, minps=None):
+                   presence=None, reps=None, minps=None,
+                   freqs=None, press=None):
     """Per-row sampling: temperature 0 -> greedy; top_k 0 -> unrestricted;
     top_p 0 (or 1) -> no nucleus cut; min_p 0 -> no min-p cut; repetition
-    penalty (HF rule) when ``presence``/``reps`` are given.
+    penalty (HF rule) plus OpenAI-style frequency/presence penalties when
+    ``presence``/``reps``/``freqs``/``press`` are given.
 
     logits (B, V); temps (B,) f32; topks (B,) int32; topps/minps (B,) f32;
     presence (B, V) f32 counts of already-seen tokens (prompt + generated);
-    reps (B,) f32 (1.0 = off).  Full-sort top-k/top-p keeps per-row
-    parameters dynamic (fine at LM-head scales; ONE sort serves both cuts
-    per dispatch; min-p needs no sort at all).  ``greedy_only`` (static)
-    skips the sort+categorical entirely — the host scheduler passes it
-    when every active request has temperature 0, so the common greedy
-    workload never pays the V·log V sort in the decode loop.
+    reps (B,) f32 (1.0 = off); freqs/press (B,) f32 (0.0 = off) subtract
+    ``freq*count + pres*(count>0)`` from seen tokens' logits (additive,
+    unlike the multiplicative HF rule).  Full-sort top-k/top-p keeps
+    per-row parameters dynamic (fine at LM-head scales; ONE sort serves
+    both cuts per dispatch; min-p needs no sort at all).  ``greedy_only``
+    (static) skips the sort+categorical entirely — the host scheduler
+    passes it when every active request has temperature 0, so the common
+    greedy workload never pays the V·log V sort in the decode loop.
     """
     if presence is not None:
         # HF repetition penalty: for seen tokens, positive logits divide by
@@ -57,6 +61,9 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
         pen = jnp.maximum(reps, 1e-6)[:, None]
         adj = jnp.where(logits > 0, logits / pen, logits * pen)
         logits = jnp.where((presence > 0) & (pen != 1.0), adj, logits)
+        if freqs is not None:
+            logits = logits - (freqs[:, None] * presence
+                               + press[:, None] * (presence > 0))
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
     if greedy_only:
         return greedy
@@ -96,6 +103,13 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
     return jnp.where(temps > 0, sampled, greedy)
 
 
+def _token_logprob(logits, toks):
+    """(B,) log p of ``toks`` under the raw model distribution (f32
+    log-softmax of the pre-penalty, pre-temperature logits)."""
+    lps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lps, toks[:, None], axis=-1)[:, 0]
+
+
 def _apply_stop(req: "Request") -> bool:
     """Trim ``req.generated`` at the earliest stop-sequence match (match
     kept in the output).  Returns True when a match ended the request.
@@ -123,6 +137,7 @@ def _apply_stop(req: "Request") -> bool:
     if best is None:
         return False
     del gen[best:]
+    del req.token_logprobs[best:]
     req._streamed = min(req._streamed, len(gen))
     return True
 
@@ -163,6 +178,11 @@ class Request:
     # HF-style repetition penalty over prompt+generated tokens (None/1.0 =
     # off; >1 discourages repeats). Applies to greedy decoding too.
     repetition_penalty: Optional[float] = None
+    # OpenAI-style additive penalties over prompt+generated tokens
+    # (None/0.0 = off): seen tokens' logits lose
+    # frequency_penalty*count + presence_penalty. Apply to greedy too.
+    frequency_penalty: Optional[float] = None
+    presence_penalty: Optional[float] = None
     # stop sequences (token-id lists): generation ends when the tail of
     # ``generated`` equals one of them; the match is kept in the output.
     # Checked host-side per engine step, so chunked decode may overshoot
@@ -171,6 +191,10 @@ class Request:
     # filled by the engine:
     uid: int = -1
     generated: List[int] = dataclasses.field(default_factory=list)
+    # log p of each generated token under the RAW model distribution
+    # (pre-penalty, pre-temperature log-softmax) — one float per entry of
+    # ``generated``, kept in lockstep through stop-sequence trimming
+    token_logprobs: List[float] = dataclasses.field(default_factory=list)
     # per-step next-token logits (engine built with collect_logits=True):
     # one row per consumed position, prefill included
     logits: List[np.ndarray] = dataclasses.field(default_factory=list)
@@ -202,9 +226,10 @@ class _Slot:
 class ContinuousBatchingEngine:
     """Continuous-batching decoder for a :class:`DecoderLM`: paged KV
     pools, batched/chunked prefill, per-request sampling (temperature,
-    top-k, top-p, repetition penalty), stop sequences, streaming,
-    cancellation, prefix caching and speculative decoding.  Temperature-0
-    requests ride a greedy fast path that skips sampling entirely."""
+    top-k, top-p, min-p, repetition/frequency/presence penalties),
+    per-token logprobs, stop sequences, streaming, cancellation, prefix
+    caching and speculative decoding.  Temperature-0 requests ride a
+    greedy fast path that skips sampling entirely."""
 
     def __init__(self, model, *, max_batch: int = 8, page_size: int = 128,
                  pages_per_seq: int = 16, total_pages: Optional[int] = None,
@@ -336,22 +361,26 @@ class ContinuousBatchingEngine:
                 logits, tpools = tmodel.forward_extend_paged(
                     chunk, tpools, table, lengths)
                 greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, n)
-                return tpools, dpools, drafts[:-1].T, greedy
+                lps = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                lps = jnp.take_along_axis(lps, greedy[..., None], -1)[..., 0]
+                return tpools, dpools, drafts[:-1].T, greedy, lps
 
             self._jit_spec = _spec_step
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy", "rep"))
         def _step(model, pools, tokens, table, lengths, temps, topks,
-                  topps, minps, presence, reps, key, greedy, rep):
+                  topps, minps, presence, reps, freqs, press, key, greedy,
+                  rep):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
             nxt = _sample_tokens(logits[:, 0], temps, topks, topps, key,
                                  greedy_only=greedy,
                                  presence=presence if rep else None,
-                                 reps=reps, minps=minps)
-            return pools, nxt, out
+                                 reps=reps, minps=minps, freqs=freqs,
+                                 press=press)
+            return pools, nxt, _token_logprob(logits[:, 0], nxt), out
 
         self._jit_step = _step
 
@@ -362,8 +391,8 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("n_steps", "greedy", "rep"))
         def _step_many(model, pools, tokens, table, lengths, temps, topks,
-                       topps, minps, presence, reps, key, n_steps, greedy,
-                       rep):
+                       topps, minps, presence, reps, freqs, press, key,
+                       n_steps, greedy, rep):
             keys = jax.random.split(key, n_steps)
 
             def body(carry, k):
@@ -373,15 +402,17 @@ class ContinuousBatchingEngine:
                 nxt = _sample_tokens(logits[:, 0], temps, topks, topps, k,
                                      greedy_only=greedy,
                                      presence=presence if rep else None,
-                                     reps=reps, minps=minps)
+                                     reps=reps, minps=minps, freqs=freqs,
+                                     press=press)
                 if rep:  # newly sampled tokens join the seen set mid-chunk
                     presence = presence.at[
                         jnp.arange(presence.shape[0]), nxt].add(1.0)
-                return (pools, nxt, lengths + 1, presence), nxt
+                return ((pools, nxt, lengths + 1, presence),
+                        (nxt, _token_logprob(logits[:, 0], nxt)))
 
-            (pools, _, _, _), sampled = jax.lax.scan(
+            (pools, _, _, _), (sampled, lps) = jax.lax.scan(
                 body, (pools, tokens, lengths, presence), keys)
-            return pools, sampled                      # sampled: (K, B)
+            return pools, sampled, lps                 # sampled/lps: (K, B)
 
         self._jit_step_many = _step_many
 
@@ -391,7 +422,8 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy", "rep"))
         def _prefill_step(model, pools, tokens, table, lens, temps, topks,
-                          topps, minps, presence, reps, key, greedy, rep):
+                          topps, minps, presence, reps, freqs, press, key,
+                          greedy, rep):
             logits, pools = model.forward_prefill_paged(tokens, pools, table,
                                                         lens)
             last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
@@ -400,8 +432,10 @@ class ContinuousBatchingEngine:
             sampled = _sample_tokens(chosen, temps, topks, topps, key,
                                      greedy_only=greedy,
                                      presence=presence if rep else None,
-                                     reps=reps, minps=minps)
-            return pools, sampled, (logits if collect_logits else None)
+                                     reps=reps, minps=minps, freqs=freqs,
+                                     press=press)
+            return (pools, sampled, _token_logprob(chosen, sampled),
+                    (logits if collect_logits else None))
 
         self._jit_prefill = _prefill_step
 
@@ -454,6 +488,8 @@ class ContinuousBatchingEngine:
                top_k: Optional[int] = None, top_p: Optional[float] = None,
                min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
                stop: Optional[List[List[int]]] = None,
                on_token: Optional[Callable[[Request, List[int]], None]] = None,
                ) -> Request:
@@ -471,6 +507,8 @@ class ContinuousBatchingEngine:
         req = Request(list(prompt), max_new_tokens, eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
                       min_p=min_p, repetition_penalty=repetition_penalty,
+                      frequency_penalty=frequency_penalty,
+                      presence_penalty=presence_penalty,
                       stop=[list(s) for s in stop] if stop else None,
                       uid=self._uid, on_token=on_token)
         self._uid += 1
@@ -525,18 +563,26 @@ class ContinuousBatchingEngine:
                 jnp.asarray(minps), not temps.any())
 
     def _penalty_arrays(self):
-        """(reps, presence, rep_on): presence counts prompt+generated
-        tokens per active row.  rep_on is a host-side static flag — when no
-        active request carries a penalty, the jitted steps skip the
-        (B, V) work entirely (presence collapses to a (B, 1) dummy)."""
+        """(reps, freqs, press, presence, pen_on): presence counts
+        prompt+generated tokens per active row.  pen_on is a host-side
+        static flag — when no active request carries any penalty, the
+        jitted steps skip the (B, V) work entirely (presence collapses to
+        a (B, 1) dummy)."""
         reps = np.ones((self.max_batch,), np.float32)
-        rep_on = False
+        freqs = np.zeros((self.max_batch,), np.float32)
+        press = np.zeros((self.max_batch,), np.float32)
+        pen_on = False
         for i, slot in enumerate(self.slots):
-            if slot is not None and slot.request.repetition_penalty:
-                reps[i] = slot.request.repetition_penalty
-                rep_on = rep_on or reps[i] != 1.0
-        if not rep_on:
-            return (jnp.asarray(reps),
+            if slot is not None:
+                req = slot.request
+                if req.repetition_penalty:
+                    reps[i] = req.repetition_penalty
+                freqs[i] = req.frequency_penalty or 0.0
+                press[i] = req.presence_penalty or 0.0
+                pen_on = (pen_on or reps[i] != 1.0 or freqs[i] != 0.0
+                          or press[i] != 0.0)
+        if not pen_on:
+            return (jnp.asarray(reps), jnp.asarray(freqs), jnp.asarray(press),
                     jnp.zeros((self.max_batch, 1), jnp.float32), False)
         # per-slot presence vectors are maintained INCREMENTALLY (built from
         # the prompt at admit, new tokens folded in here), so per-step host
@@ -549,7 +595,8 @@ class ContinuousBatchingEngine:
                     np.add.at(slot.presence, new, 1.0)
                     slot.presence_counted = len(slot.request.generated)
                 presence[i] = slot.presence
-        return jnp.asarray(reps), jnp.asarray(presence), True
+        return (jnp.asarray(reps), jnp.asarray(freqs), jnp.asarray(press),
+                jnp.asarray(presence), True)
 
     # -- scheduler ------------------------------------------------------------
 
@@ -593,7 +640,8 @@ class ContinuousBatchingEngine:
             self.page_table[i, :need] = pages
             slot = _Slot(req, pages, length=0, next_input=req.prompt[0],
                          shared_pages=len(shared))
-            if req.repetition_penalty and req.repetition_penalty != 1.0:
+            if ((req.repetition_penalty and req.repetition_penalty != 1.0)
+                    or req.frequency_penalty or req.presence_penalty):
                 slot.presence = np.zeros((self.model.n_vocab,), np.float32)
                 np.add.at(slot.presence, req.prompt, 1.0)
             self.slots[i] = slot
@@ -625,18 +673,18 @@ class ContinuousBatchingEngine:
             table[i] = self.page_table[i]
 
         temps, topks, topps, minps, greedy = self._sampling_arrays()
-        reps, presence, rep_on = self._penalty_arrays()
-        self.pools, sampled, logits = self._jit_prefill(
+        reps, freqs, press, presence, pen_on = self._penalty_arrays()
+        self.pools, sampled, lps, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
             jnp.asarray(lens), temps, topks, topps, minps, presence, reps,
-            self._next_key(), greedy=greedy, rep=rep_on)
+            freqs, press, self._next_key(), greedy=greedy, rep=pen_on)
         if self.draft_model is not None:
             # the draft's pools must hold the same history (same page ids)
-            self.draft_pools, _, _ = self._jit_prefill(
+            self.draft_pools, _, _, _ = self._jit_prefill(
                 self.draft_model, self.draft_pools, jnp.asarray(tokens),
                 jnp.asarray(table), jnp.asarray(lens), temps, topks, topps,
-                minps, presence, reps, self._next_key(), greedy=True,
-                rep=False)
+                minps, presence, reps, freqs, press, self._next_key(),
+                greedy=True, rep=False)
         sampled = np.asarray(sampled)
         if self.collect_logits:
             logits = np.asarray(logits)
@@ -646,7 +694,7 @@ class ContinuousBatchingEngine:
             if self.collect_logits:
                 for t in range(len(req.prompt)):
                     req.logits.append(logits[i, t])
-        self._seed_after_prefill(admitted, sampled)
+        self._seed_after_prefill(admitted, sampled, np.asarray(lps))
 
     def _register_prefix_pages(self, i: int) -> None:
         """Content-address this slot's FULL prompt pages so later requests
@@ -666,7 +714,8 @@ class ContinuousBatchingEngine:
             self._page_refs[page] = self._page_refs.get(page, 0) + 2
             self._prefix_cache[key] = page
 
-    def _seed_after_prefill(self, admitted: List[int], sampled) -> None:
+    def _seed_after_prefill(self, admitted: List[int], sampled,
+                            logprobs) -> None:
         """Shared prefill epilogue: record lengths, append the sampled seed
         token, and retire/allocate exactly like the decode epilogues."""
         for i in admitted:
@@ -677,6 +726,7 @@ class ContinuousBatchingEngine:
             self._release_behind_window(i)
             tok = int(sampled[i])
             req.generated.append(tok)
+            req.token_logprobs.append(float(logprobs[i]))
             slot.next_input = tok
             hit_eos = req.eos_id is not None and tok == req.eos_id
             if (len(req.generated) >= req.max_new_tokens or hit_eos
@@ -733,12 +783,15 @@ class ContinuousBatchingEngine:
                     final_logits[i] = logits[i, take - 1]
 
         temps, topks, topps, minps, greedy = self._sampling_arrays()
-        reps, presence, rep_on = self._penalty_arrays()
+        reps, freqs, press, presence, pen_on = self._penalty_arrays()
         sampled = np.asarray(self._jit_sample(
             jnp.asarray(final_logits), temps, topks, topps, self._next_key(),
-            greedy_only=greedy,
-            presence=presence if rep_on else None, reps=reps, minps=minps))
-        self._seed_after_prefill(admitted, sampled)
+            greedy_only=greedy, presence=presence if pen_on else None,
+            reps=reps, minps=minps, freqs=freqs, press=press))
+        shifted = final_logits - final_logits.max(-1, keepdims=True)
+        lse = np.log(np.exp(shifted).sum(-1)) + final_logits.max(-1)
+        lps = final_logits[np.arange(len(sampled)), sampled] - lse
+        self._seed_after_prefill(admitted, sampled, lps)
 
     def _alloc_page(self) -> Optional[int]:
         """A free page, evicting the oldest cache-only prefix page if the
@@ -834,7 +887,8 @@ class ContinuousBatchingEngine:
         for i in active:
             slot = self.slots[i]
             req = slot.request
-            if req.repetition_penalty and req.repetition_penalty != 1.0:
+            if ((req.repetition_penalty and req.repetition_penalty != 1.0)
+                    or req.frequency_penalty or req.presence_penalty):
                 return False  # spec argmax verification ignores penalties
             if req.temperature > 0:
                 return False
@@ -870,12 +924,13 @@ class ContinuousBatchingEngine:
             self.page_table[i, idx] = self._trash_page
 
     def _run_spec(self, active, tokens, lengths) -> None:
-        self.pools, self.draft_pools, drafts, greedy = self._jit_spec(
+        self.pools, self.draft_pools, drafts, greedy, lps = self._jit_spec(
             self.model, self.draft_model, self.pools, self.draft_pools,
             jnp.asarray(tokens), jnp.asarray(self.page_table),
             jnp.asarray(lengths), n_spec=self.spec_len)
         drafts = np.asarray(drafts)          # (B, spec_len-1) draft proposals
         greedy = np.asarray(greedy)          # (B, spec_len) target argmaxes
+        lps = np.asarray(lps)                # (B, spec_len) target logprobs
         for i in active:
             slot = self.slots[i]
             req = slot.request
@@ -892,6 +947,7 @@ class ContinuousBatchingEngine:
                 tok = int(greedy[i, t])
                 slot.length += 1
                 req.generated.append(tok)
+                req.token_logprobs.append(float(lps[i, t]))
                 slot.next_input = tok
                 hit_eos = req.eos_id is not None and tok == req.eos_id
                 if (len(req.generated) >= req.max_new_tokens or hit_eos
@@ -925,13 +981,14 @@ class ContinuousBatchingEngine:
 
     def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
         temps, topks, topps, minps, greedy = self._sampling_arrays()
-        reps, presence, rep_on = self._penalty_arrays()
-        self.pools, sampled = self._jit_step_many(
+        reps, freqs, press, presence, pen_on = self._penalty_arrays()
+        self.pools, sampled, lps = self._jit_step_many(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, topps, minps, presence, reps, self._next_key(),
-            n_steps=n_steps, greedy=greedy, rep=rep_on)
+            temps, topks, topps, minps, presence, reps, freqs, press,
+            self._next_key(), n_steps=n_steps, greedy=greedy, rep=pen_on)
         sampled = np.asarray(sampled)                  # (K, B)
+        lps = np.asarray(lps)
         for i in active:
             slot = self.slots[i]
             req = slot.request
@@ -941,6 +998,7 @@ class ContinuousBatchingEngine:
             for t in range(n_steps):
                 tok = int(sampled[t, i])
                 req.generated.append(tok)
+                req.token_logprobs.append(float(lps[t, i]))
                 if req.eos_id is not None and tok == req.eos_id:
                     # tokens sampled after EOS inside the chunk are discarded
                     self._retire(i)
@@ -1020,13 +1078,14 @@ class ContinuousBatchingEngine:
             return True
 
         temps, topks, topps, minps, greedy = self._sampling_arrays()
-        reps, presence, rep_on = self._penalty_arrays()
-        self.pools, sampled, step_logits = self._jit_step(
+        reps, freqs, press, presence, pen_on = self._penalty_arrays()
+        self.pools, sampled, lps, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
-            temps, topks, topps, minps, presence, reps, self._next_key(),
-            greedy=greedy, rep=rep_on)
+            temps, topks, topps, minps, presence, reps, freqs, press,
+            self._next_key(), greedy=greedy, rep=pen_on)
         sampled = np.asarray(sampled)
+        lps = np.asarray(lps)
         if self.collect_logits:
             step_logits = np.asarray(step_logits)
             for i in active:
@@ -1039,6 +1098,7 @@ class ContinuousBatchingEngine:
             self._release_behind_window(i)
             tok = int(sampled[i])
             req.generated.append(tok)
+            req.token_logprobs.append(float(lps[i]))
             slot.next_input = tok
             # Same epilogue order as _run_chunk: the sampled token is always
             # kept, normal retirement (count/EOS/capacity) is checked BEFORE

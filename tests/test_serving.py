@@ -549,3 +549,138 @@ def test_sample_tokens_min_p():
         seen[1].add(int(toks[1]))
     assert seen[0] == {0, 1}, seen[0]
     assert len(seen[1]) >= 3  # unrestricted row explores the tail
+
+
+def test_frequency_presence_penalty_matches_dense_reference(model):
+    """Greedy + OpenAI-style frequency/presence penalties through the
+    engine (incl. the chunked path's device-side presence carry) must
+    equal a host-side dense loop applying logits -= f*count + p*(count>0)
+    at every step."""
+    prompt = [5, 9, 2]
+    n_new = 12
+    f_pen, p_pen = 0.8, 0.6
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, steps_per_dispatch=4)
+    req = eng.submit(prompt, n_new, frequency_penalty=f_pen,
+                     presence_penalty=p_pen)
+    eng.run()
+
+    seen = np.zeros((64,), np.float32)
+    for t in prompt:
+        seen[t] += 1
+    toks = list(prompt)
+    expect = []
+    for _ in range(n_new):
+        logits = _dense_logits(model, toks)[-1].astype(np.float64)
+        logits = logits - f_pen * seen - p_pen * (seen > 0)
+        nxt = int(np.argmax(logits))
+        expect.append(nxt)
+        toks.append(nxt)
+        seen[nxt] += 1
+    assert req.generated == expect
+    # sanity: the penalties actually changed the output vs plain greedy
+    eng2 = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                    pages_per_seq=4, steps_per_dispatch=4)
+    plain = eng2.submit(prompt, n_new)
+    eng2.run()
+    assert plain.generated != expect
+
+
+def test_sample_tokens_frequency_presence_unit():
+    """Unit check of the additive rule: token 0 dominates but carries a
+    presence count; with a large penalty the argmax moves to token 1,
+    and a zero-penalty row is untouched."""
+    from flashattn_tpu.serving.engine import _sample_tokens
+
+    logits = jnp.asarray([[3.0, 2.5, 0.0], [3.0, 2.5, 0.0]])
+    presence = jnp.asarray([[2.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    temps = jnp.zeros((2,), jnp.float32)           # greedy
+    topks = jnp.zeros((2,), jnp.int32)
+    topps = jnp.zeros((2,), jnp.float32)
+    reps = jnp.ones((2,), jnp.float32)             # HF rule off
+    freqs = jnp.asarray([0.2, 0.0], jnp.float32)   # row0: 3.0-0.4-0.3=2.3
+    press = jnp.asarray([0.3, 0.0], jnp.float32)
+    toks = np.asarray(_sample_tokens(
+        logits, temps, topks, topps, jax.random.PRNGKey(0),
+        greedy_only=True, presence=presence, reps=reps, freqs=freqs,
+        press=press))
+    assert toks.tolist() == [1, 0]
+
+
+def _dense_token_logprobs(model, prompt, generated):
+    """Expected logprobs: log_softmax of the dense next-token logits at
+    each generated position."""
+    toks = list(prompt) + list(generated)
+    logits = _dense_logits(model, toks).astype(np.float64)
+    out = []
+    for t, tok in enumerate(generated):
+        row = logits[len(prompt) + t - 1]
+        row = row - row.max()
+        out.append(row[tok] - np.log(np.exp(row).sum()))
+    return out
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 4])
+def test_token_logprobs_match_dense(model, steps_per_dispatch):
+    """Every landed token carries its raw-model logprob, exact vs a dense
+    forward, through both the single-step and chunked decode paths (and
+    the batched prefill seed)."""
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                   pages_per_seq=4,
+                                   steps_per_dispatch=steps_per_dispatch)
+    reqs = [eng.submit([5, 9, 2], 10), eng.submit([7, 1], 8)]
+    eng.run()
+    for req in reqs:
+        assert len(req.token_logprobs) == len(req.generated)
+        want = _dense_token_logprobs(model, req.prompt, req.generated)
+        np.testing.assert_allclose(req.token_logprobs, want,
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_token_logprobs_chunked_prefill(model):
+    """Long prompts through the chunked-prefill path still seed a correct
+    first-token logprob."""
+    rng = np.random.default_rng(3)
+    prompt = list(rng.integers(1, 60, size=37))
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=8, prefill_chunk=16)
+    req = eng.submit(prompt, 6)
+    eng.run()
+    assert len(req.token_logprobs) == len(req.generated)
+    want = _dense_token_logprobs(model, req.prompt, req.generated)
+    np.testing.assert_allclose(req.token_logprobs, want, atol=1e-4, rtol=1e-4)
+
+
+def test_token_logprobs_speculative(model):
+    """The speculative path's accepted tokens carry target-model logprobs
+    identical to the plain greedy engine's."""
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, draft_model=model,
+                                   spec_len=4)
+    req = eng.submit([5, 9, 2], 10)
+    eng.run()
+    plain_eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                         pages_per_seq=4)
+    plain = plain_eng.submit([5, 9, 2], 10)
+    plain_eng.run()
+    assert req.generated == plain.generated
+    assert len(req.token_logprobs) == len(req.generated)
+    np.testing.assert_allclose(req.token_logprobs, plain.token_logprobs,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_token_logprobs_trimmed_with_stop(model):
+    """Stop-sequence trimming keeps token_logprobs in lockstep with
+    generated."""
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, steps_per_dispatch=4)
+    probe = eng.submit([5, 9, 2], 10)
+    eng.run()
+    assert len(probe.generated) >= 4
+    stop = [probe.generated[2:4]]
+    eng2 = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                    pages_per_seq=4, steps_per_dispatch=4)
+    req = eng2.submit([5, 9, 2], 10, stop=stop)
+    eng2.run()
+    assert req.generated == probe.generated[:4]
+    assert req.token_logprobs == probe.token_logprobs[:4]
