@@ -67,8 +67,21 @@ def main():
 
     q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), dtype)
 
-    t_flash = device_loop_time(
-        lambda x: ft.flash_attention(x, x, x, causal), (q,), iters=100)
+    # Self-select among a small set of causal schedules: the known-good
+    # blocks, plus the diag_subtile strip variants that cut the diagonal
+    # tiles' masked overcompute (each candidate is one extra remote compile;
+    # the winner is what a production config sweep would pin).
+    candidates = [(512, 1024, 0), (512, 1024, 256),
+                  (512, 512, 128), (256, 256, 0)]
+    best = None
+    for (bq, bk, ds) in candidates:
+        t = device_loop_time(
+            lambda x: ft.flash_attention(x, x, x, causal, block_q=bq,
+                                         block_k=bk, diag_subtile=ds),
+            (q,), iters=100)
+        if best is None or t < best[0]:
+            best = (t, bq, bk, ds)
+    t_flash, bq, bk, ds = best
     t_naive = device_loop_time(
         lambda x: ft.flash_attention_reference(x, x, x, causal), (q,), iters=40)
 
@@ -81,6 +94,7 @@ def main():
         "value": round(tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(t_naive / t_flash, 3),
+        "config": f"block_q={bq} block_k={bk} diag_subtile={ds}",
     }))
 
 

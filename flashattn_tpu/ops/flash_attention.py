@@ -71,7 +71,8 @@ _MIN_BLOCK = 8
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                num_kv: int, window: Optional[int] = None):
+                num_kv: int, window: Optional[int] = None,
+                diag_subtile: int = 0):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -103,17 +104,20 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         q = q_ref[0, 0]                              # (block_q, d)
         k = k_ref[0, 0]                              # (block_k, d)
         v = v_ref[0, 0]                              # (block_k, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                            # (block_q, block_k)
 
-        def update(s, keep):
+        def score(k_blk):
+            return jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (block_q, k_blk rows)
+
+        def update(s, keep, v_blk):
             m_prev = m_scr[...]                      # (block_q, 1)
             l_prev = l_scr[...]
             m_curr = jnp.max(s, axis=-1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s - m_next)                 # (block_q, block_k)
+            p = jnp.exp2(s - m_next)                 # (block_q, width)
             if keep is not None and (len_ref is not None or window is not None):
                 # fully-masked rows (short varlen prefix, or a window that
                 # has no overlap with this block even though other rows'
@@ -126,7 +130,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             l_scr[...] = l_next
 
             pv = jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
             )
             acc_scr[...] = acc_scr[...] * alpha + pv
 
@@ -148,10 +152,9 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             if len_ref is not None:
                 needs_mask |= col_min + block_k > row_len
 
-            @pl.when(needs_mask)
-            def _masked():
+            def mask_and_update(s, c0, width, v_blk):
                 rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
-                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c0
                 keep = jnp.ones(s.shape, jnp.bool_)
                 if causal:
                     keep &= cols <= rows
@@ -159,13 +162,62 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                     keep &= cols > rows - window
                 if len_ref is not None:  # per-batch valid KV prefix
                     keep &= cols < row_len
-                update(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep)
+                update(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep, v_blk)
+
+            @pl.when(needs_mask)
+            def _masked():
+                if not diag_subtile or diag_subtile >= block_k:
+                    mask_and_update(score(k), col_min, block_k, v)
+                    return
+                # Sub-tile the boundary block: the diagonal crossing leaves
+                # up to half of a (block_q, block_k) score tile fully masked
+                # — MXU flops the grid-level skip can't recover because the
+                # block is coarse.  Issue the dot per (block_q, diag_subtile)
+                # column strip instead, skipping strips with no live element
+                # (for causal at block_k=1024, subtile=256 this cuts the
+                # causal overcompute from N*512 to N*128 score elements while
+                # interior tiles keep the full-width dot's MXU efficiency).
+                # Online-softmax updates are associative, so strip-wise
+                # updates are exact.  Each strip re-checks whether IT crosses
+                # a boundary: fully-live strips skip the iota+where too.
+                ds = diag_subtile
+                for j in range(block_k // ds):
+                    c0 = col_min + j * ds
+                    c_max = c0 + ds - 1
+                    live = True
+                    if causal:
+                        live &= c0 <= row_max
+                    if window is not None:
+                        live &= c_max >= row_min - (window - 1)
+                    if len_ref is not None:
+                        live &= c0 < row_len
+
+                    @pl.when(live)
+                    def _strip(j=j, c0=c0, c_max=c_max):
+                        k_sub = k[j * ds:(j + 1) * ds]
+                        v_sub = v[j * ds:(j + 1) * ds]
+                        s_sub = score(k_sub)
+                        strip_masked = False
+                        if causal:
+                            strip_masked |= c_max > row_min
+                        if window is not None:
+                            strip_masked |= row_max - window >= c0
+                        if len_ref is not None:
+                            strip_masked |= c0 + ds > row_len
+
+                        @pl.when(strip_masked)
+                        def _m():
+                            mask_and_update(s_sub, c0, ds, v_sub)
+
+                        @pl.when(jnp.logical_not(strip_masked))
+                        def _i():
+                            update(s_sub, None, v_sub)
 
             @pl.when(jnp.logical_not(needs_mask))
             def _interior():
-                update(s, None)
+                update(score(k), None, v)
         else:
-            update(s, None)
+            update(score(k), None, v)
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
@@ -178,7 +230,12 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
-               kv_lengths=None, window=None):
+               kv_lengths=None, window=None, diag_subtile=0):
+    if diag_subtile:
+        if diag_subtile % 128 or block_k % diag_subtile:
+            raise ValueError(
+                f"diag_subtile ({diag_subtile}) must be a multiple of 128 "
+                f"dividing block_k ({block_k})")
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     # GQA/MQA: q heads grouped onto fewer kv heads — the kv index maps fold
@@ -228,6 +285,7 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
         kernel = functools.partial(
             _fwd_kernel, None, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
+            diag_subtile=diag_subtile,
         )
         o, lse = pl.pallas_call(
             kernel,
@@ -284,6 +342,7 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
+        diag_subtile=diag_subtile,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -643,7 +702,7 @@ def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int):
 MIN_KERNEL_KV_LEN = 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def flash_attention(
     q: Array,
     k: Array,
@@ -654,6 +713,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto",
     window: Optional[int] = None,
+    diag_subtile: int = 0,
 ) -> Array:
     """softmax(Q K^T / sqrt(d)) V without materialising the scores matrix.
 
@@ -671,11 +731,17 @@ def flash_attention(
         outside the window are skipped at the GRID level with their DMAs
         elided, so compute AND memory traffic are O(seq * window), in
         forward and both backward kernels.
+      diag_subtile: 0 (off) or a multiple of 128 dividing block_k — issue
+        the forward score dot of mask-crossing (diagonal/window-edge/
+        varlen-boundary) tiles in column strips of this width, skipping
+        strips with no live element.  Cuts the causal overcompute from
+        max(block_q, block_k)/2 to diag_subtile/2 score columns per row
+        while interior tiles keep the full-width dot.
 
     Returns: (batch, heads, seq_q, head_dim).
     """
     o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                            impl, window)
+                            impl, window, diag_subtile)
     return o
 
 
@@ -717,7 +783,7 @@ def _use_kernel(q, k, block_q, block_k, impl):
 
 
 def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                     impl="auto", window=None):
+                     impl="auto", window=None, diag_subtile=0):
     _check_heads(q, k, v)
     if window is not None:
         if not causal:
@@ -732,7 +798,8 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
         # jnp op-graph path (jitted & fused by XLA); lse kept for the vjp.
         return _reference_fwd_with_lse(q, k, v, causal, scale, window=window)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
-                      block_q=blocks[0], block_k=blocks[1], window=window)
+                      block_q=blocks[0], block_k=blocks[1], window=window,
+                      diag_subtile=diag_subtile)
 
 
 def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None,
@@ -774,13 +841,14 @@ def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None,
 
 
 def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k, impl,
-                   window):
+                   window, diag_subtile):
     o, lse = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                              impl, window)
+                              impl, window, diag_subtile)
     return o, (q, k, v, o, lse)
 
 
-def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window, res, do):
+def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
+                   diag_subtile, res, do):
     q, k, v, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
@@ -819,12 +887,13 @@ def flash_attention_reference(q, k, v, causal: bool = False,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def flash_attention_varlen(
     q: Array, k: Array, v: Array, kv_lengths: Array,
     causal: bool = False, sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto", window: Optional[int] = None,
+    diag_subtile: int = 0,
 ) -> Array:
     """Flash attention over a PADDED batch: ``kv_lengths`` (B,) int32 gives
     each row's valid KV prefix; keys/values at positions >= length are
@@ -838,12 +907,12 @@ def flash_attention_varlen(
     (windowed batched prefill); requires causal.
     """
     o, _ = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
-                       block_k, impl, window)
+                       block_k, impl, window, diag_subtile)
     return o
 
 
 def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
-                impl, window=None):
+                impl, window=None, diag_subtile=0):
     _check_heads(q, k, v)
     if window is not None:
         if not causal:
@@ -859,18 +928,19 @@ def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
                                        window)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
                       block_q=blocks[0], block_k=blocks[1],
-                      kv_lengths=kv_lengths, window=window)
+                      kv_lengths=kv_lengths, window=window,
+                      diag_subtile=diag_subtile)
 
 
 def _varlen_vjp_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
-                    impl, window):
+                    impl, window, diag_subtile):
     o, lse = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
-                         block_k, impl, window)
+                         block_k, impl, window, diag_subtile)
     return o, (q, k, v, kv_lengths, o, lse)
 
 
-def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window, res,
-                    do):
+def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
+                    diag_subtile, res, do):
     q, k, v, kv_lengths, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)

@@ -66,6 +66,18 @@ def main():
                 ft.flash_attention_reference(q, k, k, causal).astype(jnp.float32)))(q)
             ok &= check(f"flash bwd nq={nq} {dtype.__name__}", g, gr, 5e-2)
 
+    # diag_subtile: strip-wise boundary dots (nested pl.when + static row
+    # slices of the K/V blocks — Mosaic lowering must be validated on-chip)
+    for (dtype, window, ds) in [(jnp.bfloat16, None, 256),
+                                (jnp.float32, None, 128),
+                                (jnp.bfloat16, 300, 256)]:
+        qs = jax.random.normal(key, (1, 4, 2048, 128), dtype)
+        o = ft.flash_attention(qs, qs, qs, True, impl="pallas",
+                               window=window, diag_subtile=ds)
+        ref = ft.flash_attention_reference(qs, qs, qs, True, window=window)
+        ok &= check(f"flash fwd diag_subtile={ds} {dtype.__name__} "
+                    f"w={window}", o, ref, 2e-2)
+
     # GQA: q heads grouped onto fewer kv heads (index-map folding)
     qg = jax.random.normal(key, (2, 8, 2048, 64), jnp.float32)
     kg = jax.random.normal(key, (2, 2, 2048, 64), jnp.float32)

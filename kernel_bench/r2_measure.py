@@ -28,24 +28,32 @@ def flash_block_sweep():
         raw_rows = []
         # causal overcompute ~= N*block_k/2 regardless of block_q, so small
         # block_k is the useful-fraction lever; large block_q keeps the MXU
-        # fed and amortises the per-tile softmax update
-        for (bq, bk) in [(512, 1024), (512, 512), (256, 512), (1024, 1024),
-                         (1024, 512), (512, 256), (1024, 256), (2048, 256),
-                         (2048, 512), (256, 256), (256, 128)]:
+        # fed and amortises the per-tile softmax update.  diag_subtile (ds)
+        # keeps the big block_k on interior tiles and strips only the
+        # boundary blocks — overcompute drops to ~N*ds/2 at full-width raw
+        # efficiency.
+        for (bq, bk, ds) in [(512, 1024, 0), (512, 512, 0), (256, 512, 0),
+                             (1024, 1024, 0), (1024, 512, 0), (512, 256, 0),
+                             (1024, 256, 0), (2048, 256, 0), (2048, 512, 0),
+                             (256, 256, 0), (256, 128, 0),
+                             (512, 1024, 256), (512, 1024, 128),
+                             (1024, 1024, 256), (512, 512, 128),
+                             (2048, 1024, 256), (1024, 512, 128)]:
             if bq > N or bk > N:
                 continue
             t = device_loop_time(
                 lambda x: ft.flash_attention(x, x, x, True, block_q=bq,
-                                             block_k=bk, impl="pallas"),
+                                             block_k=bk, impl="pallas",
+                                             diag_subtile=ds),
                 (q,), iters=60)
             # raw = flops actually issued incl. masked-tile overcompute
             tf = flops / t / 1e12
-            raw_rows.append((bq, bk, t * 1e3, tf))
-            print(f"  N={N} blocks=({bq},{bk}): {t*1e3:7.3f} ms  "
+            raw_rows.append((bq, bk, ds, t * 1e3, tf))
+            print(f"  N={N} blocks=({bq},{bk}) ds={ds}: {t*1e3:7.3f} ms  "
                   f"{tf:6.1f} useful TFLOP/s ({tf/ROOFLINE*100:4.1f}% roof)")
-        best = max(raw_rows, key=lambda r: r[3])
-        print(f"  N={N} BEST blocks=({best[0]},{best[1]}) "
-              f"{best[3]:.1f} TFLOP/s")
+        best = max(raw_rows, key=lambda r: r[4])
+        print(f"  N={N} BEST blocks=({best[0]},{best[1]}) ds={best[2]} "
+              f"{best[4]:.1f} TFLOP/s")
 
 
 def int8_prefill():

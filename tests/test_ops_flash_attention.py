@@ -234,3 +234,53 @@ class TestGQA:
         got = flash_attention_varlen(q, k, v, lengths, True, impl="pallas")
         want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+class TestDiagSubtile:
+    """diag_subtile strips the boundary tiles' score dot: exactness vs the
+    oracle across causal / window / varlen, and argument validation."""
+
+    def test_causal_matches_oracle(self):
+        q, k, v = _qkv((1, 2, 512, 32), seed=41)
+        out = flash_attention(q, k, v, True, None, 128, 256,
+                              diag_subtile=128)
+        ref = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_window_matches_oracle(self):
+        q, k, v = _qkv((1, 1, 512, 32), seed=43)
+        out = flash_attention(q, k, v, True, None, 128, 256, window=200,
+                              diag_subtile=128)
+        ref = flash_attention_reference(q, k, v, True, window=200)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_varlen_matches_oracle(self):
+        from flashattn_tpu.ops.flash_attention import (
+            _reference_fwd_with_lse, flash_attention_varlen)
+        q, k, v = _qkv((3, 1, 512, 32), seed=47)
+        lens = jnp.asarray([512, 300, 32], jnp.int32)
+        out = flash_attention_varlen(q, k, v, lens, True, block_q=128,
+                                     block_k=256, impl="pallas",
+                                     diag_subtile=128)
+        ref, _ = _reference_fwd_with_lse(q, k, v, True, 1.0 / 32**0.5,
+                                         kv_lengths=lens)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_gradient_routes_through_plain_backward(self):
+        q, k, v = _qkv((1, 1, 512, 32), seed=53)
+
+        def f(sub):
+            def g(q_, k_, v_):
+                return jnp.sum(flash_attention(q_, k_, v_, True, None, 128,
+                                               256, diag_subtile=sub))
+            return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+
+        for a, b in zip(f(128), f(0)):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_invalid_subtile_raises(self):
+        q, k, v = _qkv((1, 1, 512, 32), seed=59)
+        with pytest.raises(ValueError):
+            flash_attention(q, k, v, True, None, 128, 256, diag_subtile=64)
+        with pytest.raises(ValueError):
+            flash_attention(q, k, v, True, None, 128, 256, diag_subtile=384)
