@@ -75,10 +75,15 @@ def main():
                   (512, 512, 128), (256, 256, 0)]
     best = None
     for (bq, bk, ds) in candidates:
-        t = device_loop_time(
-            lambda x: ft.flash_attention(x, x, x, causal, block_q=bq,
-                                         block_k=bk, diag_subtile=ds),
-            (q,), iters=100)
+        try:
+            t = device_loop_time(
+                lambda x: ft.flash_attention(x, x, x, causal, block_q=bq,
+                                             block_k=bk, diag_subtile=ds),
+                (q,), iters=100)
+        except Exception as e:  # a candidate failing to lower must not
+            print(f"# candidate ({bq},{bk},ds={ds}) failed: {e}",
+                  file=sys.stderr)  # kill the headline measurement
+            continue
         if best is None or t < best[0]:
             best = (t, bq, bk, ds)
     t_flash, bq, bk, ds = best

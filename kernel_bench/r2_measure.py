@@ -41,11 +41,16 @@ def flash_block_sweep():
                              (2048, 1024, 256), (1024, 512, 128)]:
             if bq > N or bk > N:
                 continue
-            t = device_loop_time(
-                lambda x: ft.flash_attention(x, x, x, True, block_q=bq,
-                                             block_k=bk, impl="pallas",
-                                             diag_subtile=ds),
-                (q,), iters=60)
+            try:
+                t = device_loop_time(
+                    lambda x: ft.flash_attention(x, x, x, True, block_q=bq,
+                                                 block_k=bk, impl="pallas",
+                                                 diag_subtile=ds),
+                    (q,), iters=60)
+            except Exception as e:
+                print(f"  N={N} blocks=({bq},{bk}) ds={ds}: FAILED "
+                      f"{type(e).__name__}: {e}")
+                continue
             # raw = flops actually issued incl. masked-tile overcompute
             tf = flops / t / 1e12
             raw_rows.append((bq, bk, ds, t * 1e3, tf))
@@ -134,4 +139,7 @@ def paged_int8():
 
 if __name__ == "__main__":
     for fn in (flash_block_sweep, int8_prefill, gqa_bwd, paged_int8):
-        fn()
+        try:
+            fn()
+        except Exception as e:  # keep the remaining sections' measurements
+            print(f"SECTION {fn.__name__} FAILED: {type(e).__name__}: {e}")
