@@ -232,10 +232,13 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
                kv_lengths=None, window=None, diag_subtile=0):
     if diag_subtile:
-        if diag_subtile % 128 or block_k % diag_subtile:
+        if diag_subtile % 128:
             raise ValueError(
-                f"diag_subtile ({diag_subtile}) must be a multiple of 128 "
-                f"dividing block_k ({block_k})")
+                f"diag_subtile ({diag_subtile}) must be a multiple of 128")
+        if block_k % diag_subtile or diag_subtile >= block_k:
+            # blocks may have been auto-shrunk for short seqs — strips that
+            # don't tile the picked block_k are disabled, not an error
+            diag_subtile = 0
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     # GQA/MQA: q heads grouped onto fewer kv heads — the kv index maps fold
@@ -364,7 +367,8 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_scr, dv_scr,
                     *, causal: bool, sm_scale: float, block_q: int, block_k: int,
                     num_q: int, group: int = 1,
-                    window: Optional[int] = None):
+                    window: Optional[int] = None,
+                    diag_subtile: int = 0):
     # Grid is (b, h_kv, kv_block, group, q_block): for GQA the query-head
     # group is an inner grid axis revisiting the SAME dk/dv output block, so
     # dK/dV accumulate at h_kv granularity in VMEM scratch -- no (b, h,
@@ -400,32 +404,34 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         lse = lse_ref[0, 0]                          # (block_q, 1)
         di = di_ref[0, 0]                            # (block_q, 1)
 
-        # s held in the base-2 domain: p = exp(s_nat - lse) = exp2(s2 - lse2).
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (sm_scale * LOG2E)                       # (block_q, block_k)
-
-        def accum(s, keep):
-            p = jnp.exp2(s - lse * LOG2E)            # (block_q, block_k) f32
+        def accum(s, keep, q_blk, do_blk, lse_blk, di_blk):
+            # s held in the base-2 domain: p = exp(s_nat-lse) = exp2(s2-lse2)
+            p = jnp.exp2(s - lse_blk * LOG2E)        # (rows, block_k) f32
             if keep is not None and len_ref is not None:
                 # empty rows carry lse = -inf -> exp2(+inf); zero them
-                p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
+                p = jnp.where(keep & jnp.isfinite(lse_blk), p, 0.0)
             # dV += P^T @ dO
             dv_scr[...] += jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             # dP = dO @ V^T
             dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
+                do_blk, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                        # (block_q, block_k)
-            ds = p * (dp - di) * sm_scale
+            )                                        # (rows, block_k)
+            ds = p * (dp - di_blk) * sm_scale
             # dK += dS^T @ Q
             dk_scr[...] += jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+        def score(q_blk):
+            return jax.lax.dot_general(
+                q_blk, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (sm_scale * LOG2E)                   # (rows, block_k)
 
         if causal or window is not None or len_ref is not None:
             # Interior-tile skip (same inequalities as the fwd kernel):
@@ -434,6 +440,7 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             row_min = qi * block_q
             row_max = row_min + block_q - 1
             col_min = ki * block_k
+            col_max = col_min + block_k - 1
             needs_mask = False
             if causal:
                 needs_mask |= col_min + block_k - 1 > row_min
@@ -442,10 +449,8 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             if len_ref is not None:
                 needs_mask |= col_min + block_k > row_len
 
-            @pl.when(needs_mask)
-            def _masked():
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, 0) + row_min
+            def mask_and_accum(s, r0, q_blk, do_blk, lse_blk, di_blk):
+                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + r0
                 cols = jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1) + col_min
                 keep = jnp.ones(s.shape, jnp.bool_)
@@ -455,13 +460,58 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     keep &= cols > rows - window
                 if len_ref is not None:
                     keep &= cols < row_len
-                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep)
+                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep,
+                      q_blk, do_blk, lse_blk, di_blk)
+
+            @pl.when(needs_mask)
+            def _masked():
+                if not diag_subtile:
+                    mask_and_accum(score(q), row_min, q, do, lse, di)
+                    return
+                # strip-wise boundary dots over the Q ROWS of the tile (the
+                # kv block is the output here, so the diagonal crossing runs
+                # along q): q strips wholly above the diagonal / past the
+                # window contribute nothing and skip all four MXU dots;
+                # dK/dV scratch accumulation is additive so strip-wise
+                # updates are exact
+                ds_w = diag_subtile
+                for j in range(block_q // ds_w):
+                    r0 = row_min + j * ds_w
+                    r_max = r0 + ds_w - 1
+                    live = True
+                    if causal:
+                        live &= r_max >= col_min
+                    if window is not None:
+                        live &= col_max >= r0 - (window - 1)
+
+                    @pl.when(live)
+                    def _strip(j=j, r0=r0, r_max=r_max):
+                        sl = slice(j * ds_w, (j + 1) * ds_w)
+                        q_sub, do_sub = q[sl], do[sl]
+                        lse_sub, di_sub = lse[sl], di[sl]
+                        strip_masked = False
+                        if causal:
+                            strip_masked |= col_max > r0
+                        if window is not None:
+                            strip_masked |= r_max - window >= col_min
+                        if len_ref is not None:
+                            strip_masked |= col_min + block_k > row_len
+
+                        @pl.when(strip_masked)
+                        def _m():
+                            mask_and_accum(score(q_sub), r0, q_sub, do_sub,
+                                           lse_sub, di_sub)
+
+                        @pl.when(jnp.logical_not(strip_masked))
+                        def _i():
+                            accum(score(q_sub), None, q_sub, do_sub,
+                                  lse_sub, di_sub)
 
             @pl.when(jnp.logical_not(needs_mask))
             def _interior():
-                accum(s, None)
+                accum(score(q), None, q, do, lse, di)
         else:
-            accum(s, None)
+            accum(score(q), None, q, do, lse, di)
 
     @pl.when(jnp.logical_and(gi == group - 1, qi == num_q - 1))
     def _finalize():
@@ -472,7 +522,8 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr,
                    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                   num_kv: int, window: Optional[int] = None):
+                   num_kv: int, window: Optional[int] = None,
+                   diag_subtile: int = 0):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -499,22 +550,25 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         lse = lse_ref[0, 0]
         di = di_ref[0, 0]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (sm_scale * LOG2E)
-
-        def accum(s, keep):
+        def accum(s, keep, k_blk, v_blk):
             p = jnp.exp2(s - lse * LOG2E)
             if keep is not None and len_ref is not None:
                 p = jnp.where(keep & jnp.isfinite(lse), p, 0.0)
             dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
+                do, v_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - di) * sm_scale
             dq_scr[...] += jax.lax.dot(
-                ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+                ds.astype(k_blk.dtype), k_blk,
+                preferred_element_type=jnp.float32
             )
+
+        def score(k_blk):
+            return jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (sm_scale * LOG2E)
 
         if causal or window is not None or len_ref is not None:
             # interior-tile skip, same inequalities as fwd/dKV
@@ -529,12 +583,11 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             if len_ref is not None:
                 needs_mask |= col_min + block_k > row_len
 
-            @pl.when(needs_mask)
-            def _masked():
+            def mask_and_accum(s, c0, k_blk, v_blk):
                 rows = jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 0) + row_min
                 cols = jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, 1) + col_min
+                    jnp.int32, s.shape, 1) + c0
                 keep = jnp.ones(s.shape, jnp.bool_)
                 if causal:
                     keep &= cols <= rows
@@ -542,13 +595,54 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     keep &= cols > rows - window
                 if len_ref is not None:
                     keep &= cols < row_len
-                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep)
+                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep,
+                      k_blk, v_blk)
+
+            @pl.when(needs_mask)
+            def _masked():
+                if not diag_subtile:
+                    mask_and_accum(score(k), col_min, k, v)
+                    return
+                # strip-wise boundary dots (see the fwd kernel): all three
+                # MXU dots shrink to the live column strips; dq_scr
+                # accumulation is additive so strip-wise updates are exact
+                ds_w = diag_subtile
+                for j in range(block_k // ds_w):
+                    c0 = col_min + j * ds_w
+                    c_max = c0 + ds_w - 1
+                    live = True
+                    if causal:
+                        live &= c0 <= row_max
+                    if window is not None:
+                        live &= c_max >= row_min - (window - 1)
+                    if len_ref is not None:
+                        live &= c0 < row_len
+
+                    @pl.when(live)
+                    def _strip(j=j, c0=c0, c_max=c_max):
+                        k_sub = k[j * ds_w:(j + 1) * ds_w]
+                        v_sub = v[j * ds_w:(j + 1) * ds_w]
+                        strip_masked = False
+                        if causal:
+                            strip_masked |= c_max > row_min
+                        if window is not None:
+                            strip_masked |= row_max - window >= c0
+                        if len_ref is not None:
+                            strip_masked |= c0 + ds_w > row_len
+
+                        @pl.when(strip_masked)
+                        def _m():
+                            mask_and_accum(score(k_sub), c0, k_sub, v_sub)
+
+                        @pl.when(jnp.logical_not(strip_masked))
+                        def _i():
+                            accum(score(k_sub), None, k_sub, v_sub)
 
             @pl.when(jnp.logical_not(needs_mask))
             def _interior():
-                accum(s, None)
+                accum(score(k), None, k, v)
         else:
-            accum(s, None)
+            accum(score(k), None, k, v)
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
@@ -556,7 +650,18 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
-               kv_lengths=None, window=None):
+               kv_lengths=None, window=None, diag_subtile=0):
+    # Strip width applies per kernel where it divides the stripped block
+    # axis (dQ strips block_k columns, dKV strips block_q rows).
+    ds_dq = ds_dkv = 0
+    if diag_subtile:
+        if diag_subtile % 128:
+            raise ValueError(
+                f"diag_subtile ({diag_subtile}) must be a multiple of 128")
+        if block_k % diag_subtile == 0 and diag_subtile < block_k:
+            ds_dq = diag_subtile
+        if block_q % diag_subtile == 0 and diag_subtile < block_q:
+            ds_dkv = diag_subtile
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     h_kv = k.shape[1]
@@ -633,7 +738,7 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
     dk, dv = make_call(
         bind(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
              block_q=block_q, block_k=block_k, num_q=num_q, group=group,
-             window=window),
+             window=window, diag_subtile=ds_dkv),
         grid=(b, h_kv, num_kv, group, num_q),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
         out_specs=[
@@ -672,7 +777,8 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
 
     (dq,) = make_call(
         bind(_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
-             block_q=block_q, block_k=block_k, num_kv=num_kv, window=window),
+             block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
+             diag_subtile=ds_dq),
         grid=(b, h, num_q, num_kv),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2,
                   stat_spec2],
@@ -731,12 +837,14 @@ def flash_attention(
         outside the window are skipped at the GRID level with their DMAs
         elided, so compute AND memory traffic are O(seq * window), in
         forward and both backward kernels.
-      diag_subtile: 0 (off) or a multiple of 128 dividing block_k — issue
-        the forward score dot of mask-crossing (diagonal/window-edge/
-        varlen-boundary) tiles in column strips of this width, skipping
-        strips with no live element.  Cuts the causal overcompute from
-        max(block_q, block_k)/2 to diag_subtile/2 score columns per row
-        while interior tiles keep the full-width dot.
+      diag_subtile: 0 (off) or a multiple of 128 — issue mask-crossing
+        (diagonal/window-edge/varlen-boundary) tiles' MXU dots in strips of
+        this width, skipping strips with no live element.  Cuts the causal
+        overcompute from max(block_q, block_k)/2 to diag_subtile/2 score
+        columns per row while interior tiles keep the full-width dot.
+        Applies to the forward kernel (column strips, when it divides
+        block_k), the dQ kernel (column strips, ditto) and the dKV kernel
+        (row strips, when it divides block_q).
 
     Returns: (batch, heads, seq_q, head_dim).
     """
@@ -862,7 +970,7 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
         return vjp(do)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal, sm_scale=scale,
                             block_q=blocks[0], block_k=blocks[1],
-                            window=window)
+                            window=window, diag_subtile=diag_subtile)
     return dq, dk, dv
 
 
@@ -956,7 +1064,7 @@ def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal,
                             sm_scale=scale, block_q=blocks[0],
                             block_k=blocks[1], kv_lengths=kv_lengths,
-                            window=window)
+                            window=window, diag_subtile=diag_subtile)
     return dq, dk, dv, None
 
 

@@ -89,6 +89,23 @@ def main():
             print(f"WARN flash fwd diag_subtile={ds} {dtype.__name__} "
                   f"w={window} failed to lower (opt-in path; not gating): "
                   f"{type(e).__name__}: {e}")
+    # backward strips (dQ column strips + dKV row strips, GQA group axis)
+    try:
+        qs = jax.random.normal(key, (1, 4, 2048, 128), jnp.float32)
+        kg2 = jax.random.normal(key, (1, 2, 2048, 128), jnp.float32)
+        gsub = jax.grad(lambda a, b: jnp.sum(ft.flash_attention(
+            a, b, b, True, None, 512, 512, "pallas", None, 256)),
+            argnums=(0, 1))(qs, kg2)
+        gref = jax.grad(lambda a, b: jnp.sum(ft.flash_attention_reference(
+            a, b, b, True)), argnums=(0, 1))(qs, kg2)
+        if not (check("flash bwd diag_subtile dq", gsub[0], gref[0], 5e-2)
+                & check("flash bwd diag_subtile dkv", gsub[1], gref[1],
+                        5e-2)):
+            print("WARN diag_subtile bwd MISMATCH (opt-in path; not "
+                  "gating) -- do not enable it in defaults")
+    except Exception as e:
+        print(f"WARN flash bwd diag_subtile failed to lower (opt-in path; "
+              f"not gating): {type(e).__name__}: {e}")
 
     # GQA: q heads grouped onto fewer kv heads (index-map folding)
     qg = jax.random.normal(key, (2, 8, 2048, 64), jnp.float32)

@@ -10,6 +10,8 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -90,15 +92,27 @@ def gqa_bwd():
             kv = jax.random.normal(jax.random.PRNGKey(1), (B, hkv, N, D),
                                    jnp.bfloat16)
 
-            def bwd(q):
+            def bwd(q, ds=0, bq=512, bk=1024):
                 return jax.grad(lambda a, b: jnp.sum(
-                    ft.flash_attention(a, b, b, True, impl="pallas")
+                    ft.flash_attention(a, b, b, True, None, bq, bk,
+                                       "pallas", None, ds)
                     .astype(jnp.float32)), argnums=0)(q, kv)
 
             t = device_loop_time(jax.jit(bwd), (q,), iters=30)
             flops = 5 * 2 * B * hq * N * N * D * 0.5
             print(f"  N={N} {hq}q/{hkv}kv: {t*1e3:7.3f} ms  "
                   f"{flops/t/1e12:6.1f} TFLOP/s")
+            # strip-dot backward variants (dQ col strips + dKV row strips)
+            for (bq, bk, ds) in [(512, 1024, 256), (512, 512, 128)]:
+                try:
+                    t = device_loop_time(
+                        jax.jit(functools.partial(bwd, ds=ds, bq=bq, bk=bk)),
+                        (q,), iters=30)
+                    print(f"  N={N} {hq}q/{hkv}kv ds={ds} ({bq},{bk}): "
+                          f"{t*1e3:7.3f} ms  {flops/t/1e12:6.1f} TFLOP/s")
+                except Exception as e:
+                    print(f"  N={N} {hq}q/{hkv}kv ds={ds}: FAILED "
+                          f"{type(e).__name__}: {e}")
 
 
 def paged_int8():

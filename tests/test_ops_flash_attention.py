@@ -266,7 +266,10 @@ class TestDiagSubtile:
                                          kv_lengths=lens)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
-    def test_gradient_routes_through_plain_backward(self):
+    def test_gradients_match_plain_backward(self):
+        """Strip-wise dQ (column strips) and dKV (row strips) must equal the
+        full-tile backward: strip accumulation is additive, so only float
+        reduction order differs."""
         q, k, v = _qkv((1, 1, 512, 32), seed=53)
 
         def f(sub):
@@ -278,9 +281,36 @@ class TestDiagSubtile:
         for a, b in zip(f(128), f(0)):
             np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
+    def test_gqa_gradients_match_oracle(self):
+        """Row-strip dKV composes with the GQA group grid axis."""
+        b, hq, hkv, n, d = 1, 4, 1, 512, 32
+        key = jax.random.PRNGKey(61)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, hq, n, d))
+        k = jax.random.normal(kk, (b, hkv, n, d))
+        v = jax.random.normal(kv_, (b, hkv, n, d))
+
+        def g(fn):
+            return jax.grad(lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_)),
+                            argnums=(0, 1, 2))(q, k, v)
+
+        got = g(lambda q_, k_, v_: flash_attention(
+            q_, k_, v_, True, None, 256, 256, diag_subtile=128))
+        want = g(lambda q_, k_, v_: flash_attention_reference(
+            q_, k_, v_, True))
+        for a, b_ in zip(got, want):
+            np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-5)
+
     def test_invalid_subtile_raises(self):
         q, k, v = _qkv((1, 1, 512, 32), seed=59)
         with pytest.raises(ValueError):
             flash_attention(q, k, v, True, None, 128, 256, diag_subtile=64)
-        with pytest.raises(ValueError):
-            flash_attention(q, k, v, True, None, 128, 256, diag_subtile=384)
+
+    def test_non_dividing_subtile_falls_back(self):
+        """A strip width that doesn't tile the (possibly auto-shrunk)
+        block_k silently disables stripping instead of erroring."""
+        q, k, v = _qkv((1, 1, 512, 32), seed=59)
+        out = flash_attention(q, k, v, True, None, 128, 256,
+                              diag_subtile=384)
+        ref = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
