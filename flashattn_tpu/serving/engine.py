@@ -110,6 +110,26 @@ def _token_logprob(logits, toks):
     return jnp.take_along_axis(lps, toks[:, None], axis=-1)[:, 0]
 
 
+def _ngram_propose(ctx: List[int], k: int, max_ngram: int = 3) -> List[int]:
+    """Prompt-lookup proposal: find the rightmost earlier occurrence of the
+    context's trailing n-gram (longest n first) and propose the up-to-k
+    tokens that followed it.  Draft-free speculation — on text with local
+    repetition (code, MT, extraction) the continuation after a repeated
+    n-gram is often what the model emits, and verification is the same
+    greedy-exact chunk the draft path uses."""
+    L = len(ctx)
+    for n in range(max_ngram, 0, -1):
+        if L <= n:
+            continue
+        pat = ctx[-n:]
+        for s in range(L - n - 1, -1, -1):
+            if ctx[s:s + n] == pat:
+                # s <= L-n-1 guarantees at least one continuation token
+                # (self-overlapping matches propose the repeat — standard)
+                return ctx[s + n:s + n + k]
+    return []
+
+
 def _apply_stop(req: "Request") -> bool:
     """Trim ``req.generated`` at the earliest stop-sequence match (match
     kept in the output).  Returns True when a match ended the request.
@@ -228,8 +248,9 @@ class ContinuousBatchingEngine:
     pools, batched/chunked prefill, per-request sampling (temperature,
     top-k, top-p, min-p, repetition/frequency/presence penalties),
     per-token logprobs, stop sequences, streaming, cancellation, prefix
-    caching and speculative decoding.  Temperature-0 requests ride a
-    greedy fast path that skips sampling entirely."""
+    caching and speculative decoding (draft-model or draft-free
+    prompt-lookup).  Temperature-0 requests ride a greedy fast path that
+    skips sampling entirely."""
 
     def __init__(self, model, *, max_batch: int = 8, page_size: int = 128,
                  pages_per_seq: int = 16, total_pages: Optional[int] = None,
@@ -237,6 +258,7 @@ class ContinuousBatchingEngine:
                  steps_per_dispatch: int = 8, mesh=None,
                  head_axis: str = "model", seed: int = 0,
                  draft_model=None, spec_len: int = 4,
+                 prompt_lookup: int = 0, lookup_max_ngram: int = 3,
                  prefill_chunk: int = 512,
                  enable_prefix_cache: bool = False):
         self.model = model.eval()
@@ -312,6 +334,35 @@ class ContinuousBatchingEngine:
         self.draft_model = None
         self.spec_len = spec_len
         self.spec_stats = [0, 0]   # [accepted tokens, waves]
+
+        # Prompt-lookup (n-gram) speculation: draft-FREE proposals from the
+        # request's own context (match the trailing n-gram, propose what
+        # followed it last time), verified by the same greedy-exact
+        # multi-token pass.  No draft model, no draft pools, no extra
+        # prefill — the only cost is the wider verify dispatch.
+        self.prompt_lookup = prompt_lookup
+        self.lookup_max_ngram = lookup_max_ngram
+        self.lookup_stats = [0, 0]  # [accepted tokens, waves]
+        if prompt_lookup and draft_model is not None:
+            raise ValueError("prompt_lookup and draft_model are mutually "
+                             "exclusive speculation modes")
+        if prompt_lookup and collect_logits:
+            print("[engine] collect_logits disables speculative decoding; "
+                  "ignoring prompt_lookup")
+            self.prompt_lookup = 0
+        if self.prompt_lookup:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def _verify_step(model, pools, chunk, table, lengths):
+                logits, pools = model.forward_extend_paged(
+                    chunk, pools, table, lengths)
+                greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, n)
+                lps = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                lps = jnp.take_along_axis(
+                    lps, greedy[..., None], -1)[..., 0]
+                return pools, greedy, lps
+
+            self._jit_verify = _verify_step
+
         if draft_model is not None and collect_logits:
             # _spec_ready is permanently False under collect_logits; keeping
             # the draft would pay a useless prefill dispatch per admission
@@ -876,12 +927,17 @@ class ContinuousBatchingEngine:
         self.page_table[i, :] = self._trash_page
 
     def _spec_ready(self, active: List[int]) -> bool:
-        """Speculative wave allowed: greedy-only (greedy acceptance is only
-        exact for argmax decoding), no pending admission, no logits
-        collection, and every active slot has room for the whole wave."""
+        """Draft-model speculative wave allowed (see _wave_ready)."""
         if (self.draft_model is None or self.spec_len < 2
                 or self.collect_logits):
             return False
+        return self._wave_ready(active, self.spec_len)
+
+    def _wave_ready(self, active: List[int], width: int) -> bool:
+        """Speculative wave of ``width`` verify positions allowed:
+        greedy-only (greedy acceptance is only exact for argmax decoding),
+        no pending admission, and every active slot has room for the whole
+        wave.  On success, write room is PREALLOCATED."""
         if self.queue and any(s is None for s in self.slots):
             return False
         for i in active:
@@ -892,23 +948,22 @@ class ContinuousBatchingEngine:
                 return False  # spec argmax verification ignores penalties
             if req.temperature > 0:
                 return False
-            if slot.length + self.spec_len > self.capacity:
+            if slot.length + width > self.capacity:
                 return False
         # all-or-nothing preallocation of write room for positions
-        # length..length+spec_len-1: COUNT first so a half-failed prealloc
+        # length..length+width-1: COUNT first so a half-failed prealloc
         # can't strand pages one slot grabbed while another went dry (which
         # would later truncate requests a plain-greedy engine completes)
         need = 0
         for i in active:
             slot = self.slots[i]
-            need_cols = min((slot.length + self.spec_len - 1)
+            need_cols = min((slot.length + width - 1)
                             // self.page_size + 1, self.pages_per_seq)
             need += max(0, need_cols - len(slot.pages))
         if need > self.pool.n_free + self._evictable_pages():
             return False
         for i in active:
-            ok = self._ensure_pages(i, self.slots[i].length
-                                    + self.spec_len - 1)
+            ok = self._ensure_pages(i, self.slots[i].length + width - 1)
             assert ok  # guaranteed by the count above
         return True
 
@@ -928,20 +983,44 @@ class ContinuousBatchingEngine:
             self.model, self.draft_model, self.pools, self.draft_pools,
             jnp.asarray(tokens), jnp.asarray(self.page_table),
             jnp.asarray(lengths), n_spec=self.spec_len)
-        drafts = np.asarray(drafts)          # (B, spec_len-1) draft proposals
-        greedy = np.asarray(greedy)          # (B, spec_len) target argmaxes
-        lps = np.asarray(lps)                # (B, spec_len) target logprobs
+        self._accept_wave(active, np.asarray(drafts), np.asarray(greedy),
+                          np.asarray(lps), self.spec_len, self.spec_stats)
+
+    def _run_lookup(self, active, tokens, lengths, props) -> None:
+        """Prompt-lookup wave: verify each row's n-gram proposal (padded
+        with -1, which can never match a real token id) in one multi-token
+        pass; rows with no proposal still land their plain greedy token."""
+        k = self.prompt_lookup
+        chunk = np.zeros((self.max_batch, k + 1), np.int32)
+        drafts = np.full((self.max_batch, k), -1, np.int32)
+        for i in active:
+            chunk[i, 0] = tokens[i]
+            p = props[i][:k]
+            drafts[i, :len(p)] = p
+            chunk[i, 1:1 + len(p)] = p
+        self.pools, greedy, lps = self._jit_verify(
+            self.model, self.pools, jnp.asarray(chunk),
+            jnp.asarray(self.page_table), jnp.asarray(lengths))
+        self._accept_wave(active, drafts, np.asarray(greedy),
+                          np.asarray(lps), k + 1, self.lookup_stats)
+
+    def _accept_wave(self, active, drafts, greedy, lps, width,
+                     stats) -> None:
+        """Shared greedy-acceptance epilogue for speculative waves.
+
+        drafts (B, width-1) proposals; greedy (B, width) target argmaxes;
+        lps (B, width) target logprobs.  Accept the proposal prefix the
+        target agrees with, plus the target's own next token — exact greedy
+        semantics."""
         for i in active:
             slot = self.slots[i]
             req = slot.request
-            # accept the draft prefix the target agrees with, plus the
-            # target's own next token — exact greedy semantics
             n_acc = 1
-            while (n_acc < self.spec_len
+            while (n_acc < width
                    and drafts[i, n_acc - 1] == greedy[i, n_acc - 1]):
                 n_acc += 1
-            self.spec_stats[0] += n_acc
-            self.spec_stats[1] += 1
+            stats[0] += n_acc
+            stats[1] += 1
             retired = False
             for t in range(n_acc):
                 tok = int(greedy[i, t])
@@ -1068,6 +1147,16 @@ class ContinuousBatchingEngine:
         if self.draft_model is not None:
             if self._spec_ready(active):
                 self._run_spec(active, tokens, lengths)
+                return True
+            for i in active:   # return any stranded speculative prealloc
+                self._trim_pages(i)
+        elif self.prompt_lookup and not self.collect_logits:
+            props = {i: _ngram_propose(
+                self.slots[i].request.prompt + self.slots[i].request.generated,
+                self.prompt_lookup, self.lookup_max_ngram) for i in active}
+            if (any(props.values())
+                    and self._wave_ready(active, self.prompt_lookup + 1)):
+                self._run_lookup(active, tokens, lengths, props)
                 return True
             for i in active:   # return any stranded speculative prealloc
                 self._trim_pages(i)

@@ -100,10 +100,10 @@ def train(model, loss_fn, rows, masks, n_steps, lr, seed, label, ctx=None):
     return model.eval()
 
 
-def bench(target, draft, prompts, label):
+def bench(target, draft, prompts, label, **kw):
     eng = ContinuousBatchingEngine(
         target, max_batch=N_REQ, page_size=128, pages_per_seq=2,
-        steps_per_dispatch=8, draft_model=draft, spec_len=SPEC_LEN)
+        steps_per_dispatch=8, draft_model=draft, spec_len=SPEC_LEN, **kw)
     eng.submit(prompts[0], NEW_TOKENS)     # warmup compile
     eng.run()
     eng.finished.clear()
@@ -116,6 +116,10 @@ def bench(target, draft, prompts, label):
     if eng.spec_stats[1]:
         acc, waves = eng.spec_stats
         extra = f"  acceptance {acc / waves:.2f}/{SPEC_LEN}"
+    if eng.lookup_stats[1]:
+        acc, waves = eng.lookup_stats
+        extra += (f"  lookup acceptance {acc / waves:.2f}"
+                  f"/{eng.prompt_lookup + 1} over {waves} waves")
     print(f"  {label:30s} {toks / dt:8.0f} new tok/s ({dt * 1e3:6.0f} ms)"
           f"{extra}")
     return toks / dt, [r.generated for r in reqs]
@@ -152,9 +156,12 @@ def main():
     t_plain, out_plain = bench(target, None, prompts, "greedy, 8 steps/dispatch")
     t_spec, out_spec = bench(target, draft, prompts,
                              f"speculative (distilled, k={SPEC_LEN})")
-    same = out_plain == out_spec
-    print(f"  outputs identical to greedy: {same}")
-    print(f"  SPEEDUP: {t_spec / t_plain:.2f}x")
+    t_look, out_look = bench(target, None, prompts, "prompt-lookup (k=3)",
+                             prompt_lookup=3)
+    print(f"  outputs identical to greedy: spec={out_plain == out_spec} "
+          f"lookup={out_plain == out_look}")
+    print(f"  SPEEDUP: distilled {t_spec / t_plain:.2f}x, "
+          f"prompt-lookup {t_look / t_plain:.2f}x")
 
 
 if __name__ == "__main__":

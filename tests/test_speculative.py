@@ -124,3 +124,97 @@ def test_speculative_with_tp_serving(target, draft):
                      draft_model=draft, spec_len=3, mesh=mesh, **kw)
     assert plain == spec
     assert eng.spec_stats[1] > 0  # speculative waves actually ran
+
+
+def test_ngram_propose_unit():
+    from flashattn_tpu.serving.engine import _ngram_propose
+
+    # trailing bigram (7, 8) occurred earlier, followed by 9, 10
+    assert _ngram_propose([7, 8, 9, 10, 3, 7, 8], 2) == [9, 10]
+    # longest n-gram wins: trailing (1, 2, 3) matches the first occurrence
+    ctx = [1, 2, 3, 4, 5, 0, 1, 2, 3]
+    assert _ngram_propose(ctx, 3, max_ngram=3) == [4, 5, 0]
+    # no repeat anywhere -> no proposal
+    assert _ngram_propose([1, 2, 3, 4], 4) == []
+    # k truncates the continuation
+    assert _ngram_propose([7, 8, 9, 10, 3, 7, 8], 1) == [9]
+    # self-overlapping trailing run proposes the repeat (the longest n-gram
+    # matches at position 0, whose continuation room is 1 token)
+    assert _ngram_propose([5, 5, 5, 5], 2) == [5]
+
+
+def _greedy_reference(target, prompt, n_new):
+    eng = ContinuousBatchingEngine(target, max_batch=1, page_size=16,
+                                   pages_per_seq=8)
+    req = eng.submit(prompt, n_new)
+    eng.run()
+    return req
+
+
+@pytest.mark.parametrize("prompt", [
+    [5, 9, 2, 5, 9, 2, 5, 9],           # strongly repetitive
+    [7, 1, 3],                           # no repeats
+    list(range(1, 40)) + list(range(1, 20)),  # long, partial repeat
+])
+def test_prompt_lookup_token_identical_to_greedy(target, prompt):
+    """Prompt-lookup speculation is greedy-exact: tokens AND logprobs match
+    the plain engine for any proposal quality."""
+    want = _greedy_reference(target, prompt, 12)
+    eng = ContinuousBatchingEngine(target, max_batch=1, page_size=16,
+                                   pages_per_seq=8, prompt_lookup=3)
+    req = eng.submit(prompt, 12)
+    eng.run()
+    assert req.generated == want.generated
+    np.testing.assert_allclose(req.token_logprobs, want.token_logprobs,
+                               atol=1e-4, rtol=1e-4)
+    assert eng.pool.n_free == eng.pool.total
+
+
+def test_prompt_lookup_waves_run(target):
+    """A prompt containing every vocab token guarantees an n=1 match for
+    whatever the model emits, so lookup waves must actually run — and the
+    output still matches plain greedy exactly."""
+    prompt = list(range(64)) + [5, 9, 2]
+    want = _greedy_reference(target, prompt, 12)
+    eng = ContinuousBatchingEngine(target, max_batch=1, page_size=16,
+                                   pages_per_seq=8, prompt_lookup=3)
+    req = eng.submit(prompt, 12)
+    eng.run()
+    assert req.generated == want.generated
+    np.testing.assert_allclose(req.token_logprobs, want.token_logprobs,
+                               atol=1e-4, rtol=1e-4)
+    assert eng.lookup_stats[1] > 0          # waves actually ran
+    assert eng.pool.n_free == eng.pool.total
+
+
+def test_prompt_lookup_batch_mixed(target):
+    """Mixed batch: some rows propose, some don't; mid-flight admission
+    falls back correctly and every request matches plain greedy."""
+    prompts = [[5, 9, 2, 5, 9, 2], [7, 1, 3], [4, 4, 4, 4, 4],
+               [11, 3, 11, 3, 11]]
+    wants = [_greedy_reference(target, p, 10).generated for p in prompts]
+    eng = ContinuousBatchingEngine(target, max_batch=2, page_size=16,
+                                   pages_per_seq=8, prompt_lookup=3)
+    reqs = [eng.submit(p, 10) for p in prompts]
+    eng.run()
+    for r, w in zip(reqs, wants):
+        assert r.generated == w
+    assert eng.pool.n_free == eng.pool.total
+
+
+def test_prompt_lookup_rejects_draft_model(target):
+    with pytest.raises(ValueError):
+        ContinuousBatchingEngine(target, draft_model=target, prompt_lookup=3)
+
+
+def test_prompt_lookup_with_stop_and_eos(target):
+    """Wave overshoot composes with stop-sequence trimming and EOS."""
+    probe = _greedy_reference(target, [5, 9, 2, 5, 9, 2], 12)
+    assert len(probe.generated) >= 5
+    stop = [probe.generated[3:5]]
+    eng = ContinuousBatchingEngine(target, max_batch=1, page_size=16,
+                                   pages_per_seq=8, prompt_lookup=3)
+    req = eng.submit([5, 9, 2, 5, 9, 2], 12, stop=stop)
+    eng.run()
+    assert req.generated == probe.generated[:5]
+    assert len(req.token_logprobs) == len(req.generated)
