@@ -343,6 +343,7 @@ class ContinuousBatchingEngine:
         self.prompt_lookup = prompt_lookup
         self.lookup_max_ngram = lookup_max_ngram
         self.lookup_stats = [0, 0]  # [accepted tokens, waves]
+        self._ngram_impl = None  # resolved lazily: native C++ or Python
         if prompt_lookup and draft_model is not None:
             raise ValueError("prompt_lookup and draft_model are mutually "
                              "exclusive speculation modes")
@@ -986,6 +987,19 @@ class ContinuousBatchingEngine:
         self._accept_wave(active, np.asarray(drafts), np.asarray(greedy),
                           np.asarray(lps), self.spec_len, self.spec_stats)
 
+    def _resolve_ngram_impl(self):
+        """Prefer the C++ proposer (native/ngram.cc — the per-wave context
+        scan is the only O(history) host work in the decode loop); fall
+        back to the pure-Python twin when the native lib can't build."""
+        if self._ngram_impl is None:
+            try:
+                from ..utils.native_loader import ngram_propose_native
+                ngram_propose_native([0, 0], 1)  # force build + load now
+                self._ngram_impl = ngram_propose_native
+            except Exception:
+                self._ngram_impl = _ngram_propose
+        return self._ngram_impl
+
     def _run_lookup(self, active, tokens, lengths, props) -> None:
         """Prompt-lookup wave: verify each row's n-gram proposal (padded
         with -1, which can never match a real token id) in one multi-token
@@ -1151,7 +1165,8 @@ class ContinuousBatchingEngine:
             for i in active:   # return any stranded speculative prealloc
                 self._trim_pages(i)
         elif self.prompt_lookup and not self.collect_logits:
-            props = {i: _ngram_propose(
+            propose = self._resolve_ngram_impl()
+            props = {i: propose(
                 self.slots[i].request.prompt + self.slots[i].request.generated,
                 self.prompt_lookup, self.lookup_max_ngram) for i in active}
             if (any(props.values())

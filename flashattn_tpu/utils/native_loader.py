@@ -96,3 +96,37 @@ class NativeDataLoader:
             self.close()
         except Exception:
             pass
+
+
+# -- native prompt-lookup proposer (native/ngram.cc) -------------------------
+
+_NGRAM_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libngram.so"))
+_ngram_lib = None
+
+
+def _load_ngram_lib() -> ctypes.CDLL:
+    global _ngram_lib
+    if _ngram_lib is None:
+        if not os.path.exists(_NGRAM_LIB_PATH):
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_NGRAM_LIB_PATH)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.ngram_propose.restype = ctypes.c_int32
+        lib.ngram_propose.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32,
+                                      ctypes.c_int32, i32p]
+        _ngram_lib = lib
+    return _ngram_lib
+
+
+def ngram_propose_native(ctx, k: int, max_ngram: int = 3):
+    """C++ rightmost trailing-n-gram proposal; semantics identical to
+    serving.engine._ngram_propose (fuzz-tested against it).  ``ctx`` is a
+    list or int32 ndarray of token ids."""
+    lib = _load_ngram_lib()
+    arr = np.ascontiguousarray(ctx, np.int32)
+    out = np.empty((max(k, 1),), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.ngram_propose(arr.ctypes.data_as(i32p), len(arr), k, max_ngram,
+                          out.ctypes.data_as(i32p))
+    return out[:n].tolist()

@@ -70,3 +70,21 @@ def test_native_loader_prefetch_throughput():
     dt = time.perf_counter() - t0
     loader.close()
     assert dt < 5.0  # 50 batches of 128 well under 5s
+
+def test_ngram_propose_native_matches_python():
+    """The C++ proposer (native/ngram.cc) and the Python fallback must be
+    behaviourally identical — fuzz across context lengths, vocab sizes
+    (repeat-heavy and repeat-free), k and max_ngram."""
+    from flashattn_tpu.serving.engine import _ngram_propose
+    from flashattn_tpu.utils.native_loader import ngram_propose_native
+
+    rng = np.random.default_rng(0)
+    for trial in range(300):
+        L = int(rng.integers(0, 60))
+        vocab = int(rng.integers(2, 8 if trial % 2 else 500))
+        ctx = rng.integers(0, vocab, size=L).tolist()
+        k = int(rng.integers(1, 6))
+        n = int(rng.integers(1, 5))
+        want = _ngram_propose(ctx, k, n)
+        got = ngram_propose_native(ctx, k, n)
+        assert got == want, (ctx, k, n, got, want)
