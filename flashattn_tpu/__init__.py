@@ -22,7 +22,7 @@ Layer map (reference -> here, see SURVEY.md §1):
 
 from . import operators
 from .module import Module, Parameter
-from .optim import SGD, Adam, AdamW
+from .optim import SGD, Adafactor, Adam, AdamW
 from .nn import functional as F
 from .nn.basic import Dropout, Embedding, FusedLayerNorm, LayerNorm1d, Linear
 from .ops.flash_attention import (
@@ -52,6 +52,7 @@ __all__ = [
     "Module",
     "Parameter",
     "SGD",
+    "Adafactor",
     "Adam",
     "AdamW",
     "F",

@@ -162,3 +162,118 @@ class AdamW(Adam):
                 lambda p: p * (1.0 - lr * self.decoupled_weight_decay), model
             )
         return super().step(model, grads, state)
+
+
+class AdafactorState(NamedTuple):
+    step: jax.Array
+    vr: Any      # row stats (ndim>=2 leaves) / full second moment (ndim<2)
+    vc: Any      # col stats (ndim>=2 leaves) / zero-size placeholder
+    m: Any       # first moment tree when beta1 > 0, else None
+
+
+class Adafactor:
+    """Adafactor (Shazeer & Stern 2018): Adam-quality updates with the
+    second moment FACTORED into row/column statistics for matrix-shaped
+    parameters — optimizer memory drops from 2x params (Adam) to ~1x per
+    factored dim (the TPU-classic memory saver; pairs with ZeRO and remat
+    in the memory ladder).
+
+    The reference ships only Adam/SGD (minitorch/optim.py); this extends
+    the optimizer tier the way quantization extends the kernel tier.
+
+    * leaves with ndim >= 2 keep exp-decayed means of g^2 over the last
+      (vr) and second-to-last (vc) axes; the update divides by
+      rsqrt(vr/mean(vr)) (x) rsqrt(vc)
+    * 0/1-d leaves keep a full second moment (nothing to factor)
+    * decay follows the paper's schedule beta2_t = 1 - t^-0.8
+    * updates are RMS-clipped at ``clip_threshold`` (d = 1.0)
+    * ``relative_step=True`` uses the paper's lr: min(1e-2, 1/sqrt(t))
+      scaled by max(eps2, rms(p)); otherwise ``lr`` (float or schedule)
+    * ``beta1 > 0`` adds optional first-moment momentum (off by default —
+      the memory-efficient configuration)
+    """
+
+    def __init__(self, lr=None, *, beta1: float = 0.0,
+                 decay_exponent: float = 0.8, eps1: float = 1e-30,
+                 eps2: float = 1e-3, clip_threshold: float = 1.0,
+                 relative_step: bool = True, weight_decay: float = 0.0):
+        if lr is None and not relative_step:
+            raise ValueError("give lr or set relative_step=True")
+        self.lr = lr
+        self.beta1 = beta1
+        self.decay_exponent = decay_exponent
+        self.eps1 = eps1
+        self.eps2 = eps2
+        self.clip_threshold = clip_threshold
+        self.relative_step = relative_step
+        self.weight_decay = weight_decay
+
+    def init(self, model: Any) -> AdafactorState:
+        def vr_like(p):
+            return jnp.zeros(p.shape[:-1] if p.ndim >= 2 else p.shape,
+                             jnp.float32)
+
+        def vc_like(p):
+            return jnp.zeros(p.shape[:-2] + p.shape[-1:] if p.ndim >= 2
+                             else (0,), jnp.float32)
+
+        return AdafactorState(
+            step=jnp.zeros((), jnp.int32),
+            vr=jax.tree_util.tree_map(vr_like, model),
+            vc=jax.tree_util.tree_map(vc_like, model),
+            m=_tree_zeros_like(model) if self.beta1 > 0 else None,
+        )
+
+    def step(self, model: Any, grads: Any, state: AdafactorState):
+        t = state.step + 1
+        tf = t.astype(jnp.float32)
+        b2t = 1.0 - tf ** (-self.decay_exponent)
+
+        def rms(x):
+            return jnp.sqrt(jnp.mean(jnp.square(x.astype(jnp.float32)))
+                            + 1e-30)
+
+        def moments(p, g, vr, vc):
+            g2 = jnp.square(g.astype(jnp.float32)) + self.eps1
+            if p.ndim >= 2:
+                vr = b2t * vr + (1.0 - b2t) * jnp.mean(g2, axis=-1)
+                vc = b2t * vc + (1.0 - b2t) * jnp.mean(g2, axis=-2)
+            else:
+                vr = b2t * vr + (1.0 - b2t) * g2
+            return vr, vc
+
+        def scaled_update(p, g, vr, vc):
+            g = g.astype(jnp.float32)
+            if p.ndim >= 2:
+                red = vr / jnp.mean(vr, axis=-1, keepdims=True)
+                u = (g * jax.lax.rsqrt(red)[..., None]
+                     * jax.lax.rsqrt(vc)[..., None, :])
+            else:
+                u = g * jax.lax.rsqrt(vr)
+            u = u / jnp.maximum(1.0, rms(u) / self.clip_threshold)
+            if self.relative_step:
+                rho = jnp.minimum(1e-2, 1.0 / jnp.sqrt(tf))
+                alpha = jnp.maximum(self.eps2, rms(p)) * rho
+            else:
+                alpha = self.lr(t) if callable(self.lr) else self.lr
+            return u * alpha
+
+        vrs = jax.tree_util.tree_map(
+            lambda p, g, vr, vc: moments(p, g, vr, vc)[0],
+            model, grads, state.vr, state.vc)
+        vcs = jax.tree_util.tree_map(
+            lambda p, g, vr, vc: moments(p, g, vr, vc)[1],
+            model, grads, state.vr, state.vc)
+        updates = jax.tree_util.tree_map(scaled_update, model, grads,
+                                         vrs, vcs)
+        new_m = state.m
+        if self.beta1 > 0:
+            new_m = jax.tree_util.tree_map(
+                lambda m, u: self.beta1 * m + (1.0 - self.beta1) * u,
+                state.m, updates)
+            updates = new_m
+        new_model = jax.tree_util.tree_map(
+            lambda p, u: (p * (1.0 - self.weight_decay)
+                          if self.weight_decay else p) - u.astype(p.dtype),
+            model, updates)
+        return new_model, AdafactorState(step=t, vr=vrs, vc=vcs, m=new_m)

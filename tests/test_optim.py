@@ -117,3 +117,86 @@ def test_clip_skips_nonfinite_update():
     tree = {"a": jnp.asarray([jnp.nan, 1.0])}
     clipped = clip_by_global_norm(tree, 1.0)
     np.testing.assert_array_equal(np.asarray(clipped["a"]), [0.0, 0.0])
+
+
+def test_adafactor_one_step_matches_numpy_reference():
+    """One factored step on a 2-D matrix vs a hand-rolled numpy transcript
+    of the paper's update (beta2_1 = 1 - 1^-0.8 = 0, rms clip, relative
+    step)."""
+    from flashattn_tpu.optim import Adafactor
+
+    rng = np.random.default_rng(0)
+    p = rng.normal(size=(4, 6)).astype(np.float32)
+    g = rng.normal(size=(4, 6)).astype(np.float32)
+    opt = Adafactor()
+    state = opt.init(jnp.asarray(p))
+    new_p, new_state = opt.step(jnp.asarray(p), jnp.asarray(g), state)
+
+    eps1, eps2 = 1e-30, 1e-3
+    g2 = g.astype(np.float64) ** 2 + eps1
+    vr = g2.mean(-1)            # b2t = 0 at t=1: stats are this step's
+    vc = g2.mean(-2)
+    red = vr / vr.mean(-1, keepdims=True)
+    u = g / np.sqrt(red)[:, None] / np.sqrt(vc)[None, :]
+    u = u / max(1.0, np.sqrt((u ** 2).mean()) / 1.0)
+    rho = min(1e-2, 1.0)
+    alpha = max(eps2, float(np.sqrt((p.astype(np.float64) ** 2).mean()))) * rho
+    want = p - alpha * u
+    np.testing.assert_allclose(np.asarray(new_p), want, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_state.vr), vr, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state.vc), vc, rtol=1e-5)
+
+
+def test_adafactor_memory_is_factored():
+    """For an (R, C) matrix the state holds R + C floats, not R*C."""
+    from flashattn_tpu.optim import Adafactor
+
+    model = {"w": jnp.zeros((128, 512)), "b": jnp.zeros((512,))}
+    state = Adafactor().init(model)
+    assert state.vr["w"].shape == (128,)
+    assert state.vc["w"].shape == (512,)
+    assert state.vr["b"].shape == (512,)      # 1-d: full moment
+    assert state.vc["b"].shape == (0,)
+    assert state.m is None                    # no first moment by default
+
+
+def test_adafactor_trains_a_model():
+    """End-to-end: loss decreases on a tiny LM, jitted, relative step."""
+    import flashattn_tpu as ft
+
+    model = ft.DecoderLM(64, 32, 4, 64, p_dropout=0.0, n_layer=1,
+                         attn_impl="reference", key=jax.random.PRNGKey(0))
+    data = jax.random.randint(jax.random.PRNGKey(1), (8, 17), 0, 64)
+    opt = ft.Adafactor()
+    state = opt.init(model)
+
+    def loss_fn(m):
+        logits = m(data[:, :-1])
+        return jnp.mean(ft.F.softmax_loss(
+            logits.reshape(-1, 64), data[:, 1:].reshape(-1)))
+
+    @jax.jit
+    def step(m, s):
+        l, g = jax.value_and_grad(loss_fn)(m)
+        m, s = opt.step(m, g, s)
+        return m, s, l
+
+    m, s = model, state
+    m, s, l0 = step(m, s)
+    for _ in range(60):
+        m, s, l = step(m, s)
+    assert float(l) < float(l0) * 0.7, (float(l0), float(l))
+
+
+def test_adafactor_momentum_and_fixed_lr():
+    """beta1 > 0 allocates and uses the first moment; fixed lr works."""
+    from flashattn_tpu.optim import Adafactor
+
+    p = jnp.ones((3, 3))
+    g = jnp.ones((3, 3))
+    opt = Adafactor(lr=0.1, beta1=0.9, relative_step=False)
+    state = opt.init(p)
+    assert state.m is not None
+    p1, s1 = opt.step(p, g, state)
+    p2, s2 = opt.step(p1, g, s1)
+    assert float(jnp.max(p2)) < float(jnp.max(p1)) < 1.0
