@@ -684,3 +684,15 @@ def test_token_logprobs_trimmed_with_stop(model):
     eng2.run()
     assert req.generated == probe.generated[:4]
     assert req.token_logprobs == probe.token_logprobs[:4]
+
+
+def test_engine_gqa_model_matches_dense():
+    """Full engine loop over a GQA model (2 kv heads under 4 q heads):
+    paged pools are allocated at h_kv width and the decode/prefill kernels
+    fold the query-head group — logits must equal the dense forward."""
+    gqa = ft.DecoderLM(64, 32, 4, 256, p_dropout=0.0, n_layer=2,
+                       n_kv_head=2, attn_impl="reference",
+                       key=jax.random.PRNGKey(3)).eval()
+    trajectories = [[1, 5, 9, 11, 2], [3, 3, 7, 50, 1, 4, 8]]
+    _assert_engine_matches_dense(gqa, trajectories, max_batch=2,
+                                 page_size=16, pages_per_seq=4)
