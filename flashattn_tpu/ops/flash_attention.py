@@ -58,6 +58,10 @@ LN2 = 0.6931471805599453
 
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
+# Strip width for mask-crossing tiles (0 = full-tile dots).  Flip after the
+# on-chip sweep if a strip config wins: every default-config caller (models,
+# serving, benches) picks it up.
+DEFAULT_DIAG_SUBTILE = 0
 # Below this sequence length the plain fused-softmax op-graph is faster than
 # the flash schedule; the wrapper falls back to the jnp path.
 _MIN_BLOCK = 8
@@ -819,7 +823,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto",
     window: Optional[int] = None,
-    diag_subtile: int = 0,
+    diag_subtile: int = DEFAULT_DIAG_SUBTILE,
 ) -> Array:
     """softmax(Q K^T / sqrt(d)) V without materialising the scores matrix.
 
@@ -1001,7 +1005,7 @@ def flash_attention_varlen(
     causal: bool = False, sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto", window: Optional[int] = None,
-    diag_subtile: int = 0,
+    diag_subtile: int = DEFAULT_DIAG_SUBTILE,
 ) -> Array:
     """Flash attention over a PADDED batch: ``kv_lengths`` (B,) int32 gives
     each row's valid KV prefix; keys/values at positions >= length are
