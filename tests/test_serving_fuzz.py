@@ -183,3 +183,78 @@ def test_engine_fuzz_random_cancels(model, seed):
             hit_capacity = len(r.prompt) + len(r.generated) >= capacity
             assert (len(r.generated) == r.max_new_tokens or r.truncated
                     or hit_capacity)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_engine_fuzz_chunked_with_penalties(model, seed):
+    """Chunked-vs-per-token equality under the full deterministic sampling
+    feature mix: repetition/frequency/presence penalties apply to greedy
+    decoding too, and their presence carry through the chunked lax.scan
+    (mid-chunk updates) must agree with per-token stepping."""
+    rng = np.random.default_rng(500 + seed)
+    max_batch = int(rng.integers(1, 4))
+
+    def build(spd):
+        return ContinuousBatchingEngine(
+            model, max_batch=max_batch, page_size=8, pages_per_seq=4,
+            steps_per_dispatch=spd)
+
+    prompts = []
+    for _ in range(int(rng.integers(3, 6))):
+        plen = int(rng.integers(1, 20))
+        kw = {}
+        mode = rng.integers(0, 4)
+        if mode == 1:
+            kw["repetition_penalty"] = float(rng.uniform(1.1, 2.0))
+        elif mode == 2:
+            kw["frequency_penalty"] = float(rng.uniform(0.1, 1.0))
+            kw["presence_penalty"] = float(rng.uniform(0.0, 1.0))
+        elif mode == 3:
+            kw["repetition_penalty"] = float(rng.uniform(1.1, 1.5))
+            kw["frequency_penalty"] = float(rng.uniform(0.1, 0.5))
+        prompts.append((list(rng.integers(1, 60, size=plen)),
+                        int(rng.integers(4, 16)), kw))
+
+    results = []
+    for spd in (1, 4):
+        eng = build(spd)
+        reqs = [eng.submit(p, m, **kw) for p, m, kw in prompts]
+        eng.run()
+        assert eng.pool.n_free == eng.pool.total
+        results.append({r.uid: (r.generated,
+                                [round(l, 4) for l in r.token_logprobs])
+                        for r in reqs})
+    assert results[0] == results[1]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_engine_fuzz_prompt_lookup(model, seed):
+    """Prompt-lookup engine vs plain engine over random request mixes
+    (repetitive and non-repetitive prompts, EOS, varying lengths): outputs
+    and logprobs must be identical — speculation is an optimization, never
+    a semantics change."""
+    rng = np.random.default_rng(900 + seed)
+    max_batch = int(rng.integers(1, 4))
+
+    prompts = []
+    for _ in range(int(rng.integers(3, 6))):
+        if rng.random() < 0.5:  # repetition-heavy prompt
+            pat = list(rng.integers(1, 8, size=int(rng.integers(2, 5))))
+            p = (pat * 6)[:int(rng.integers(6, 20))]
+        else:
+            p = list(rng.integers(1, 60, size=int(rng.integers(1, 20))))
+        eos = int(rng.integers(1, 60)) if rng.random() < 0.3 else None
+        prompts.append((p, int(rng.integers(4, 20)), eos))
+
+    results = []
+    for lookup in (0, 3):
+        eng = ContinuousBatchingEngine(
+            model, max_batch=max_batch, page_size=8, pages_per_seq=6,
+            prompt_lookup=lookup)
+        reqs = [eng.submit(p, m, eos_id=e) for p, m, e in prompts]
+        eng.run()
+        assert eng.pool.n_free == eng.pool.total
+        results.append({r.uid: (r.generated,
+                                [round(l, 4) for l in r.token_logprobs])
+                        for r in reqs})
+    assert results[0] == results[1]
