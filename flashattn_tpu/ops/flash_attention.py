@@ -1080,6 +1080,7 @@ def flash_attention_with_lse(
     sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto", window: Optional[int] = None,
+    diag_subtile: int = DEFAULT_DIAG_SUBTILE,
 ):
     """Forward-only flash attention returning ``(o, lse)`` with lse shaped
     (b, h, n_q, 1).
@@ -1090,7 +1091,7 @@ def flash_attention_with_lse(
     (flashattention_kernel.cu:107-108), in FA-2 combined form.
     """
     return _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                            impl, window)
+                            impl, window, diag_subtile)
 
 
 def mha_attention(q, k, v, causal: bool = False, use_flash: bool = True) -> Array:
