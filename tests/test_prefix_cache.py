@@ -101,3 +101,18 @@ def test_cache_equals_nocache_outputs(model):
         return out
 
     assert run(True) == run(False)
+
+
+def test_prefix_cache_composes_with_prompt_lookup(model):
+    """Cached prefix pages + prompt-lookup waves: the second request
+    attaches to the first's prompt pages, lookup waves write only past the
+    shared prefix, and outputs stay identical to a plain engine."""
+    prompt = [5, 9, 2, 5, 9, 2, 5, 9, 2, 5, 9, 2]   # 3 full pages at size 4
+    want = _nocache_generated(model, prompt, 10)
+    eng = _mkengine(model, prompt_lookup=3)
+    r1 = eng.submit(list(prompt), 10)
+    eng.run()
+    r2 = eng.submit(list(prompt), 10)
+    eng.run()
+    assert r1.generated == want
+    assert r2.generated == want

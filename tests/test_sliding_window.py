@@ -252,3 +252,24 @@ def test_varlen_window_fully_masked_rows_multi_tile():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3,
                                    err_msg=f"d{name} mismatch")
+
+
+def test_window_engine_composes_with_prompt_lookup():
+    """Sliding-window rolling page release + prompt-lookup waves: outputs
+    identical to the plain windowed engine, pages all returned."""
+    from flashattn_tpu.serving import ContinuousBatchingEngine
+
+    model = ft.DecoderLM(64, 32, 4, 256, p_dropout=0.0, n_layer=2,
+                         window=8, attn_impl="reference",
+                         key=jax.random.PRNGKey(5)).eval()
+    prompt = [5, 9, 2, 5, 9, 2, 5, 9, 2]
+    plain = ContinuousBatchingEngine(model, max_batch=1, page_size=4,
+                                     pages_per_seq=16)
+    want = plain.submit(list(prompt), 14)
+    plain.run()
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=4,
+                                   pages_per_seq=16, prompt_lookup=3)
+    req = eng.submit(list(prompt), 14)
+    eng.run()
+    assert req.generated == want.generated
+    assert eng.pool.n_free == eng.pool.total
