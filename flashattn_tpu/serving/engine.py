@@ -110,6 +110,60 @@ def _token_logprob(logits, toks):
     return jnp.take_along_axis(lps, toks[:, None], axis=-1)[:, 0]
 
 
+def _spec_accept_sampled(logits, proposed, temps, key):
+    """Exact speculative SAMPLING acceptance for a deterministic proposal
+    (Leviathan et al. with a point-mass draft): at each position accept the
+    proposed token d with probability p(d) under the temperature-scaled
+    target distribution; on the first rejection sample from the residual
+    (p with d's mass removed, renormalised) — the landed tokens' marginal
+    distribution is EXACTLY the target's, position by position.  Rows with
+    temperature 0 use argmax acceptance (the deterministic limit).
+
+    logits (B, n, V) target logits over the chunk; proposed (B, n-1)
+    drafted tokens (-1 pads never accepted); temps (B,) f32; key PRNGKey.
+    Returns (n_acc (B,) accepted-proposal counts, toks (B, n) with the
+    landed tokens in positions 0..n_acc, lps (B, n) raw-model logprobs of
+    toks).
+    """
+    b, n, v = logits.shape
+    k = n - 1
+    lf = logits.astype(jnp.float32)
+    lps_raw = jax.nn.log_softmax(lf, -1)
+    greedy = jnp.argmax(lf, -1).astype(jnp.int32)          # (B, n)
+    t_on = temps > 0
+    logp_t = jax.nn.log_softmax(lf / jnp.maximum(temps, 1e-6)[:, None, None],
+                                -1)
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (b, k))
+    prop_safe = jnp.maximum(proposed, 0)
+    p_prop = jnp.exp(jnp.take_along_axis(
+        logp_t[:, :k], prop_safe[..., None], -1)[..., 0])  # (B, k)
+    accept = jnp.where(t_on[:, None], u < p_prop,
+                       proposed == greedy[:, :k]) & (proposed >= 0)
+    # accepted prefix length: stop at the first rejection
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), -1), -1)  # (B,)
+    # bonus/residual token at position n_acc: all-accepted rows sample the
+    # target distribution directly; rejected rows zero the proposed token's
+    # mass (categorical renormalises), which IS the point-mass residual
+    logp_at = jnp.take_along_axis(
+        logp_t, n_acc[:, None, None].repeat(v, -1), 1)[:, 0]   # (B, V)
+    prop_pad = jnp.concatenate(
+        [prop_safe, jnp.zeros((b, 1), jnp.int32)], 1)          # (B, n)
+    rej_tok = jnp.take_along_axis(prop_pad, n_acc[:, None], 1)[:, 0]
+    was_rej = n_acc < k
+    res = jnp.where((jnp.arange(v)[None, :] == rej_tok[:, None])
+                    & was_rej[:, None], -jnp.inf, logp_at)
+    sampled = jax.random.categorical(kr, res, -1).astype(jnp.int32)
+    final = jnp.where(t_on,
+                      sampled,
+                      jnp.take_along_axis(greedy, n_acc[:, None], 1)[:, 0])
+    idx = jnp.arange(n)[None, :]
+    toks = jnp.where(idx < n_acc[:, None], prop_pad, 0)
+    toks = jnp.where(idx == n_acc[:, None], final[:, None], toks)
+    lps = jnp.take_along_axis(lps_raw, toks[..., None], -1)[..., 0]
+    return n_acc, toks, lps
+
+
 def _ngram_propose(ctx: List[int], k: int, max_ngram: int = 3) -> List[int]:
     """Prompt-lookup proposal: find the rightmost earlier occurrence of the
     context's trailing n-gram (longest n first) and propose the up-to-k
@@ -363,6 +417,19 @@ class ContinuousBatchingEngine:
                 return pools, greedy, lps
 
             self._jit_verify = _verify_step
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def _verify_sampled_step(model, pools, chunk, proposed, table,
+                                     lengths, temps, key):
+                # proposed = chunk[:, 1:] but with pad positions marked -1
+                # (a 0 pad inside chunk must never be ACCEPTED as a token)
+                logits, pools = model.forward_extend_paged(
+                    chunk, pools, table, lengths)
+                n_acc, toks, lps = _spec_accept_sampled(
+                    logits, proposed, temps, key)
+                return pools, n_acc, toks, lps
+
+            self._jit_verify_sampled = _verify_sampled_step
 
         if draft_model is not None and collect_logits:
             # _spec_ready is permanently False under collect_logits; keeping
@@ -934,11 +1001,14 @@ class ContinuousBatchingEngine:
             return False
         return self._wave_ready(active, self.spec_len)
 
-    def _wave_ready(self, active: List[int], width: int) -> bool:
-        """Speculative wave of ``width`` verify positions allowed:
-        greedy-only (greedy acceptance is only exact for argmax decoding),
-        no pending admission, and every active slot has room for the whole
-        wave.  On success, write room is PREALLOCATED."""
+    def _wave_ready(self, active: List[int], width: int,
+                    allow_sampling: bool = False) -> bool:
+        """Speculative wave of ``width`` verify positions allowed: no
+        pending admission and every active slot has room for the whole
+        wave.  Greedy-only unless ``allow_sampling`` (the exact
+        accept/residual wave handles plain temperature sampling; top-k/p,
+        min-p and penalties reshape the distribution per step and always
+        fall back).  On success, write room is PREALLOCATED."""
         if self.queue and any(s is None for s in self.slots):
             return False
         for i in active:
@@ -946,8 +1016,11 @@ class ContinuousBatchingEngine:
             req = slot.request
             if ((req.repetition_penalty and req.repetition_penalty != 1.0)
                     or req.frequency_penalty or req.presence_penalty):
-                return False  # spec argmax verification ignores penalties
-            if req.temperature > 0:
+                return False  # spec verification ignores penalties
+            if req.temperature > 0 and not allow_sampling:
+                return False
+            if req.temperature > 0 and (req.top_k or req.min_p
+                                        or (req.top_p and req.top_p < 1.0)):
                 return False
             if slot.length + width > self.capacity:
                 return False
@@ -1018,26 +1091,62 @@ class ContinuousBatchingEngine:
         self._accept_wave(active, drafts, np.asarray(greedy),
                           np.asarray(lps), k + 1, self.lookup_stats)
 
+    def _run_lookup_sampled(self, active, tokens, lengths, props) -> None:
+        """Prompt-lookup wave under SAMPLING: device-side exact
+        accept/residual (:func:`_spec_accept_sampled`) — the landed tokens
+        are distributed exactly as plain per-token sampling, rows with
+        temperature 0 take the argmax branch and stay token-identical."""
+        k = self.prompt_lookup
+        chunk = np.zeros((self.max_batch, k + 1), np.int32)
+        for i in active:
+            chunk[i, 0] = tokens[i]
+            p = props[i][:k]
+            chunk[i, 1:1 + len(p)] = p
+        # proposals ride inside the chunk; pad positions are marked -1 via a
+        # parallel matrix so the device never accepts them
+        proposed = np.full((self.max_batch, k), -1, np.int32)
+        for i in active:
+            p = props[i][:k]
+            proposed[i, :len(p)] = p
+        temps = np.zeros((self.max_batch,), np.float32)
+        for i in active:
+            temps[i] = self.slots[i].request.temperature
+        self.pools, n_acc, toks, lps = self._jit_verify_sampled(
+            self.model, self.pools, jnp.asarray(chunk),
+            jnp.asarray(proposed), jnp.asarray(self.page_table),
+            jnp.asarray(lengths), jnp.asarray(temps), self._next_key())
+        n_acc = np.asarray(n_acc)
+        self._land_wave(active, {i: int(n_acc[i]) + 1 for i in active},
+                        np.asarray(toks), np.asarray(lps),
+                        self.lookup_stats)
+
     def _accept_wave(self, active, drafts, greedy, lps, width,
                      stats) -> None:
-        """Shared greedy-acceptance epilogue for speculative waves.
+        """Greedy-acceptance epilogue for deterministic speculative waves.
 
         drafts (B, width-1) proposals; greedy (B, width) target argmaxes;
         lps (B, width) target logprobs.  Accept the proposal prefix the
         target agrees with, plus the target's own next token — exact greedy
         semantics."""
+        n_land = {}
+        for i in active:
+            n = 1
+            while n < width and drafts[i, n - 1] == greedy[i, n - 1]:
+                n += 1
+            n_land[i] = n
+        self._land_wave(active, n_land, greedy, lps, stats)
+
+    def _land_wave(self, active, n_land, toks, lps, stats) -> None:
+        """Land ``n_land[i]`` tokens of ``toks[i]`` per row with the shared
+        retire/window/page epilogue."""
         for i in active:
             slot = self.slots[i]
             req = slot.request
-            n_acc = 1
-            while (n_acc < width
-                   and drafts[i, n_acc - 1] == greedy[i, n_acc - 1]):
-                n_acc += 1
-            stats[0] += n_acc
+            stats[0] += n_land[i]
             stats[1] += 1
             retired = False
-            for t in range(n_acc):
-                tok = int(greedy[i, t])
+            for t in range(n_land[i]):
+                tok = int(toks[i, t])
                 slot.length += 1
                 req.generated.append(tok)
                 req.token_logprobs.append(float(lps[i, t]))
@@ -1170,8 +1279,14 @@ class ContinuousBatchingEngine:
                 self.slots[i].request.prompt + self.slots[i].request.generated,
                 self.prompt_lookup, self.lookup_max_ngram) for i in active}
             if (any(props.values())
-                    and self._wave_ready(active, self.prompt_lookup + 1)):
-                self._run_lookup(active, tokens, lengths, props)
+                    and self._wave_ready(active, self.prompt_lookup + 1,
+                                         allow_sampling=True)):
+                all_greedy = all(
+                    self.slots[i].request.temperature == 0 for i in active)
+                if all_greedy:
+                    self._run_lookup(active, tokens, lengths, props)
+                else:
+                    self._run_lookup_sampled(active, tokens, lengths, props)
                 return True
             for i in active:   # return any stranded speculative prealloc
                 self._trim_pages(i)

@@ -218,3 +218,81 @@ def test_prompt_lookup_with_stop_and_eos(target):
     eng.run()
     assert req.generated == probe.generated[:5]
     assert len(req.token_logprobs) == len(req.generated)
+
+
+def test_spec_accept_sampled_exact_marginals():
+    """The accept/residual wave's landed tokens must be distributed EXACTLY
+    as the temperature-scaled target distribution, position by position
+    (the speculative-sampling theorem for a point-mass draft).  4000
+    independent rows of the same (logits, proposal) = 4000 trials in one
+    call; empirical marginals vs softmax within 4 sigma."""
+    from flashattn_tpu.serving.engine import _spec_accept_sampled
+
+    B, V = 4000, 4
+    base = jnp.asarray([[2.0, 1.0, 0.0, -1.0],    # position 0
+                        [0.5, 0.5, 1.5, -0.5],    # position 1 (after d1)
+                        [1.0, 1.0, 1.0, 1.0]])    # position 2 (bonus)
+    logits = jnp.broadcast_to(base, (B, 3, V))
+    proposed = jnp.broadcast_to(jnp.asarray([1, 2], jnp.int32), (B, 2))
+    temps = jnp.full((B,), 0.7, jnp.float32)
+    n_acc, toks, lps = _spec_accept_sampled(
+        logits, proposed, temps, jax.random.PRNGKey(0))
+    n_acc, toks = np.asarray(n_acc), np.asarray(toks)
+
+    def check(row_sel, pos, target_logits):
+        sel = toks[row_sel, pos]
+        p = np.asarray(jax.nn.softmax(target_logits / 0.7))
+        for x in range(V):
+            emp = float((sel == x).mean())
+            sig = max((p[x] * (1 - p[x]) / max(len(sel), 1)) ** 0.5, 1e-4)
+            assert abs(emp - p[x]) < 4 * sig + 1e-3, (pos, x, emp, p[x])
+
+    # first landed token: full-batch marginal must be p0
+    check(np.ones(B, bool), 0, base[0])
+    # second landed token, conditioned on the first proposal's acceptance
+    accepted = n_acc >= 1
+    assert 0.05 < accepted.mean() < 0.95    # both branches exercised
+    check(accepted, 1, base[1])
+    # logprobs are the raw-model (temperature-free) log-softmax of toks
+    want0 = np.asarray(jax.nn.log_softmax(base[0]))[toks[:, 0]]
+    np.testing.assert_allclose(np.asarray(lps)[:, 0], want0, atol=1e-5)
+
+
+def test_spec_accept_sampled_greedy_rows_deterministic():
+    """temperature-0 rows through the sampled wave use argmax acceptance:
+    proposal == argmax prefix accepted, bonus = argmax."""
+    from flashattn_tpu.serving.engine import _spec_accept_sampled
+
+    logits = jnp.asarray([[[0.0, 3.0, 0.0, 0.0],   # argmax 1
+                           [0.0, 0.0, 3.0, 0.0],   # argmax 2
+                           [3.0, 0.0, 0.0, 0.0]],  # argmax 0
+                          [[0.0, 3.0, 0.0, 0.0],
+                           [0.0, 0.0, 3.0, 0.0],
+                           [3.0, 0.0, 0.0, 0.0]]])
+    temps = jnp.zeros((2,), jnp.float32)
+    # row 0 proposes [1, 2] (both match argmax) -> n_acc 2, lands [1, 2, 0]
+    # row 1 proposes [3, 2] (first mismatches)  -> n_acc 0, lands [1]
+    proposed = jnp.asarray([[1, 2], [3, 2]], jnp.int32)
+    n_acc, toks, _ = _spec_accept_sampled(logits, proposed, temps,
+                                          jax.random.PRNGKey(0))
+    assert np.asarray(n_acc).tolist() == [2, 0]
+    assert np.asarray(toks)[0].tolist() == [1, 2, 0]
+    assert int(np.asarray(toks)[1, 0]) == 1
+
+
+def test_prompt_lookup_sampled_mixed_batch(target):
+    """Mixed greedy + sampled batch through the sampled wave: the greedy
+    row stays token-identical to the plain greedy engine, the sampled row
+    completes with logprobs in lockstep, pages all return."""
+    prompt = list(range(1, 30)) + list(range(1, 15))   # repeat-y
+    want = _greedy_reference(target, prompt, 10)
+    eng = ContinuousBatchingEngine(target, max_batch=2, page_size=16,
+                                   pages_per_seq=8, prompt_lookup=3)
+    r_greedy = eng.submit(list(prompt), 10)
+    r_sampled = eng.submit(list(prompt), 10, temperature=0.9)
+    eng.run()
+    assert r_greedy.generated == want.generated
+    assert len(r_sampled.generated) == 10
+    assert len(r_sampled.token_logprobs) == 10
+    assert eng.pool.n_free == eng.pool.total
+    assert eng.lookup_stats[1] > 0
