@@ -486,6 +486,31 @@ class ContinuousBatchingEngine:
 
             self._jit_spec = _spec_step
 
+            @functools.partial(jax.jit, donate_argnums=(2, 3),
+                               static_argnames=("n_spec",))
+            def _spec_sampled_step(tmodel, dmodel, tpools, dpools, tokens,
+                                   table, lengths, temps, key, n_spec):
+                # same draft scan; the target verify applies the exact
+                # accept/residual rule (the argmax draft is a point-mass
+                # proposal, so the lookup-wave math carries over verbatim)
+                def body(carry, _):
+                    dpools, tok, lens = carry
+                    logits, dpools = dmodel.forward_decode_paged(
+                        tok[:, None], dpools, table, lens)
+                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    return (dpools, nxt, lens + 1), nxt
+
+                (dpools, _, _), drafts = jax.lax.scan(
+                    body, (dpools, tokens, lengths), None, length=n_spec)
+                chunk = jnp.concatenate([tokens[None], drafts[:-1]], 0).T
+                logits, tpools = tmodel.forward_extend_paged(
+                    chunk, tpools, table, lengths)
+                n_acc, toks, lps = _spec_accept_sampled(
+                    logits, drafts[:-1].T, temps, key)
+                return tpools, dpools, n_acc, toks, lps
+
+            self._jit_spec_sampled = _spec_sampled_step
+
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy", "rep"))
         def _step(model, pools, tokens, table, lengths, temps, topks,
@@ -999,7 +1024,7 @@ class ContinuousBatchingEngine:
         if (self.draft_model is None or self.spec_len < 2
                 or self.collect_logits):
             return False
-        return self._wave_ready(active, self.spec_len)
+        return self._wave_ready(active, self.spec_len, allow_sampling=True)
 
     def _wave_ready(self, active: List[int], width: int,
                     allow_sampling: bool = False) -> bool:
@@ -1119,6 +1144,23 @@ class ContinuousBatchingEngine:
         self._land_wave(active, {i: int(n_acc[i]) + 1 for i in active},
                         np.asarray(toks), np.asarray(lps),
                         self.lookup_stats)
+
+    def _run_spec_sampled(self, active, tokens, lengths) -> None:
+        """Draft-model wave under SAMPLING: the draft scan proposes its
+        argmax chunk, the target verify applies the exact accept/residual
+        rule device-side (see :func:`_spec_accept_sampled`)."""
+        temps = np.zeros((self.max_batch,), np.float32)
+        for i in active:
+            temps[i] = self.slots[i].request.temperature
+        (self.pools, self.draft_pools, n_acc, toks,
+         lps) = self._jit_spec_sampled(
+            self.model, self.draft_model, self.pools, self.draft_pools,
+            jnp.asarray(tokens), jnp.asarray(self.page_table),
+            jnp.asarray(lengths), jnp.asarray(temps), self._next_key(),
+            n_spec=self.spec_len)
+        n_acc = np.asarray(n_acc)
+        self._land_wave(active, {i: int(n_acc[i]) + 1 for i in active},
+                        np.asarray(toks), np.asarray(lps), self.spec_stats)
 
     def _accept_wave(self, active, drafts, greedy, lps, width,
                      stats) -> None:
@@ -1269,7 +1311,11 @@ class ContinuousBatchingEngine:
 
         if self.draft_model is not None:
             if self._spec_ready(active):
-                self._run_spec(active, tokens, lengths)
+                if all(self.slots[i].request.temperature == 0
+                       for i in active):
+                    self._run_spec(active, tokens, lengths)
+                else:
+                    self._run_spec_sampled(active, tokens, lengths)
                 return True
             for i in active:   # return any stranded speculative prealloc
                 self._trim_pages(i)

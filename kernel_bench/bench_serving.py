@@ -25,12 +25,12 @@ PROMPT_LEN = 64
 
 
 def run(model, *, steps_per_dispatch, temperature=0.0, label="",
-        draft_model=None, spec_len=4):
+        draft_model=None, spec_len=4, **kw):
     rng = np.random.default_rng(0)
     eng = ContinuousBatchingEngine(
         model, max_batch=N_REQ, page_size=128, pages_per_seq=8,
         steps_per_dispatch=steps_per_dispatch,
-        draft_model=draft_model, spec_len=spec_len)
+        draft_model=draft_model, spec_len=spec_len, **kw)
     prompts = [list(rng.integers(1, 999, size=PROMPT_LEN))
                for _ in range(N_REQ)]
     # warmup: jit-compile prefill + every decode-chunk variant on a
@@ -50,6 +50,9 @@ def run(model, *, steps_per_dispatch, temperature=0.0, label="",
     if eng.spec_stats[1]:
         acc, waves = eng.spec_stats
         extra = f"  acc {acc / waves:.2f}/{spec_len}"
+    if eng.lookup_stats[1]:
+        acc, waves = eng.lookup_stats
+        extra += f"  lookup acc {acc / waves:.2f}/{eng.prompt_lookup + 1}"
     print(f"{label:34s} {toks / dt:8.0f} new tok/s   "
           f"({total / dt:8.0f} incl. prompts, {dt * 1e3:7.0f} ms){extra}")
     return toks / dt
@@ -72,6 +75,15 @@ def main():
         label="speculative (1L/128 draft, k=4)")
     run(model, steps_per_dispatch=8, draft_model=model, spec_len=4,
         label="speculative (self draft ceiling)")
+    # self-draft under SAMPLING: acceptance = p(argmax) per token; the
+    # exact accept/residual wave must still beat per-token sampling when
+    # the distribution is peaked
+    run(model, steps_per_dispatch=8, draft_model=model, spec_len=4,
+        temperature=0.8, label="spec sampled t=0.8 (self draft)")
+    # prompt-lookup on random prompts is a worst case (no repeats) — the
+    # trained-corpus case lives in bench_speculative.py
+    run(model, steps_per_dispatch=8, prompt_lookup=3,
+        label="prompt-lookup k=3 (random prompts)")
 
 
 if __name__ == "__main__":

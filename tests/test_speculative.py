@@ -296,3 +296,23 @@ def test_prompt_lookup_sampled_mixed_batch(target):
     assert len(r_sampled.token_logprobs) == 10
     assert eng.pool.n_free == eng.pool.total
     assert eng.lookup_stats[1] > 0
+
+
+def test_draft_spec_sampled_mixed_batch(target, draft):
+    """Draft-model speculation under sampling: greedy rows stay
+    token-identical to the plain engine, sampled rows complete with
+    logprobs in lockstep, waves actually run."""
+    rng = np.random.default_rng(21)
+    prompt = list(rng.integers(1, 60, size=8))
+    want = _greedy_reference(target, prompt, 12)
+    eng = ContinuousBatchingEngine(target, max_batch=2, page_size=16,
+                                   pages_per_seq=8, draft_model=draft,
+                                   spec_len=3)
+    r_greedy = eng.submit(list(prompt), 12)
+    r_sampled = eng.submit(list(prompt), 12, temperature=0.8)
+    eng.run()
+    assert r_greedy.generated == want.generated
+    assert len(r_sampled.generated) == 12
+    assert len(r_sampled.token_logprobs) == 12
+    assert eng.spec_stats[1] > 0
+    assert eng.pool.n_free == eng.pool.total
