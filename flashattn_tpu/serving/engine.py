@@ -685,6 +685,31 @@ class ContinuousBatchingEngine:
                 break
         return self.finished
 
+    def stats(self) -> dict:
+        """Observability snapshot: request/token counters, speculative
+        acceptance rates and KV page-pool utilisation (the serving-side
+        metrics surface; reference's training loop prints tokens/sec,
+        run_machine_translation.py:232-237)."""
+        out = {
+            "finished_requests": len(self.finished),
+            "active_requests": sum(s is not None for s in self.slots),
+            "queued_requests": len(self.queue),
+            "generated_tokens": sum(len(r.generated) for r in self.finished)
+            + sum(len(s.request.generated) for s in self.slots
+                  if s is not None),
+            "pages_total": self.pool.total,
+            "pages_free": self.pool.n_free,
+            "prefix_cache_pages": len(self._prefix_cache),
+        }
+        if self.spec_stats[1]:
+            out["spec_acceptance"] = self.spec_stats[0] / self.spec_stats[1]
+            out["spec_waves"] = self.spec_stats[1]
+        if self.lookup_stats[1]:
+            out["lookup_acceptance"] = (self.lookup_stats[0]
+                                        / self.lookup_stats[1])
+            out["lookup_waves"] = self.lookup_stats[1]
+        return out
+
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)

@@ -696,3 +696,15 @@ def test_engine_gqa_model_matches_dense():
     trajectories = [[1, 5, 9, 11, 2], [3, 3, 7, 50, 1, 4, 8]]
     _assert_engine_matches_dense(gqa, trajectories, max_batch=2,
                                  page_size=16, pages_per_seq=4)
+
+
+def test_engine_stats_snapshot(model):
+    eng = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                   pages_per_seq=4)
+    reqs = [eng.submit([5, 9, 2], 6), eng.submit([7, 1], 4)]
+    eng.run()
+    s = eng.stats()
+    assert s["finished_requests"] == 2
+    assert s["active_requests"] == 0 and s["queued_requests"] == 0
+    assert s["generated_tokens"] == sum(len(r.generated) for r in reqs)
+    assert s["pages_free"] == s["pages_total"]
