@@ -75,8 +75,10 @@ class MTConfig:
     n_layer: int = 4
     p_dropout: float = 0.1
     seed: int = 11111
-    # evaluation decoding: "greedy" or "beam" (beam_size hypotheses, GNMT
-    # length penalty) — the reference only implements greedy (:300-323)
+    # evaluation decoding: "greedy", "beam" (beam_size hypotheses, GNMT
+    # length penalty) or "engine" (the continuous-batching serving engine
+    # with prompt-lookup speculation; greedy-exact) — the reference only
+    # implements greedy (:300-323)
     decode: str = "greedy"
     beam_size: int = 4
     attn_impl: str = "flash"
@@ -450,6 +452,40 @@ def generate(model, examples, src_key, tgt_key, tokenizer, model_max_length,
     return gen_sents
 
 
+def generate_engine(model, examples, src_key, tgt_key, tokenizer,
+                    model_max_length, desc="", max_batch: int = 32,
+                    prompt_lookup: int = 3):
+    """Generation through the continuous-batching serving engine: paged KV
+    pools, mid-flight admission as rows finish (no padded-batch stragglers)
+    and prompt-lookup speculation.  Greedy-exact, so BLEU is identical to
+    :func:`generate`; the win is tokens/sec."""
+    from ..serving import ContinuousBatchingEngine
+
+    eos_tgt = tokenizer.vocab[f"<eos_{tgt_key}>"]
+    capacity = 2 * model_max_length
+    page = 32
+    eng = ContinuousBatchingEngine(
+        model.eval(), max_batch=max_batch, page_size=page,
+        pages_per_seq=-(-capacity // page) + 1, prompt_lookup=prompt_lookup)
+    reqs = []
+    for ex in examples:
+        ids = tokenizer(f"{ex[src_key]}<eos_{src_key}>")["input_ids"]
+        ids = ids[:model_max_length]
+        # match generate()'s padded-buffer span exactly: each row may emit
+        # up to (2*model_max_length - prompt_len) tokens before the eos trim
+        reqs.append(eng.submit(ids, 2 * model_max_length - len(ids),
+                               eos_id=eos_tgt))
+    eng.run(max_steps=10_000_000)
+    print(f"engine stats {desc}: {eng.stats()}")
+    gen_sents = []
+    for r in reqs:
+        toks = r.generated
+        if toks and toks[-1] == eos_tgt:
+            toks = toks[:-1]
+        gen_sents.append(tokenizer.decode(toks))
+    return gen_sents
+
+
 def generate_seq2seq(model, examples, src_key, tgt_key, tokenizer,
                      model_max_length, desc="", batch_size: int = 32):
     """Encoder-decoder generation: one encoder pass + cached cross-K/V +
@@ -631,6 +667,10 @@ def run(config: MTConfig) -> Dict:
                 print("[translation] beam decode is decoder-only for now; "
                       "seq2seq uses greedy")
             gen_sents = generate_seq2seq(
+                model.eval(), dataset["test"], src_key, tgt_key, tokenizer,
+                config.model_max_length, desc)
+        elif config.decode == "engine":
+            gen_sents = generate_engine(
                 model.eval(), dataset["test"], src_key, tgt_key, tokenizer,
                 config.model_max_length, desc)
         else:

@@ -54,3 +54,33 @@ def test_greedy_generate_eos_padding():
     hits = np.where(seq == 7)[0]
     if len(hits):  # everything after first eos must stay eos
         assert (seq[hits[0]:] == 7).all()
+
+
+def test_generate_engine_matches_generate():
+    """The serving-engine eval path (`--decode engine`) produces the exact
+    sentences of the batched KV-cached greedy path — continuous batching
+    and prompt-lookup are throughput optimisations, not semantics."""
+    from flashattn_tpu.training.translation import generate, generate_engine
+
+    class _Tok:
+        """Minimal tokenizer double over integer 'words'."""
+        vocab = {"<pad>": 0, "<eos_de>": 1, "<eos_en>": 2}
+
+        def __call__(self, text):
+            ids = []
+            for w in text.replace("<eos_de>", " <eos_de> ").split():
+                ids.append(self.vocab.setdefault(w, len(self.vocab)))
+            return {"input_ids": ids}
+
+        def decode(self, ids):
+            inv = {v: k for k, v in self.vocab.items()}
+            return " ".join(inv.get(i, "?") for i in ids)
+
+    tok = _Tok()
+    model = _model(seed=7, n_pos=48)
+    examples = [{"de": "w3 w4 w5", "en": ""},
+                {"de": "w6 w7", "en": ""},
+                {"de": "w3 w4 w3 w4 w3", "en": ""}]
+    base = generate(model, examples, "de", "en", tok, 16)
+    eng = generate_engine(model, examples, "de", "en", tok, 16, max_batch=2)
+    assert eng == base, (eng, base)
