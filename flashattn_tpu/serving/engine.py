@@ -35,7 +35,32 @@ import numpy as np
 Array = jax.Array
 
 
-def _sample_tokens(logits, temps, topks, topps, key, *,
+# Randomness substreams per (request seed, absolute position): plain
+# sampling, speculative acceptance uniforms, speculative residual sampling.
+_SALT_SAMPLE, _SALT_ACCEPT, _SALT_RESIDUAL = 0, 1, 2
+
+
+def _row_keys(seeds, pos, salt):
+    """(B,) per-row PRNG keys derived from (request seed, absolute token
+    position, substream salt) — sampling randomness is a pure function of
+    the REQUEST, so a sampled request's output is reproducible and
+    independent of which other requests share its batch."""
+    def one(s, p):
+        k = jax.random.fold_in(jax.random.PRNGKey(s), p)
+        return jax.random.fold_in(k, salt)
+
+    return jax.vmap(one)(seeds, pos)
+
+
+def _row_gumbel(seeds, pos, salt, v):
+    """(B, V) gumbel noise from per-row keys: argmax(logits + gumbel) is an
+    exact per-row categorical draw (the Gumbel-max trick), replacing the
+    batch-global jax.random.categorical."""
+    keys = _row_keys(seeds, pos, salt)
+    return jax.vmap(lambda k: jax.random.gumbel(k, (v,), jnp.float32))(keys)
+
+
+def _sample_tokens(logits, temps, topks, topps, seeds, pos, *,
                    greedy_only: bool = False,
                    presence=None, reps=None, minps=None,
                    freqs=None, press=None):
@@ -45,15 +70,18 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
     ``presence``/``reps``/``freqs``/``press`` are given.
 
     logits (B, V); temps (B,) f32; topks (B,) int32; topps/minps (B,) f32;
-    presence (B, V) f32 counts of already-seen tokens (prompt + generated);
-    reps (B,) f32 (1.0 = off); freqs/press (B,) f32 (0.0 = off) subtract
-    ``freq*count + pres*(count>0)`` from seen tokens' logits (additive,
-    unlike the multiplicative HF rule).  Full-sort top-k/top-p keeps
-    per-row parameters dynamic (fine at LM-head scales; ONE sort serves
-    both cuts per dispatch; min-p needs no sort at all).  ``greedy_only``
-    (static) skips the sort+categorical entirely — the host scheduler
-    passes it when every active request has temperature 0, so the common
-    greedy workload never pays the V·log V sort in the decode loop.
+    seeds (B,) int32 per-request sampling seeds; pos (B,) int32 absolute
+    position of the token being sampled (randomness = f(seed, pos), see
+    :func:`_row_keys`); presence (B, V) f32 counts of already-seen tokens
+    (prompt + generated); reps (B,) f32 (1.0 = off); freqs/press (B,) f32
+    (0.0 = off) subtract ``freq*count + pres*(count>0)`` from seen tokens'
+    logits (additive, unlike the multiplicative HF rule).  Full-sort
+    top-k/top-p keeps per-row parameters dynamic (fine at LM-head scales;
+    ONE sort serves both cuts per dispatch; min-p needs no sort at all).
+    ``greedy_only`` (static) skips the sort+sampling entirely — the host
+    scheduler passes it when every active request has temperature 0, so
+    the common greedy workload never pays the V·log V sort in the decode
+    loop.
     """
     if presence is not None:
         # HF repetition penalty: for seen tokens, positive logits divide by
@@ -99,7 +127,8 @@ def _sample_tokens(logits, temps, topks, topps, key, *,
         keep &= (logits >= mp_thresh) | ~m_on[:, None]
     masked = jnp.where(keep, logits, -jnp.inf)
     scaled = masked / temp_safe
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    g = _row_gumbel(seeds, pos, _SALT_SAMPLE, v)
+    sampled = jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy)
 
 
@@ -110,7 +139,7 @@ def _token_logprob(logits, toks):
     return jnp.take_along_axis(lps, toks[:, None], axis=-1)[:, 0]
 
 
-def _spec_accept_sampled(logits, proposed, temps, key):
+def _spec_accept_sampled(logits, proposed, temps, seeds, pos0):
     """Exact speculative SAMPLING acceptance for a deterministic proposal
     (Leviathan et al. with a point-mass draft): at each position accept the
     proposed token d with probability p(d) under the temperature-scaled
@@ -120,10 +149,12 @@ def _spec_accept_sampled(logits, proposed, temps, key):
     temperature 0 use argmax acceptance (the deterministic limit).
 
     logits (B, n, V) target logits over the chunk; proposed (B, n-1)
-    drafted tokens (-1 pads never accepted); temps (B,) f32; key PRNGKey.
-    Returns (n_acc (B,) accepted-proposal counts, toks (B, n) with the
-    landed tokens in positions 0..n_acc, lps (B, n) raw-model logprobs of
-    toks).
+    drafted tokens (-1 pads never accepted); temps (B,) f32; seeds (B,)
+    int32 per-request sampling seeds; pos0 (B,) int32 absolute position of
+    the wave's first landed token (randomness = f(seed, position), see
+    :func:`_row_keys`).  Returns (n_acc (B,) accepted-proposal counts,
+    toks (B, n) with the landed tokens in positions 0..n_acc, lps (B, n)
+    raw-model logprobs of toks).
     """
     b, n, v = logits.shape
     k = n - 1
@@ -133,8 +164,14 @@ def _spec_accept_sampled(logits, proposed, temps, key):
     t_on = temps > 0
     logp_t = jax.nn.log_softmax(lf / jnp.maximum(temps, 1e-6)[:, None, None],
                                 -1)
-    ku, kr = jax.random.split(key)
-    u = jax.random.uniform(ku, (b, k))
+
+    def row_u(s, p0):
+        def at(t):
+            kk = jax.random.fold_in(jax.random.PRNGKey(s), p0 + t)
+            return jax.random.uniform(jax.random.fold_in(kk, _SALT_ACCEPT))
+        return jax.vmap(at)(jnp.arange(k))
+
+    u = jax.vmap(row_u)(seeds, pos0)                       # (B, k)
     prop_safe = jnp.maximum(proposed, 0)
     p_prop = jnp.exp(jnp.take_along_axis(
         logp_t[:, :k], prop_safe[..., None], -1)[..., 0])  # (B, k)
@@ -153,7 +190,8 @@ def _spec_accept_sampled(logits, proposed, temps, key):
     was_rej = n_acc < k
     res = jnp.where((jnp.arange(v)[None, :] == rej_tok[:, None])
                     & was_rej[:, None], -jnp.inf, logp_at)
-    sampled = jax.random.categorical(kr, res, -1).astype(jnp.int32)
+    g = _row_gumbel(seeds, pos0 + n_acc, _SALT_RESIDUAL, v)
+    sampled = jnp.argmax(res + g, -1).astype(jnp.int32)
     final = jnp.where(t_on,
                       sampled,
                       jnp.take_along_axis(greedy, n_acc[:, None], 1)[:, 0])
@@ -249,6 +287,10 @@ class Request:
     top_k: Optional[int] = None
     top_p: Optional[float] = None
     min_p: Optional[float] = None  # drop tokens with p < min_p * p_max
+    # per-request sampling seed: randomness is f(seed, position), so a
+    # sampled request reproduces exactly regardless of batch composition
+    # (None = derived from the engine seed + uid)
+    seed: Optional[int] = None
     # HF-style repetition penalty over prompt+generated tokens (None/1.0 =
     # off; >1 discourages repeats). Applies to greedy decoding too.
     repetition_penalty: Optional[float] = None
@@ -348,7 +390,7 @@ class ContinuousBatchingEngine:
         self.page_table = np.full((max_batch, pages_per_seq),
                                   self._trash_page, np.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_batch
-        self._key = jax.random.PRNGKey(seed)
+        self._seed = seed
         self.queue: List[Request] = []
         self.finished: List[Request] = []
         self._uid = 0
@@ -420,13 +462,13 @@ class ContinuousBatchingEngine:
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def _verify_sampled_step(model, pools, chunk, proposed, table,
-                                     lengths, temps, key):
+                                     lengths, temps, seeds):
                 # proposed = chunk[:, 1:] but with pad positions marked -1
                 # (a 0 pad inside chunk must never be ACCEPTED as a token)
                 logits, pools = model.forward_extend_paged(
                     chunk, pools, table, lengths)
                 n_acc, toks, lps = _spec_accept_sampled(
-                    logits, proposed, temps, key)
+                    logits, proposed, temps, seeds, lengths)
                 return pools, n_acc, toks, lps
 
             self._jit_verify_sampled = _verify_sampled_step
@@ -489,7 +531,7 @@ class ContinuousBatchingEngine:
             @functools.partial(jax.jit, donate_argnums=(2, 3),
                                static_argnames=("n_spec",))
             def _spec_sampled_step(tmodel, dmodel, tpools, dpools, tokens,
-                                   table, lengths, temps, key, n_spec):
+                                   table, lengths, temps, seeds, n_spec):
                 # same draft scan; the target verify applies the exact
                 # accept/residual rule (the argmax draft is a point-mass
                 # proposal, so the lookup-wave math carries over verbatim)
@@ -506,7 +548,7 @@ class ContinuousBatchingEngine:
                 logits, tpools = tmodel.forward_extend_paged(
                     chunk, tpools, table, lengths)
                 n_acc, toks, lps = _spec_accept_sampled(
-                    logits, drafts[:-1].T, temps, key)
+                    logits, drafts[:-1].T, temps, seeds, lengths)
                 return tpools, dpools, n_acc, toks, lps
 
             self._jit_spec_sampled = _spec_sampled_step
@@ -514,13 +556,13 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy", "rep"))
         def _step(model, pools, tokens, table, lengths, temps, topks,
-                  topps, minps, presence, reps, freqs, press, key, greedy,
+                  topps, minps, presence, reps, freqs, press, seeds, greedy,
                   rep):
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
-            nxt = _sample_tokens(logits[:, 0], temps, topks, topps, key,
-                                 greedy_only=greedy,
+            nxt = _sample_tokens(logits[:, 0], temps, topks, topps, seeds,
+                                 lengths, greedy_only=greedy,
                                  presence=presence if rep else None,
                                  reps=reps, minps=minps, freqs=freqs,
                                  press=press)
@@ -535,16 +577,14 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("n_steps", "greedy", "rep"))
         def _step_many(model, pools, tokens, table, lengths, temps, topks,
-                       topps, minps, presence, reps, freqs, press, key,
+                       topps, minps, presence, reps, freqs, press, seeds,
                        n_steps, greedy, rep):
-            keys = jax.random.split(key, n_steps)
-
-            def body(carry, k):
+            def body(carry, _):
                 pools, tokens, lengths, presence = carry
                 logits, pools = model.forward_decode_paged(
                     tokens[:, None], pools, table, lengths)
-                nxt = _sample_tokens(logits[:, 0], temps, topks, topps, k,
-                                     greedy_only=greedy,
+                nxt = _sample_tokens(logits[:, 0], temps, topks, topps,
+                                     seeds, lengths, greedy_only=greedy,
                                      presence=presence if rep else None,
                                      reps=reps, minps=minps, freqs=freqs,
                                      press=press)
@@ -555,7 +595,8 @@ class ContinuousBatchingEngine:
                         (nxt, _token_logprob(logits[:, 0], nxt)))
 
             (pools, _, _, _), (sampled, lps) = jax.lax.scan(
-                body, (pools, tokens, lengths, presence), keys)
+                body, (pools, tokens, lengths, presence), None,
+                length=n_steps)
             return pools, sampled, lps                 # sampled/lps: (K, B)
 
         self._jit_step_many = _step_many
@@ -566,15 +607,15 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("greedy", "rep"))
         def _prefill_step(model, pools, tokens, table, lens, temps, topks,
-                          topps, minps, presence, reps, freqs, press, key,
+                          topps, minps, presence, reps, freqs, press, seeds,
                           greedy, rep):
             logits, pools = model.forward_prefill_paged(tokens, pools, table,
                                                         lens)
             last = jnp.clip(lens - 1, 0, tokens.shape[1] - 1)
             chosen = jnp.take_along_axis(
                 logits, last[:, None, None], axis=1)[:, 0]      # (B, V)
-            sampled = _sample_tokens(chosen, temps, topks, topps, key,
-                                     greedy_only=greedy,
+            sampled = _sample_tokens(chosen, temps, topks, topps, seeds,
+                                     lens, greedy_only=greedy,
                                      presence=presence if rep else None,
                                      reps=reps, minps=minps, freqs=freqs,
                                      press=press)
@@ -631,6 +672,7 @@ class ContinuousBatchingEngine:
                eos_id: Optional[int] = None, temperature: float = 0.0,
                top_k: Optional[int] = None, top_p: Optional[float] = None,
                min_p: Optional[float] = None,
+               seed: Optional[int] = None,
                repetition_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
@@ -650,7 +692,8 @@ class ContinuousBatchingEngine:
                 f"{self.pool.total}; request can never be admitted")
         req = Request(list(prompt), max_new_tokens, eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      min_p=min_p, repetition_penalty=repetition_penalty,
+                      min_p=min_p, seed=seed,
+                      repetition_penalty=repetition_penalty,
                       frequency_penalty=frequency_penalty,
                       presence_penalty=presence_penalty,
                       stop=[list(s) for s in stop] if stop else None,
@@ -711,25 +754,33 @@ class ContinuousBatchingEngine:
         return out
 
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
-
     def _sampling_arrays(self):
-        """(temps, topks, topps, all_greedy): all_greedy is a host-side
-        static flag that lets the jitted steps skip sampling entirely."""
+        """(temps, topks, topps, minps, seeds, all_greedy): all_greedy is a
+        host-side static flag that lets the jitted steps skip sampling
+        entirely; seeds are per-REQUEST so sampled outputs don't depend on
+        batch composition (see :func:`_row_keys`)."""
         temps = np.zeros((self.max_batch,), np.float32)
         topks = np.zeros((self.max_batch,), np.int32)
         topps = np.zeros((self.max_batch,), np.float32)
         minps = np.zeros((self.max_batch,), np.float32)
+        seeds = np.zeros((self.max_batch,), np.int32)
         for i, slot in enumerate(self.slots):
             if slot is not None:
                 temps[i] = slot.request.temperature
                 topks[i] = slot.request.top_k or 0
                 topps[i] = slot.request.top_p or 0.0
                 minps[i] = slot.request.min_p or 0.0
+                seeds[i] = self._request_seed(slot.request)
         return (jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
-                jnp.asarray(minps), not temps.any())
+                jnp.asarray(minps), jnp.asarray(seeds), not temps.any())
+
+    def _request_seed(self, req) -> int:
+        """Per-request sampling seed: explicit ``submit(seed=...)`` wins,
+        else derived from (engine seed, request uid) — deterministic across
+        re-runs of the same submission order."""
+        if req.seed is not None:
+            return int(req.seed) & 0x7FFFFFFF
+        return (self._seed * 1_000_003 + req.uid * 7919 + 17) & 0x7FFFFFFF
 
     def _penalty_arrays(self):
         """(reps, freqs, press, presence, pen_on): presence counts
@@ -841,18 +892,18 @@ class ContinuousBatchingEngine:
             lens[i] = len(p)
             table[i] = self.page_table[i]
 
-        temps, topks, topps, minps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, seeds, greedy = self._sampling_arrays()
         reps, freqs, press, presence, pen_on = self._penalty_arrays()
         self.pools, sampled, lps, logits = self._jit_prefill(
             self.model, self.pools, jnp.asarray(tokens), jnp.asarray(table),
             jnp.asarray(lens), temps, topks, topps, minps, presence, reps,
-            freqs, press, self._next_key(), greedy=greedy, rep=pen_on)
+            freqs, press, seeds, greedy=greedy, rep=pen_on)
         if self.draft_model is not None:
             # the draft's pools must hold the same history (same page ids)
             self.draft_pools, _, _, _ = self._jit_prefill(
                 self.draft_model, self.draft_pools, jnp.asarray(tokens),
                 jnp.asarray(table), jnp.asarray(lens), temps, topks, topps,
-                minps, presence, reps, freqs, press, self._next_key(),
+                minps, presence, reps, freqs, press, seeds,
                 greedy=True, rep=False)
         sampled = np.asarray(sampled)
         if self.collect_logits:
@@ -951,10 +1002,14 @@ class ContinuousBatchingEngine:
                 if consumed[i] == plen[i]:
                     final_logits[i] = logits[i, take - 1]
 
-        temps, topks, topps, minps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, seeds, greedy = self._sampling_arrays()
         reps, freqs, press, presence, pen_on = self._penalty_arrays()
+        pos = np.zeros((self.max_batch,), np.int32)
+        for i in admitted:
+            pos[i] = plen[i]
         sampled = np.asarray(self._jit_sample(
-            jnp.asarray(final_logits), temps, topks, topps, self._next_key(),
+            jnp.asarray(final_logits), temps, topks, topps, seeds,
+            jnp.asarray(pos),
             greedy_only=greedy, presence=presence if pen_on else None,
             reps=reps, minps=minps, freqs=freqs, press=press))
         shifted = final_logits - final_logits.max(-1, keepdims=True)
@@ -1159,12 +1214,14 @@ class ContinuousBatchingEngine:
             p = props[i][:k]
             proposed[i, :len(p)] = p
         temps = np.zeros((self.max_batch,), np.float32)
+        seeds = np.zeros((self.max_batch,), np.int32)
         for i in active:
             temps[i] = self.slots[i].request.temperature
+            seeds[i] = self._request_seed(self.slots[i].request)
         self.pools, n_acc, toks, lps = self._jit_verify_sampled(
             self.model, self.pools, jnp.asarray(chunk),
             jnp.asarray(proposed), jnp.asarray(self.page_table),
-            jnp.asarray(lengths), jnp.asarray(temps), self._next_key())
+            jnp.asarray(lengths), jnp.asarray(temps), jnp.asarray(seeds))
         n_acc = np.asarray(n_acc)
         self._land_wave(active, {i: int(n_acc[i]) + 1 for i in active},
                         np.asarray(toks), np.asarray(lps),
@@ -1175,13 +1232,15 @@ class ContinuousBatchingEngine:
         argmax chunk, the target verify applies the exact accept/residual
         rule device-side (see :func:`_spec_accept_sampled`)."""
         temps = np.zeros((self.max_batch,), np.float32)
+        seeds = np.zeros((self.max_batch,), np.int32)
         for i in active:
             temps[i] = self.slots[i].request.temperature
+            seeds[i] = self._request_seed(self.slots[i].request)
         (self.pools, self.draft_pools, n_acc, toks,
          lps) = self._jit_spec_sampled(
             self.model, self.draft_model, self.pools, self.draft_pools,
             jnp.asarray(tokens), jnp.asarray(self.page_table),
-            jnp.asarray(lengths), jnp.asarray(temps), self._next_key(),
+            jnp.asarray(lengths), jnp.asarray(temps), jnp.asarray(seeds),
             n_spec=self.spec_len)
         n_acc = np.asarray(n_acc)
         self._land_wave(active, {i: int(n_acc[i]) + 1 for i in active},
@@ -1249,13 +1308,13 @@ class ContinuousBatchingEngine:
         return max(1, 1 << (max(k, 1).bit_length() - 1))
 
     def _run_chunk(self, active, tokens, lengths, n_steps) -> None:
-        temps, topks, topps, minps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, seeds, greedy = self._sampling_arrays()
         reps, freqs, press, presence, pen_on = self._penalty_arrays()
         self.pools, sampled, lps = self._jit_step_many(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
             temps, topks, topps, minps, presence, reps, freqs, press,
-            self._next_key(), n_steps=n_steps, greedy=greedy, rep=pen_on)
+            seeds, n_steps=n_steps, greedy=greedy, rep=pen_on)
         sampled = np.asarray(sampled)                  # (K, B)
         lps = np.asarray(lps)
         for i in active:
@@ -1367,13 +1426,13 @@ class ContinuousBatchingEngine:
             self._run_chunk(active, tokens, lengths, n_steps)
             return True
 
-        temps, topks, topps, minps, greedy = self._sampling_arrays()
+        temps, topks, topps, minps, seeds, greedy = self._sampling_arrays()
         reps, freqs, press, presence, pen_on = self._penalty_arrays()
         self.pools, sampled, lps, step_logits = self._jit_step(
             self.model, self.pools, jnp.asarray(tokens),
             jnp.asarray(self.page_table), jnp.asarray(lengths),
             temps, topks, topps, minps, presence, reps, freqs, press,
-            self._next_key(), greedy=greedy, rep=pen_on)
+            seeds, greedy=greedy, rep=pen_on)
         sampled = np.asarray(sampled)
         lps = np.asarray(lps)
         if self.collect_logits:

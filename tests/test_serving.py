@@ -432,7 +432,8 @@ def test_sample_tokens_top_p_nucleus():
     counts = np.zeros((3, 5), np.int64)
     for s in range(200):
         toks = np.asarray(_sample_tokens(
-            logits, temps, topks, topps, jax.random.PRNGKey(s)))
+            logits, temps, topks, topps, jnp.zeros((3,), jnp.int32),
+            jnp.full((3,), s, jnp.int32)))
         for r in range(3):
             counts[r, toks[r]] += 1
     assert counts[0, 0] == 200                 # collapsed to greedy
@@ -524,7 +525,8 @@ def test_sample_tokens_top_k_top_p_sequential():
     topps = jnp.asarray([0.6], jnp.float32)
     for s in range(100):
         tok = int(_sample_tokens(logits, temps, topks, topps,
-                                 jax.random.PRNGKey(s))[0])
+                                 jnp.zeros((1,), jnp.int32),
+                                 jnp.full((1,), s, jnp.int32))[0])
         assert tok == 0, tok
 
 
@@ -544,7 +546,8 @@ def test_sample_tokens_min_p():
     seen = [set(), set()]
     for s in range(300):
         toks = np.asarray(_sample_tokens(
-            logits, temps, topks, topps, jax.random.PRNGKey(s), minps=minps))
+            logits, temps, topks, topps, jnp.zeros((2,), jnp.int32),
+            jnp.full((2,), s, jnp.int32), minps=minps))
         seen[0].add(int(toks[0]))
         seen[1].add(int(toks[1]))
     assert seen[0] == {0, 1}, seen[0]
@@ -601,7 +604,8 @@ def test_sample_tokens_frequency_presence_unit():
     freqs = jnp.asarray([0.2, 0.0], jnp.float32)   # row0: 3.0-0.4-0.3=2.3
     press = jnp.asarray([0.3, 0.0], jnp.float32)
     toks = np.asarray(_sample_tokens(
-        logits, temps, topks, topps, jax.random.PRNGKey(0),
+        logits, temps, topks, topps, jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
         greedy_only=True, presence=presence, reps=reps, freqs=freqs,
         press=press))
     assert toks.tolist() == [1, 0]
@@ -708,3 +712,44 @@ def test_engine_stats_snapshot(model):
     assert s["active_requests"] == 0 and s["queued_requests"] == 0
     assert s["generated_tokens"] == sum(len(r.generated) for r in reqs)
     assert s["pages_free"] == s["pages_total"]
+
+
+def test_sampled_output_independent_of_batch_composition(model):
+    """Sampling randomness is f(request seed, position): a sampled request
+    produces the SAME tokens whether it runs alone, with neighbors, or at a
+    different slot/submission position — no cross-request RNG coupling."""
+    prompt, n_new = [5, 9, 2], 12
+    alone_eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                         pages_per_seq=4)
+    alone = alone_eng.submit(prompt, n_new, temperature=0.9, seed=42)
+    alone_eng.run()
+
+    eng = ContinuousBatchingEngine(model, max_batch=4, page_size=16,
+                                   pages_per_seq=4, seed=777)
+    eng.submit([7, 1, 3, 4], 8, temperature=0.5)
+    batched = eng.submit(prompt, n_new, temperature=0.9, seed=42)
+    eng.submit([11, 30], 10)
+    eng.run()
+    assert batched.generated == alone.generated
+    np.testing.assert_allclose(batched.token_logprobs, alone.token_logprobs,
+                               atol=1e-4, rtol=1e-4)
+
+    # chunked decode path (steps_per_dispatch > 1) draws the same stream
+    eng2 = ContinuousBatchingEngine(model, max_batch=2, page_size=16,
+                                    pages_per_seq=4, steps_per_dispatch=4)
+    chunked = eng2.submit(prompt, n_new, temperature=0.9, seed=42)
+    eng2.run()
+    assert chunked.generated == alone.generated
+
+
+def test_sampled_seeds_differ(model):
+    """Different request seeds explore different trajectories (engine-level
+    sanity that the seed is actually wired through)."""
+    outs = set()
+    for seed in range(4):
+        eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                       pages_per_seq=4)
+        r = eng.submit([5, 9, 2], 10, temperature=1.5, seed=seed)
+        eng.run()
+        outs.add(tuple(r.generated))
+    assert len(outs) >= 2

@@ -236,7 +236,8 @@ def test_spec_accept_sampled_exact_marginals():
     proposed = jnp.broadcast_to(jnp.asarray([1, 2], jnp.int32), (B, 2))
     temps = jnp.full((B,), 0.7, jnp.float32)
     n_acc, toks, lps = _spec_accept_sampled(
-        logits, proposed, temps, jax.random.PRNGKey(0))
+        logits, proposed, temps, jnp.arange(B, dtype=jnp.int32),
+        jnp.zeros((B,), jnp.int32))
     n_acc, toks = np.asarray(n_acc), np.asarray(toks)
 
     def check(row_sel, pos, target_logits):
@@ -274,7 +275,8 @@ def test_spec_accept_sampled_greedy_rows_deterministic():
     # row 1 proposes [3, 2] (first mismatches)  -> n_acc 0, lands [1]
     proposed = jnp.asarray([[1, 2], [3, 2]], jnp.int32)
     n_acc, toks, _ = _spec_accept_sampled(logits, proposed, temps,
-                                          jax.random.PRNGKey(0))
+                                          jnp.arange(2, dtype=jnp.int32),
+                                          jnp.zeros((2,), jnp.int32))
     assert np.asarray(n_acc).tolist() == [2, 0]
     assert np.asarray(toks)[0].tolist() == [1, 2, 0]
     assert int(np.asarray(toks)[1, 0]) == 1
