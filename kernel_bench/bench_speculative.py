@@ -100,14 +100,15 @@ def train(model, loss_fn, rows, masks, n_steps, lr, seed, label, ctx=None):
     return model.eval()
 
 
-def bench(target, draft, prompts, label, **kw):
+def bench(target, draft, prompts, label, temperature=0.0, **kw):
     eng = ContinuousBatchingEngine(
         target, max_batch=N_REQ, page_size=128, pages_per_seq=2,
         steps_per_dispatch=8, draft_model=draft, spec_len=SPEC_LEN, **kw)
-    eng.submit(prompts[0], NEW_TOKENS)     # warmup compile
+    eng.submit(prompts[0], NEW_TOKENS, temperature=temperature)  # warmup
     eng.run()
     eng.finished.clear()
-    reqs = [eng.submit(p, NEW_TOKENS) for p in prompts]
+    reqs = [eng.submit(p, NEW_TOKENS, temperature=temperature)
+            for p in prompts]
     t0 = time.perf_counter()
     eng.run()
     dt = time.perf_counter() - t0
@@ -158,10 +159,17 @@ def main():
                              f"speculative (distilled, k={SPEC_LEN})")
     t_look, out_look = bench(target, None, prompts, "prompt-lookup (k=3)",
                              prompt_lookup=3)
+    # sampled speculation: the exact accept/residual wave on a trained
+    # model (peaked distributions -> high acceptance even at t=0.7)
+    t_ps, _ = bench(target, None, prompts, "plain sampled t=0.7",
+                    temperature=0.7)
+    t_ls, _ = bench(target, None, prompts, "lookup sampled t=0.7 (k=3)",
+                    temperature=0.7, prompt_lookup=3)
     print(f"  outputs identical to greedy: spec={out_plain == out_spec} "
           f"lookup={out_plain == out_look}")
     print(f"  SPEEDUP: distilled {t_spec / t_plain:.2f}x, "
-          f"prompt-lookup {t_look / t_plain:.2f}x")
+          f"prompt-lookup {t_look / t_plain:.2f}x, "
+          f"sampled lookup {t_ls / t_ps:.2f}x (vs plain sampled)")
 
 
 if __name__ == "__main__":
