@@ -28,6 +28,14 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon TPU plugin registers via jax plugin discovery and IGNORES
+    # the JAX_PLATFORMS env var — its first dispatch hangs when the relay
+    # is down.  Mirror the env var into the config (which the plugin does
+    # honor) so `JAX_PLATFORMS=cpu python -m ...translation` works offline.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
