@@ -62,6 +62,25 @@ def flash_block_sweep():
         print(f"  N={N} BEST blocks=({best[0]},{best[1]}) ds={best[2]} "
               f"{best[4]:.1f} TFLOP/s")
 
+    # sliding window at long seq: strips cut BOTH edges' overcompute (the
+    # PERF.md note: the gap to the O(n*w) ideal was diagonal-tile
+    # granularity).  B=1 H=8 N=32768 w=1024, ms/call only.
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32768, 128),
+                          jnp.bfloat16)
+    for (bq, bk, ds) in [(512, 1024, 0), (512, 1024, 256), (512, 512, 128),
+                         (256, 256, 0)]:
+        try:
+            t = device_loop_time(
+                lambda x: ft.flash_attention(x, x, x, True, block_q=bq,
+                                             block_k=bk, impl="pallas",
+                                             window=1024, diag_subtile=ds),
+                (q,), iters=40)
+            print(f"  N=32768 w=1024 blocks=({bq},{bk}) ds={ds}: "
+                  f"{t*1e3:7.3f} ms")
+        except Exception as e:
+            print(f"  N=32768 w=1024 ({bq},{bk}) ds={ds}: FAILED "
+                  f"{type(e).__name__}: {e}")
+
 
 def int8_prefill():
     print("== int8-KV flash vs bf16 (prefill, causal, B4 H8 D128) ==")
