@@ -753,3 +753,22 @@ def test_sampled_seeds_differ(model):
         eng.run()
         outs.add(tuple(r.generated))
     assert len(outs) >= 2
+
+
+def test_quantized_pools_compose_with_prompt_lookup(model):
+    """INT8 paged KV + prompt-lookup waves: the speculative verify writes
+    quantized pages exactly like plain decode, so the lookup engine's
+    output equals the plain int8 engine's (both greedy over the same
+    quantized history)."""
+    prompt = [5, 9, 2, 5, 9, 2, 5, 9, 2]
+    plain = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                     pages_per_seq=4, dtype=jnp.int8)
+    want = plain.submit(list(prompt), 10)
+    plain.run()
+    eng = ContinuousBatchingEngine(model, max_batch=1, page_size=16,
+                                   pages_per_seq=4, dtype=jnp.int8,
+                                   prompt_lookup=3)
+    req = eng.submit(list(prompt), 10)
+    eng.run()
+    assert req.generated == want.generated
+    assert eng.pool.n_free == eng.pool.total
