@@ -86,6 +86,13 @@ def main():
             continue
         if best is None or t < best[0]:
             best = (t, bq, bk, ds)
+    if best is None:  # every candidate failed: still print ONE JSON line
+        print(json.dumps({
+            "metric": "flash_attention fwd TFLOP/s (causal bf16)",
+            "value": None, "unit": "TFLOP/s", "vs_baseline": None,
+            "error": "all flash candidates failed to compile/run",
+        }))
+        return 1
     t_flash, bq, bk, ds = best
     t_naive = device_loop_time(
         lambda x: ft.flash_attention_reference(x, x, x, causal), (q,), iters=40)

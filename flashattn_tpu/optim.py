@@ -199,6 +199,11 @@ class Adafactor:
                  relative_step: bool = True, weight_decay: float = 0.0):
         if lr is None and not relative_step:
             raise ValueError("give lr or set relative_step=True")
+        if lr is not None and relative_step:
+            raise ValueError(
+                "lr and relative_step=True are mutually exclusive — an "
+                "explicit lr would be silently ignored; pass "
+                "relative_step=False with lr (HF Adafactor raises too)")
         self.lr = lr
         self.beta1 = beta1
         self.decay_exponent = decay_exponent
@@ -221,7 +226,12 @@ class Adafactor:
             step=jnp.zeros((), jnp.int32),
             vr=jax.tree_util.tree_map(vr_like, model),
             vc=jax.tree_util.tree_map(vc_like, model),
-            m=_tree_zeros_like(model) if self.beta1 > 0 else None,
+            # f32 like vr/vc: updates are computed in f32, so a
+            # param-dtype m would flip dtype after one step and break
+            # scan-carried training state
+            m=(jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), model)
+               if self.beta1 > 0 else None),
         )
 
     def step(self, model: Any, grads: Any, state: AdafactorState):

@@ -44,7 +44,11 @@ def _row_keys(seeds, pos, salt):
     """(B,) per-row PRNG keys derived from (request seed, absolute token
     position, substream salt) — sampling randomness is a pure function of
     the REQUEST, so a sampled request's output is reproducible and
-    independent of which other requests share its batch."""
+    independent of which other requests share its batch.  (Speculative
+    waves draw from the ACCEPT/RESIDUAL substreams, and wave *eligibility*
+    is batch-global — so the strict independence guarantee holds for
+    non-speculative engines; with speculation the per-token marginals are
+    unchanged but neighbors can shift which substream a token drew from.)"""
     def one(s, p):
         k = jax.random.fold_in(jax.random.PRNGKey(s), p)
         return jax.random.fold_in(k, salt)
@@ -468,7 +472,7 @@ class ContinuousBatchingEngine:
                 logits, pools = model.forward_extend_paged(
                     chunk, pools, table, lengths)
                 n_acc, toks, lps = _spec_accept_sampled(
-                    logits, proposed, temps, seeds, lengths)
+                    logits, proposed, temps, seeds, lengths + 1)
                 return pools, n_acc, toks, lps
 
             self._jit_verify_sampled = _verify_sampled_step
@@ -548,7 +552,7 @@ class ContinuousBatchingEngine:
                 logits, tpools = tmodel.forward_extend_paged(
                     chunk, tpools, table, lengths)
                 n_acc, toks, lps = _spec_accept_sampled(
-                    logits, drafts[:-1].T, temps, seeds, lengths)
+                    logits, drafts[:-1].T, temps, seeds, lengths + 1)
                 return tpools, dpools, n_acc, toks, lps
 
             self._jit_spec_sampled = _spec_sampled_step
@@ -561,8 +565,11 @@ class ContinuousBatchingEngine:
             logits, pools = model.forward_decode_paged(
                 tokens[:, None], pools, table, lengths)
             out = logits[:, 0] if collect_logits else None
+            # pos = sequence index of the SAMPLED token (last consumed
+            # index + 1); prefill's seed token sits at index lens, decode
+            # tokens at lengths+1 — distinct keys for distinct tokens
             nxt = _sample_tokens(logits[:, 0], temps, topks, topps, seeds,
-                                 lengths, greedy_only=greedy,
+                                 lengths + 1, greedy_only=greedy,
                                  presence=presence if rep else None,
                                  reps=reps, minps=minps, freqs=freqs,
                                  press=press)
@@ -584,7 +591,7 @@ class ContinuousBatchingEngine:
                 logits, pools = model.forward_decode_paged(
                     tokens[:, None], pools, table, lengths)
                 nxt = _sample_tokens(logits[:, 0], temps, topks, topps,
-                                     seeds, lengths, greedy_only=greedy,
+                                     seeds, lengths + 1, greedy_only=greedy,
                                      presence=presence if rep else None,
                                      reps=reps, minps=minps, freqs=freqs,
                                      press=press)
@@ -1106,6 +1113,21 @@ class ContinuousBatchingEngine:
             return False
         return self._wave_ready(active, self.spec_len, allow_sampling=True)
 
+    def _wave_plausible(self, active: List[int]) -> bool:
+        """Cheap static disqualifiers for a sampled/greedy lookup wave —
+        checked BEFORE the O(history) proposal scan (no preallocation)."""
+        if self.queue and any(s is None for s in self.slots):
+            return False
+        for i in active:
+            req = self.slots[i].request
+            if ((req.repetition_penalty and req.repetition_penalty != 1.0)
+                    or req.frequency_penalty or req.presence_penalty):
+                return False
+            if req.temperature > 0 and (req.top_k or req.min_p
+                                        or (req.top_p and req.top_p < 1.0)):
+                return False
+        return True
+
     def _wave_ready(self, active: List[int], width: int,
                     allow_sampling: bool = False) -> bool:
         """Speculative wave of ``width`` verify positions allowed: no
@@ -1404,11 +1426,18 @@ class ContinuousBatchingEngine:
             for i in active:   # return any stranded speculative prealloc
                 self._trim_pages(i)
         elif self.prompt_lookup and not self.collect_logits:
-            propose = self._resolve_ngram_impl()
-            props = {i: propose(
-                self.slots[i].request.prompt + self.slots[i].request.generated,
-                self.prompt_lookup, self.lookup_max_ngram) for i in active}
-            if (any(props.values())
+            # _wave_plausible first: the O(history) proposal scans must not
+            # run every step for batches that can never take a wave (a
+            # penalty/top-k row or pending admission disqualifies globally)
+            props = None
+            if self._wave_plausible(active):
+                propose = self._resolve_ngram_impl()
+                props = {i: propose(
+                    self.slots[i].request.prompt
+                    + self.slots[i].request.generated,
+                    self.prompt_lookup, self.lookup_max_ngram)
+                    for i in active}
+            if (props and any(props.values())
                     and self._wave_ready(active, self.prompt_lookup + 1,
                                          allow_sampling=True)):
                 all_greedy = all(

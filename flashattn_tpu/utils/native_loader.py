@@ -20,10 +20,15 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdataloader.so"))
 
 
 def build_native(force: bool = False) -> str:
-    """Compile the shared library if needed (replaces compile_cuda.sh)."""
-    if force or not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)], check=True,
-                       capture_output=True)
+    """Compile the shared libraries if needed (replaces compile_cuda.sh).
+    make runs unconditionally — its dependency rules are the staleness
+    check, so an edited .cc never serves a stale committed binary."""
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True)
+    except Exception:
+        if force or not os.path.exists(_LIB_PATH):
+            raise  # no toolchain AND no prebuilt binary
     return _LIB_PATH
 
 
@@ -107,9 +112,12 @@ _ngram_lib = None
 def _load_ngram_lib() -> ctypes.CDLL:
     global _ngram_lib
     if _ngram_lib is None:
-        if not os.path.exists(_NGRAM_LIB_PATH):
+        try:  # make's dependency rules are the staleness check
             subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True)
+        except Exception:
+            if not os.path.exists(_NGRAM_LIB_PATH):
+                raise
         lib = ctypes.CDLL(_NGRAM_LIB_PATH)
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.ngram_propose.restype = ctypes.c_int32

@@ -314,3 +314,41 @@ class TestDiagSubtile:
                               diag_subtile=384)
         ref = flash_attention_reference(q, k, v, True)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+class TestDiagSubtileBackwardMasks:
+    """Backward strip conditions under window and varlen — the trickiest
+    inequalities (dKV row strips see the window from the kv side, dQ column
+    strips from the q side)."""
+
+    def _grads(self, fn, q, k, v):
+        return jax.grad(lambda a, b, c: jnp.sum(fn(a, b, c)),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    def test_window_gradients_match_oracle(self):
+        q, k, v = _qkv((1, 2, 512, 32), seed=71)
+        got = self._grads(
+            lambda a, b, c: flash_attention(a, b, c, True, None, 128, 256,
+                                            window=200, diag_subtile=128),
+            q, k, v)
+        want = self._grads(
+            lambda a, b, c: flash_attention_reference(a, b, c, True,
+                                                      window=200),
+            q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-5, rtol=1e-5)
+
+    def test_varlen_gradients_match_oracle(self):
+        from flashattn_tpu.ops.flash_attention import (
+            _reference_fwd_with_lse, flash_attention_varlen)
+        q, k, v = _qkv((3, 1, 512, 32), seed=73)
+        lens = jnp.asarray([512, 300, 64], jnp.int32)
+        got = self._grads(
+            lambda a, b, c: flash_attention_varlen(
+                a, b, c, lens, True, block_q=128, block_k=256,
+                impl="pallas", diag_subtile=128), q, k, v)
+        want = self._grads(
+            lambda a, b, c: _reference_fwd_with_lse(
+                a, b, c, True, 1.0 / 32**0.5, kv_lengths=lens)[0], q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-5, rtol=1e-5)
