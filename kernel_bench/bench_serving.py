@@ -84,6 +84,15 @@ def main():
     # trained-corpus case lives in bench_speculative.py
     run(model, steps_per_dispatch=8, prompt_lookup=3,
         label="prompt-lookup k=3 (random prompts)")
+    # weight-only int8 + int8 KV pages: the full quantized serving config
+    # (BASELINE configs[2-3]) -- decode is weight/KV bandwidth bound, so
+    # halving both should show up directly in tok/s
+    from flashattn_tpu.ops.quant import quantize_model_weights
+    import jax.numpy as jnp
+    qmodel = quantize_model_weights(model, jnp.int8)
+    run(qmodel, steps_per_dispatch=8, label="int8 weights")
+    run(qmodel, steps_per_dispatch=8, dtype=jnp.int8,
+        label="int8 weights + int8 KV pages")
 
 
 if __name__ == "__main__":
