@@ -67,12 +67,13 @@ def main():
 
     q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), dtype)
 
-    # Self-select among a small set of causal schedules: the known-good
-    # blocks, plus the diag_subtile strip variants that cut the diagonal
-    # tiles' masked overcompute (each candidate is one extra remote compile;
-    # the winner is what a production config sweep would pin).
-    candidates = [(512, 1024, 0), (512, 1024, 256),
-                  (512, 512, 128), (256, 256, 0)]
+    # Self-select among a small set of causal schedules (each candidate is
+    # one extra remote compile; the winner is what a production config sweep
+    # would pin).  The round-2 on-chip sweep (kernel_bench/r2_measure.py)
+    # showed (1024,1024) winning at every causal seq 2-8K and every
+    # diag_subtile strip variant losing (fragmented dots cost more MXU time
+    # than the masked overcompute they skip), so strips are not candidates.
+    candidates = [(1024, 1024, 0), (512, 1024, 0), (1024, 2048, 0)]
     best = None
     for (bq, bk, ds) in candidates:
         try:

@@ -66,6 +66,12 @@ DEFAULT_DIAG_SUBTILE = 0
 # the flash schedule; the wrapper falls back to the jnp path.
 _MIN_BLOCK = 8
 
+# A/B toggle for on-chip measurement: set FLASH_NO_INTERIOR_SKIP=1 to mask
+# every running tile unconditionally (no needs_mask branch) -- used to
+# isolate the cost/benefit of pl.when tile branching vs always-iota+where.
+import os as _os
+_INTERIOR_SKIP = _os.environ.get("FLASH_NO_INTERIOR_SKIP", "") != "1"
+
 
 # ---------------------------------------------------------------------------
 # Forward kernel
@@ -167,6 +173,12 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 if len_ref is not None:  # per-batch valid KV prefix
                     keep &= cols < row_len
                 update(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep, v_blk)
+
+            if not _INTERIOR_SKIP:
+                # A/B path: unconditional iota+where on every running tile
+                # (round-1 schedule; keeps the dot un-predicated for Mosaic).
+                mask_and_update(score(k), col_min, block_k, v)
+                return
 
             @pl.when(needs_mask)
             def _masked():
@@ -467,6 +479,10 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                 accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep,
                       q_blk, do_blk, lse_blk, di_blk)
 
+            if not _INTERIOR_SKIP:
+                mask_and_accum(score(q), row_min, q, do, lse, di)
+                return
+
             @pl.when(needs_mask)
             def _masked():
                 if not diag_subtile:
@@ -601,6 +617,10 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     keep &= cols < row_len
                 accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep,
                       k_blk, v_blk)
+
+            if not _INTERIOR_SKIP:
+                mask_and_accum(score(k), col_min, k, v)
+                return
 
             @pl.when(needs_mask)
             def _masked():

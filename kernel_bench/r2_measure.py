@@ -145,28 +145,30 @@ def paged_int8():
     kp8 = jnp.round(kp.astype(jnp.float32) / ks).astype(jnp.int8)
     pidx = jnp.arange(B * 64, dtype=jnp.int32).reshape(B, 64)
     q = jax.random.normal(jax.random.PRNGKey(1), (B, Hq, D), jnp.bfloat16)
+    # page pools are passed through device_loop_time's args (jit ARGUMENTS)
+    # rather than closed over: a closed-over 256MB pool embeds as an HLO
+    # constant and the remote compile rejects the request (HTTP 413).
     for hist in (1024, 8192):
         lengths = jnp.full((B,), hist, jnp.int32)
-        for label, kwargs in [
-            ("bf16 pipelined", dict(k_pages=kp, v_pages=kp, pipelined=True)),
-            ("int8 pipelined", dict(k_pages=kp8, v_pages=kp8, k_scales=ks,
-                                    v_scales=ks, pipelined=True)),
-            ("int8 grid", dict(k_pages=kp8, v_pages=kp8, k_scales=ks,
-                               v_scales=ks, pipelined=False)),
+        for label, pages, scales, pipe in [
+            ("bf16 pipelined", kp, None, True),
+            ("int8 pipelined", kp8, ks, True),
+            ("int8 grid", kp8, ks, False),
         ]:
             t = device_loop_time(
-                lambda x: paged_attention(x, lengths=lengths,
-                                          page_indices=pidx, **kwargs),
-                (q,), iters=40)
-            itemsize = 1 if "int8" in label else 2
+                lambda x, p, pi, le: paged_attention(
+                    x, k_pages=p, v_pages=p, lengths=le, page_indices=pi,
+                    k_scales=scales, v_scales=scales, pipelined=pipe),
+                (q, pages, pidx, lengths), iters=40)
+            itemsize = pages.dtype.itemsize
             bw = 2 * Hkv * hist * D * B * itemsize / t / 1e9
             print(f"  hist={hist} {label:15s}: {t*1e6:7.1f} µs  "
                   f"({bw:5.0f} GB/s payload)")
         # windowed int8 (the serving config)
         t = device_loop_time(
-            lambda x: paged_attention(x, kp8, kp8, lengths, pidx,
-                                      k_scales=ks, v_scales=ks, window=1024),
-            (q,), iters=40)
+            lambda x, p, pi, le: paged_attention(
+                x, p, p, le, pi, k_scales=ks, v_scales=ks, window=1024),
+            (q, kp8, pidx, lengths), iters=40)
         print(f"  hist={hist} int8 window=1024 : {t*1e6:7.1f} µs")
 
 
