@@ -69,24 +69,24 @@ def main():
 
     # Self-select among a small set of causal schedules (each candidate is
     # one extra remote compile; the winner is what a production config sweep
-    # would pin).  The round-2 on-chip sweep (kernel_bench/r2_measure.py)
-    # showed (1024,1024) winning at every causal seq 2-8K and every
-    # diag_subtile strip variant losing (fragmented dots cost more MXU time
-    # than the masked overcompute they skip), so strips are not candidates.
-    candidates = [(1024, 1024, 0), (512, 1024, 0), (1024, 2048, 0)]
+    # would pin).  The r2/r3 on-chip sweeps crowned grid blocks (1024,1024)
+    # with the unconditional mask (battery_logs/r3_followup.log); the r3
+    # q-major loop kernel (impl="loop") is the new candidate to beat it.
+    candidates = [("loop", 1024, 1024), ("pallas", 1024, 1024),
+                  ("pallas", 512, 1024)]
     best = None
-    for (bq, bk, ds) in candidates:
+    for (impl, bq, bk) in candidates:
         try:
             t = device_loop_time(
                 lambda x: ft.flash_attention(x, x, x, causal, block_q=bq,
-                                             block_k=bk, diag_subtile=ds),
+                                             block_k=bk, impl=impl),
                 (q,), iters=100)
         except Exception as e:  # a candidate failing to lower must not
-            print(f"# candidate ({bq},{bk},ds={ds}) failed: {e}",
+            print(f"# candidate ({impl},{bq},{bk}) failed: {e}",
                   file=sys.stderr)  # kill the headline measurement
             continue
         if best is None or t < best[0]:
-            best = (t, bq, bk, ds)
+            best = (t, impl, bq, bk)
     if best is None:  # every candidate failed: still print ONE JSON line
         print(json.dumps({
             "metric": "flash_attention fwd TFLOP/s (causal bf16)",
@@ -94,7 +94,7 @@ def main():
             "error": "all flash candidates failed to compile/run",
         }))
         return 1
-    t_flash, bq, bk, ds = best
+    t_flash, impl, bq, bk = best
     t_naive = device_loop_time(
         lambda x: ft.flash_attention_reference(x, x, x, causal), (q,), iters=40)
 
@@ -107,7 +107,7 @@ def main():
         "value": round(tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(t_naive / t_flash, 3),
-        "config": f"block_q={bq} block_k={bk} diag_subtile={ds}",
+        "config": f"impl={impl} block_q={bq} block_k={bk}",
     }))
 
 

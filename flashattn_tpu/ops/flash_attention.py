@@ -56,21 +56,19 @@ Array = jax.Array
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 
-DEFAULT_BLOCK_Q = 512
+# (1024, 1024) won the round-2/3 on-chip sweeps at every causal N
+# (battery_logs/r2_measure.log, r3_followup.log): 84.1 TF @2K / 116.7 @8K
+# causal and 136.9 TF non-causal @2K vs 77.1/106.6/124.5 for the old
+# (512, 1024) — bigger tiles amortise the per-kv-step online-softmax VPU
+# work.  Round 2's interior-tile `pl.when` mask-skip was measured as an ~18%
+# LOSS (predication around the main dot breaks Mosaic pipelining; the
+# unconditional iota+where it saved is cheaper) and was removed, as was the
+# `diag_subtile` strip-dot variant (20-70% slower at every swept point).
+DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
-# Strip width for mask-crossing tiles (0 = full-tile dots).  Flip after the
-# on-chip sweep if a strip config wins: every default-config caller (models,
-# serving, benches) picks it up.
-DEFAULT_DIAG_SUBTILE = 0
 # Below this sequence length the plain fused-softmax op-graph is faster than
 # the flash schedule; the wrapper falls back to the jnp path.
 _MIN_BLOCK = 8
-
-# A/B toggle for on-chip measurement: set FLASH_NO_INTERIOR_SKIP=1 to mask
-# every running tile unconditionally (no needs_mask branch) -- used to
-# isolate the cost/benefit of pl.when tile branching vs always-iota+where.
-import os as _os
-_INTERIOR_SKIP = _os.environ.get("FLASH_NO_INTERIOR_SKIP", "") != "1"
 
 
 # ---------------------------------------------------------------------------
@@ -81,8 +79,7 @@ _INTERIOR_SKIP = _os.environ.get("FLASH_NO_INTERIOR_SKIP", "") != "1"
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                num_kv: int, window: Optional[int] = None,
-                diag_subtile: int = 0):
+                num_kv: int, window: Optional[int] = None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -145,93 +142,24 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             acc_scr[...] = acc_scr[...] * alpha + pv
 
         if causal or window is not None or len_ref is not None:
-            # Mask only tiles that actually contain masked elements
-            # (diagonal crossings / window edges / varlen boundary blocks).
-            # Interior tiles skip the iota+where entirely -- at the default
-            # blocks the mask is a sizeable share of per-tile VPU time and
-            # most running tiles are interior.
+            # Mask every running tile unconditionally.  Measured on-chip:
+            # branching the mask on a per-tile needs_mask predicate (round
+            # 2's interior-skip) is ~18% SLOWER than always-iota+where —
+            # predication around the main dot breaks Mosaic pipelining
+            # (battery_logs/r3_followup.log leg A vs leg B).
             row_min = qi * block_q
-            row_max = row_min + block_q - 1
             col_min = ki * block_k
-            col_max = col_min + block_k - 1
-            needs_mask = False
+            s = score(k)
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
+            keep = jnp.ones(s.shape, jnp.bool_)
             if causal:
-                needs_mask |= col_max > row_min
+                keep &= cols <= rows
             if window is not None:
-                needs_mask |= row_max - window >= col_min
-            if len_ref is not None:
-                needs_mask |= col_min + block_k > row_len
-
-            def mask_and_update(s, c0, width, v_blk):
-                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
-                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c0
-                keep = jnp.ones(s.shape, jnp.bool_)
-                if causal:
-                    keep &= cols <= rows
-                if window is not None:
-                    keep &= cols > rows - window
-                if len_ref is not None:  # per-batch valid KV prefix
-                    keep &= cols < row_len
-                update(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep, v_blk)
-
-            if not _INTERIOR_SKIP:
-                # A/B path: unconditional iota+where on every running tile
-                # (round-1 schedule; keeps the dot un-predicated for Mosaic).
-                mask_and_update(score(k), col_min, block_k, v)
-                return
-
-            @pl.when(needs_mask)
-            def _masked():
-                if not diag_subtile or diag_subtile >= block_k:
-                    mask_and_update(score(k), col_min, block_k, v)
-                    return
-                # Sub-tile the boundary block: the diagonal crossing leaves
-                # up to half of a (block_q, block_k) score tile fully masked
-                # — MXU flops the grid-level skip can't recover because the
-                # block is coarse.  Issue the dot per (block_q, diag_subtile)
-                # column strip instead, skipping strips with no live element
-                # (for causal at block_k=1024, subtile=256 this cuts the
-                # causal overcompute from N*512 to N*128 score elements while
-                # interior tiles keep the full-width dot's MXU efficiency).
-                # Online-softmax updates are associative, so strip-wise
-                # updates are exact.  Each strip re-checks whether IT crosses
-                # a boundary: fully-live strips skip the iota+where too.
-                ds = diag_subtile
-                for j in range(block_k // ds):
-                    c0 = col_min + j * ds
-                    c_max = c0 + ds - 1
-                    live = True
-                    if causal:
-                        live &= c0 <= row_max
-                    if window is not None:
-                        live &= c_max >= row_min - (window - 1)
-                    if len_ref is not None:
-                        live &= c0 < row_len
-
-                    @pl.when(live)
-                    def _strip(j=j, c0=c0, c_max=c_max):
-                        k_sub = k[j * ds:(j + 1) * ds]
-                        v_sub = v[j * ds:(j + 1) * ds]
-                        s_sub = score(k_sub)
-                        strip_masked = False
-                        if causal:
-                            strip_masked |= c_max > row_min
-                        if window is not None:
-                            strip_masked |= row_max - window >= c0
-                        if len_ref is not None:
-                            strip_masked |= c0 + ds > row_len
-
-                        @pl.when(strip_masked)
-                        def _m():
-                            mask_and_update(s_sub, c0, ds, v_sub)
-
-                        @pl.when(jnp.logical_not(strip_masked))
-                        def _i():
-                            update(s_sub, None, v_sub)
-
-            @pl.when(jnp.logical_not(needs_mask))
-            def _interior():
-                update(score(k), None, v)
+                keep &= cols > rows - window
+            if len_ref is not None:  # per-batch valid KV prefix
+                keep &= cols < row_len
+            update(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep, v)
         else:
             update(score(k), None, v)
 
@@ -246,15 +174,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
-               kv_lengths=None, window=None, diag_subtile=0):
-    if diag_subtile:
-        if diag_subtile % 128:
-            raise ValueError(
-                f"diag_subtile ({diag_subtile}) must be a multiple of 128")
-        if block_k % diag_subtile or diag_subtile >= block_k:
-            # blocks may have been auto-shrunk for short seqs — strips that
-            # don't tile the picked block_k are disabled, not an error
-            diag_subtile = 0
+               kv_lengths=None, window=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     # GQA/MQA: q heads grouped onto fewer kv heads — the kv index maps fold
@@ -304,7 +224,6 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
         kernel = functools.partial(
             _fwd_kernel, None, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
-            diag_subtile=diag_subtile,
         )
         o, lse = pl.pallas_call(
             kernel,
@@ -361,7 +280,6 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
-        diag_subtile=diag_subtile,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -374,6 +292,543 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
 
 
 # ---------------------------------------------------------------------------
+# Forward kernel, q-major loop schedule (causal self-attention fast path)
+# ---------------------------------------------------------------------------
+#
+# The grid kernel above walks (b, h, q_block, kv_block) and pays, per kv
+# step: a grid-pipeline step (skipped above the diagonal but still
+# sequenced), an iota+where mask, and an online-softmax rescale.  Measured
+# on-chip (battery_logs/r3_followup.log), a SINGLE full-tile masked dot hits
+# ~95% of the matmul roofline while the stepped schedule tops out at ~78%
+# raw — the per-step work, not the MXU, is the causal ceiling.  This
+# schedule restructures causal attention around that finding:
+#
+# * grid (b, h, q_block): one kernel invocation owns a whole q block's row;
+#   no skipped grid steps exist at all.
+# * interior KV chunks (strictly below the diagonal) stream HBM->VMEM with
+#   the same manual double-buffered DMA loop the paged-decode kernel proves
+#   (paged_attention.py:119); the fori_loop trip count is DYNAMIC (qi
+#   chunks), so short rows pay only for the chunks they attend to.  Interior
+#   chunks are fully live: no mask, no branch, full-width MXU dots.
+# * the diagonal block arrives through the ordinary BlockSpec pipeline and
+#   is processed at TRACE time after the loop: its score dot is issued as
+#   column strips with triangular row starts (strip j covers cols
+#   [j*ds, (j+1)*ds) and only rows >= j*ds), staged into an f32 VMEM tile
+#   pre-filled with the mask value — cutting the diagonal tile's MXU work
+#   ~in half while keeping ONE online-softmax update for the whole tile.
+#   Only each strip's top (ds, ds) square needs an iota mask.
+# * the PV dot for the diagonal is stripped the same way (acc rows >= j*ds).
+#
+# The reference has no analogue (its causal kernel masks every tile,
+# flashattention_kernel.cu:511-545); this is the TPU-shaped answer to the
+# same math.
+
+
+def _fwd_loop_kernel(q_ref, kd_ref, vd_ref, k_hbm, v_hbm, o_ref, lse_ref,
+                     m_scr, l_scr, acc_scr, kbuf, vbuf, sems,
+                     *, block_q: int, chunk: int, diag_strip: int,
+                     group: int):
+    b_ = pl.program_id(0)
+    h_ = pl.program_id(1)
+    qi = pl.program_id(2)
+    hk = h_ // group
+
+    q = q_ref[0, 0]                                   # (bq, d), pre-scaled
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    n_int = qi * (block_q // chunk)                   # interior chunk count
+
+    def dma(buf, hbm, i, slot, kind):
+        return pltpu.make_async_copy(
+            hbm.at[b_, hk, pl.ds(i * chunk, chunk)],
+            buf.at[slot], sems.at[slot, kind])
+
+    @pl.when(n_int > 0)
+    def _warmup():
+        dma(kbuf, k_hbm, 0, 0, 0).start()
+        dma(vbuf, v_hbm, 0, 0, 1).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_int)
+        def _prefetch():
+            nxt = 1 - slot
+            dma(kbuf, k_hbm, i + 1, nxt, 0).start()
+            dma(vbuf, v_hbm, i + 1, nxt, 1).start()
+
+        dma(kbuf, k_hbm, i, slot, 0).wait()
+        dma(vbuf, v_hbm, i, slot, 1).wait()
+
+        k = kbuf[slot]                                # (chunk, d)
+        v = vbuf[slot]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (bq, chunk)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        return 0
+
+    jax.lax.fori_loop(0, n_int, body, 0)
+
+    # -- diagonal block: trace-time triangular ROW groups ------------------
+    # Row group g covers q rows [g*ds, (g+1)*ds) and needs only kv columns
+    # [0, (g+1)*ds) under the causal mask, so its score dot is
+    # (ds, d) x (d, (g+1)*ds) — MXU work drops from bq^2 to
+    # (G+1)/(2G) * bq^2 at G groups.  Row groups touch DISJOINT rows of the
+    # (m, l, acc) statistics, so each row still gets exactly ONE
+    # online-softmax update for the whole diagonal tile: no extra rescale
+    # passes and no reduction-order change (unlike column strips, which
+    # measured 25-45% slower from the repeated full-height updates).  Only
+    # each group's trailing (ds, ds) square pays an iota mask.  ds=0 (or
+    # ds=block_q) degrades to one full-width masked dot.
+    kd = kd_ref[0, 0]                                 # (bq, d)
+    vd = vd_ref[0, 0]
+    ds = diag_strip if (diag_strip and block_q % diag_strip == 0
+                        and diag_strip < block_q) else block_q
+    for g in range(block_q // ds):
+        r0 = g * ds
+        c_hi = r0 + ds                                # live cols [0, c_hi)
+        sj = jax.lax.dot_general(
+            q[r0:c_hi], kd[:c_hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (ds, c_hi)
+        # only the trailing (ds, ds) square straddles the diagonal
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ds, ds), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ds, ds), 1)
+        wedge = jnp.where(cols <= rows, sj[:, r0:], DEFAULT_MASK_VALUE)
+        if r0 > 0:
+            sj = jnp.concatenate([sj[:, :r0], wedge], axis=1)
+        else:
+            sj = wedge
+        m_prev = m_scr[r0:c_hi, ...]
+        l_prev = l_scr[r0:c_hi, ...]
+        m_curr = jnp.max(sj, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(sj - m_next)
+        m_scr[r0:c_hi, ...] = m_next
+        l_scr[r0:c_hi, ...] = alpha * l_prev + jnp.sum(p, -1, keepdims=True)
+        pv = jax.lax.dot(p.astype(vd.dtype), vd[:c_hi],
+                         preferred_element_type=jnp.float32)
+        acc_scr[r0:c_hi, ...] = acc_scr[r0:c_hi, ...] * alpha + pv
+
+    l = l_scr[...]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    lse = m_scr[...] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+# Row-group width for the loop kernel's diagonal block (trace-time,
+# branch-free).  0 = one full-width masked dot — the measured FORWARD winner
+# (battery_logs/r3_measure_fwd3.log: groups' smaller dots + sliced-scratch
+# updates cost more than the masked overcompute they save); the BACKWARD
+# loop kernels prefer groups (no online-softmax chain there, so the saving
+# is pure) and pass their own width.
+DEFAULT_DIAG_STRIP = 0
+
+
+def _flash_fwd_loop(q, k, v, *, sm_scale, block_q, chunk=None,
+                    diag_strip=DEFAULT_DIAG_STRIP):
+    """Causal self-attention via the q-major loop schedule.
+
+    Requires n_q == n_kv with block_q | n_q (the dispatcher guarantees it).
+    """
+    b, h, n, d = q.shape
+    group = h // k.shape[1]
+    chunk = chunk or block_q
+    assert n % block_q == 0 and block_q % chunk == 0
+    num_q = n // block_q
+
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+
+    grid = (b, h, num_q)
+    kernel = functools.partial(
+        _fwd_loop_kernel, block_q=block_q, chunk=chunk,
+        diag_strip=diag_strip, group=group)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b_, h_, q_: (b_, h_, q_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((2, chunk, d), k.dtype),
+            pltpu.VMEM((2, chunk, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret_mode(),
+    )(q, k, v, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels, q-major / kv-major loop schedules (causal fast path)
+# ---------------------------------------------------------------------------
+#
+# Same restructuring as the forward loop kernel: no skipped grid steps, no
+# pl.when around the dots, interior chunks streamed with double-buffered
+# DMA, the diagonal block via the BlockSpec pipeline with trace-time
+# triangular strips.  Backward is simpler than forward in one way (lse is
+# precomputed, so there is no online-softmax rescale chain at all) and
+# harder in another: dKV walks q-major per KV block, so the per-Q-row
+# statistics (lse, di) stream as (1, chunk) ROW vectors and the whole dKV
+# kernel runs in the TRANSPOSED score layout s^T = (scale*log2e) * k q^T —
+# every dot lands in its natural orientation (dV = p^T dO, dK = dS^T q) and
+# the row stats broadcast along lanes with no relayouts.
+
+
+def _bwd_dq_loop_kernel(q_ref, do_ref, lse_ref, di_ref, kd_ref, vd_ref,
+                        k_hbm, v_hbm, dq_ref, dq_scr, kbuf, vbuf, sems,
+                        *, block_q: int, chunk: int, diag_strip: int,
+                        group: int, sm_scale: float):
+    b_ = pl.program_id(0)
+    h_ = pl.program_id(1)
+    qi = pl.program_id(2)
+    hk = h_ // group
+
+    q = q_ref[0, 0]                                   # (bq, d)
+    do = do_ref[0, 0]
+    lse2 = lse_ref[0, 0] * LOG2E                      # (bq, 1), base-2
+    di = di_ref[0, 0]
+    dq_scr[...] = jnp.zeros_like(dq_scr)
+    scale2 = sm_scale * LOG2E
+
+    n_int = qi * (block_q // chunk)
+
+    def dma(buf, hbm, i, slot, kind):
+        return pltpu.make_async_copy(
+            hbm.at[b_, hk, pl.ds(i * chunk, chunk)],
+            buf.at[slot], sems.at[slot, kind])
+
+    @pl.when(n_int > 0)
+    def _warmup():
+        dma(kbuf, k_hbm, 0, 0, 0).start()
+        dma(vbuf, v_hbm, 0, 0, 1).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_int)
+        def _prefetch():
+            nxt = 1 - slot
+            dma(kbuf, k_hbm, i + 1, nxt, 0).start()
+            dma(vbuf, v_hbm, i + 1, nxt, 1).start()
+
+        dma(kbuf, k_hbm, i, slot, 0).wait()
+        dma(vbuf, v_hbm, i, slot, 1).wait()
+        k = kbuf[slot]
+        v = vbuf[slot]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale2
+        p = jnp.exp2(s - lse2)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_ = p * (dp - di) * sm_scale
+        dq_scr[...] += jax.lax.dot(ds_.astype(k.dtype), k,
+                                   preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_int, body, 0)
+
+    # diagonal block as triangular ROW groups (see the fwd loop kernel):
+    # group g = q rows [g*ds, (g+1)*ds) against kv cols [0, (g+1)*ds);
+    # disjoint dq_scr row slices, one accumulation per row.
+    kd = kd_ref[0, 0]
+    vd = vd_ref[0, 0]
+    ds_w = diag_strip if (diag_strip and block_q % diag_strip == 0
+                          and diag_strip < block_q) else block_q
+    for g in range(block_q // ds_w):
+        r0 = g * ds_w
+        c_hi = r0 + ds_w
+        sj = jax.lax.dot_general(
+            q[r0:c_hi], kd[:c_hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale2   # (ds_w, c_hi)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ds_w, ds_w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ds_w, ds_w), 1)
+        wedge = jnp.where(cols <= rows, sj[:, r0:], DEFAULT_MASK_VALUE)
+        if r0 > 0:
+            sj = jnp.concatenate([sj[:, :r0], wedge], axis=1)
+        else:
+            sj = wedge
+        p = jnp.exp2(sj - lse2[r0:c_hi])
+        dp = jax.lax.dot_general(
+            do[r0:c_hi], vd[:c_hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsj = p * (dp - di[r0:c_hi]) * sm_scale
+        dq_scr[r0:c_hi, ...] += jax.lax.dot(
+            dsj.astype(kd.dtype), kd[:c_hi],
+            preferred_element_type=jnp.float32)
+
+    dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_loop_kernel(k_ref, v_ref, qd_ref, dod_ref, lsed_ref, did_ref,
+                         q_hbm, do_hbm, lse_hbm, di_hbm, dk_ref, dv_ref,
+                         dk_scr, dv_scr, qbuf, dobuf, lsebuf, dibuf, sems,
+                         *, block_k: int, chunk: int, diag_strip: int,
+                         group: int, num_q: int, sm_scale: float):
+    b_ = pl.program_id(0)
+    hk = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    k = k_ref[0, 0]                                   # (bk, d)
+    v = v_ref[0, 0]
+    dk_scr[...] = jnp.zeros_like(dk_scr)
+    dv_scr[...] = jnp.zeros_like(dv_scr)
+    scale2 = sm_scale * LOG2E
+
+    ratio = block_k // chunk
+    n_chunks = num_q * ratio                          # q chunks in total
+
+    for g in range(group):                            # GQA: static unroll
+        head = hk * group + g
+
+        def dma(buf, hbm, i, slot, kind):
+            return pltpu.make_async_copy(
+                hbm.at[b_, head, pl.ds(i * chunk, chunk)],
+                buf.at[slot], sems.at[slot, kind])
+
+        def dma_stat(buf, hbm, i, slot, kind):
+            return pltpu.make_async_copy(
+                hbm.at[b_, head, :, pl.ds(i * chunk, chunk)],
+                buf.at[slot], sems.at[slot, kind])
+
+        # ---- diagonal q block (rows == this kv block's cols) -------------
+        # triangular KV-COLUMN groups in the transposed layout: group g =
+        # kv cols [g*ds, (g+1)*ds) against q rows [g*ds, bk) — DISJOINT
+        # dk/dv row slices, one accumulation per kv token for the whole
+        # diagonal tile; only the leading (ds, ds) square pays the mask.
+        qd = qd_ref[0, g]                             # (bk, d)
+        dod = dod_ref[0, g]
+        ds_w = diag_strip if (diag_strip and block_k % diag_strip == 0
+                              and diag_strip < block_k) else block_k
+        for gg in range(block_k // ds_w):
+            c0 = gg * ds_w                            # kv cols [c0, c0+ds)
+            q_s = qd[c0:]                             # q rows [c0, bk)
+            do_s = dod[c0:]
+            # lane-offset row slices must load from the REF (loads realign
+            # the layout): slicing the loaded (1, bk) row then broadcasting
+            # crashes Mosaic with a vpad'd vector.broadcast
+            lsed2_g = lsed_ref[0, g, :, c0:] * LOG2E  # (1, bk - c0)
+            did_g = did_ref[0, g, :, c0:]
+            st = jax.lax.dot_general(
+                k[c0:c0 + ds_w], q_s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale2  # (ds_w, bk-c0)
+            # transposed wedge: st row = kv col c0+rr, st col = q row
+            # c0+cc: live iff rr <= cc — the LEADING (ds_w, ds_w) square
+            rr = jax.lax.broadcasted_iota(jnp.int32, (ds_w, ds_w), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (ds_w, ds_w), 1)
+            wedge = jnp.where(rr <= cc, st[:, :ds_w], DEFAULT_MASK_VALUE)
+            if c0 + ds_w < block_k:
+                st = jnp.concatenate([wedge, st[:, ds_w:]], axis=1)
+            else:
+                st = wedge
+            pt = jnp.exp2(st - lsed2_g)
+            dv_scr[c0:c0 + ds_w] += jax.lax.dot(
+                pt.astype(do_s.dtype), do_s,
+                preferred_element_type=jnp.float32)
+            dpt = jax.lax.dot_general(
+                v[c0:c0 + ds_w], do_s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dst = pt * (dpt - did_g) * sm_scale
+            dk_scr[c0:c0 + ds_w] += jax.lax.dot(
+                dst.astype(q_s.dtype), q_s,
+                preferred_element_type=jnp.float32)
+
+        # ---- interior q chunks strictly below the diagonal ----------------
+        j0 = (ki + 1) * ratio
+
+        @pl.when(j0 < n_chunks)
+        def _warmup():
+            s0 = jax.lax.rem(j0, 2)
+            dma(qbuf, q_hbm, j0, s0, 0).start()
+            dma(dobuf, do_hbm, j0, s0, 1).start()
+            dma_stat(lsebuf, lse_hbm, j0, s0, 2).start()
+            dma_stat(dibuf, di_hbm, j0, s0, 3).start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _prefetch():
+                nxt = 1 - slot
+                dma(qbuf, q_hbm, i + 1, nxt, 0).start()
+                dma(dobuf, do_hbm, i + 1, nxt, 1).start()
+                dma_stat(lsebuf, lse_hbm, i + 1, nxt, 2).start()
+                dma_stat(dibuf, di_hbm, i + 1, nxt, 3).start()
+
+            dma(qbuf, q_hbm, i, slot, 0).wait()
+            dma(dobuf, do_hbm, i, slot, 1).wait()
+            dma_stat(lsebuf, lse_hbm, i, slot, 2).wait()
+            dma_stat(dibuf, di_hbm, i, slot, 3).wait()
+            qc = qbuf[slot]                           # (chunk, d)
+            doc = dobuf[slot]
+            st = jax.lax.dot_general(
+                k, qc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale2  # (bk, chunk)
+            pt = jnp.exp2(st - lsebuf[slot] * LOG2E)
+            dv_scr[...] += jax.lax.dot(
+                pt.astype(doc.dtype), doc,
+                preferred_element_type=jnp.float32)
+            dpt = jax.lax.dot_general(
+                v, doc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dst = pt * (dpt - dibuf[slot]) * sm_scale
+            dk_scr[...] += jax.lax.dot(
+                dst.astype(qc.dtype), qc,
+                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(j0, n_chunks, body, 0)
+
+    dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_loop(q, k, v, lse, di, do, *, sm_scale, block: int,
+                    diag_strip: int = 0, chunk: Optional[int] = None):
+    """Causal self-attention backward via the loop schedules.
+
+    Requires n_q == n_kv, block | n (dispatcher guarantees).  ``di`` is
+    rowsum(dO * O) shaped (b, h, n, 1); lse likewise.  Returns (dq, dk, dv)
+    with dk/dv at h_kv granularity (GQA group accumulated in-kernel).
+    ``chunk`` (<= block, dividing it) sets the interior DMA chunk: the bwd
+    body holds FOUR score-shaped f32 intermediates (s, p, dp, ds), so
+    smaller chunks relieve vmem pressure where the fwd kernel doesn't
+    need to.
+    """
+    b, h, n, d = q.shape
+    h_kv = k.shape[1]
+    group = h // h_kv
+    num_q = n // block
+    chunk = chunk or block
+    assert block % chunk == 0
+    scale = sm_scale
+
+    # row-vector layout for the dKV streams: (b, h, 1, n) so per-chunk DMA
+    # slices are (1, chunk) with a lane-aligned minor dim
+    lse_row = lse.reshape(b, h, 1, n)
+    di_row = di.reshape(b, h, 1, n)
+
+    (dq,) = pl.pallas_call(
+        functools.partial(_bwd_dq_loop_kernel, block_q=block, chunk=chunk,
+                          diag_strip=diag_strip, group=group,
+                          sm_scale=scale),
+        grid=(b, h, num_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block, d), lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block, d), lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block, 1), lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block, 1), lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block, d),
+                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
+            pl.BlockSpec((1, 1, block, d),
+                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, block, d),
+                                lambda b_, h_, q_: (b_, h_, q_, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((2, chunk, d), k.dtype),
+            pltpu.VMEM((2, chunk, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=use_interpret_mode(),
+    )(q, do, lse, di, k, v, k, v)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_loop_kernel, block_k=block, chunk=chunk,
+                          diag_strip=diag_strip, group=group, num_q=num_q,
+                          sm_scale=scale),
+        grid=(b, h_kv, num_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block, d),
+                         lambda b_, hk_, k_: (b_, hk_, k_, 0)),
+            pl.BlockSpec((1, 1, block, d),
+                         lambda b_, hk_, k_: (b_, hk_, k_, 0)),
+            pl.BlockSpec((1, group, block, d),
+                         lambda b_, hk_, k_: (b_, hk_, k_, 0)),
+            pl.BlockSpec((1, group, block, d),
+                         lambda b_, hk_, k_: (b_, hk_, k_, 0)),
+            pl.BlockSpec((1, group, 1, block),
+                         lambda b_, hk_, k_: (b_, hk_, 0, k_)),
+            pl.BlockSpec((1, group, 1, block),
+                         lambda b_, hk_, k_: (b_, hk_, 0, k_)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block, d),
+                         lambda b_, hk_, k_: (b_, hk_, k_, 0)),
+            pl.BlockSpec((1, 1, block, d),
+                         lambda b_, hk_, k_: (b_, hk_, k_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_kv, n, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, n, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((2, chunk, d), q.dtype),
+            pltpu.VMEM((2, chunk, d), do.dtype),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=use_interpret_mode(),
+    )(k, v, q, do, lse_row, di_row, q, do, lse_row, di_row)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # Backward kernels
 # ---------------------------------------------------------------------------
 
@@ -383,8 +838,7 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_scr, dv_scr,
                     *, causal: bool, sm_scale: float, block_q: int, block_k: int,
                     num_q: int, group: int = 1,
-                    window: Optional[int] = None,
-                    diag_subtile: int = 0):
+                    window: Optional[int] = None):
     # Grid is (b, h_kv, kv_block, group, q_block): for GQA the query-head
     # group is an inner grid axis revisiting the SAME dk/dv output block, so
     # dK/dV accumulate at h_kv granularity in VMEM scratch -- no (b, h,
@@ -450,86 +904,22 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             ) * (sm_scale * LOG2E)                   # (rows, block_k)
 
         if causal or window is not None or len_ref is not None:
-            # Interior-tile skip (same inequalities as the fwd kernel):
-            # only diagonal-crossing / window-edge / varlen-boundary tiles
-            # pay the iota+where mask.
+            # Unconditional iota+where on every running tile (the measured
+            # winner; see the fwd kernel's note).
             row_min = qi * block_q
-            row_max = row_min + block_q - 1
             col_min = ki * block_k
-            col_max = col_min + block_k - 1
-            needs_mask = False
+            s = score(q)
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
+            keep = jnp.ones(s.shape, jnp.bool_)
             if causal:
-                needs_mask |= col_min + block_k - 1 > row_min
+                keep &= cols <= rows
             if window is not None:
-                needs_mask |= row_max - window >= col_min
+                keep &= cols > rows - window
             if len_ref is not None:
-                needs_mask |= col_min + block_k > row_len
-
-            def mask_and_accum(s, r0, q_blk, do_blk, lse_blk, di_blk):
-                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + r0
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, 1) + col_min
-                keep = jnp.ones(s.shape, jnp.bool_)
-                if causal:
-                    keep &= cols <= rows
-                if window is not None:
-                    keep &= cols > rows - window
-                if len_ref is not None:
-                    keep &= cols < row_len
-                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep,
-                      q_blk, do_blk, lse_blk, di_blk)
-
-            if not _INTERIOR_SKIP:
-                mask_and_accum(score(q), row_min, q, do, lse, di)
-                return
-
-            @pl.when(needs_mask)
-            def _masked():
-                if not diag_subtile:
-                    mask_and_accum(score(q), row_min, q, do, lse, di)
-                    return
-                # strip-wise boundary dots over the Q ROWS of the tile (the
-                # kv block is the output here, so the diagonal crossing runs
-                # along q): q strips wholly above the diagonal / past the
-                # window contribute nothing and skip all four MXU dots;
-                # dK/dV scratch accumulation is additive so strip-wise
-                # updates are exact
-                ds_w = diag_subtile
-                for j in range(block_q // ds_w):
-                    r0 = row_min + j * ds_w
-                    r_max = r0 + ds_w - 1
-                    live = True
-                    if causal:
-                        live &= r_max >= col_min
-                    if window is not None:
-                        live &= col_max >= r0 - (window - 1)
-
-                    @pl.when(live)
-                    def _strip(j=j, r0=r0, r_max=r_max):
-                        sl = slice(j * ds_w, (j + 1) * ds_w)
-                        q_sub, do_sub = q[sl], do[sl]
-                        lse_sub, di_sub = lse[sl], di[sl]
-                        strip_masked = False
-                        if causal:
-                            strip_masked |= col_max > r0
-                        if window is not None:
-                            strip_masked |= r_max - window >= col_min
-                        if len_ref is not None:
-                            strip_masked |= col_min + block_k > row_len
-
-                        @pl.when(strip_masked)
-                        def _m():
-                            mask_and_accum(score(q_sub), r0, q_sub, do_sub,
-                                           lse_sub, di_sub)
-
-                        @pl.when(jnp.logical_not(strip_masked))
-                        def _i():
-                            accum(score(q_sub), None, q_sub, do_sub,
-                                  lse_sub, di_sub)
-
-            @pl.when(jnp.logical_not(needs_mask))
-            def _interior():
-                accum(score(q), None, q, do, lse, di)
+                keep &= cols < row_len
+            accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep,
+                  q, do, lse, di)
         else:
             accum(score(q), None, q, do, lse, di)
 
@@ -542,8 +932,7 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr,
                    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                   num_kv: int, window: Optional[int] = None,
-                   diag_subtile: int = 0):
+                   num_kv: int, window: Optional[int] = None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -591,80 +980,20 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             ) * (sm_scale * LOG2E)
 
         if causal or window is not None or len_ref is not None:
-            # interior-tile skip, same inequalities as fwd/dKV
+            # unconditional iota+where (the measured winner; see fwd note)
             row_min = qi * block_q
-            row_max = row_min + block_q - 1
             col_min = ki * block_k
-            needs_mask = False
+            s = score(k)
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
+            keep = jnp.ones(s.shape, jnp.bool_)
             if causal:
-                needs_mask |= col_min + block_k - 1 > row_min
+                keep &= cols <= rows
             if window is not None:
-                needs_mask |= row_max - window >= col_min
+                keep &= cols > rows - window
             if len_ref is not None:
-                needs_mask |= col_min + block_k > row_len
-
-            def mask_and_accum(s, c0, k_blk, v_blk):
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, 0) + row_min
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, 1) + c0
-                keep = jnp.ones(s.shape, jnp.bool_)
-                if causal:
-                    keep &= cols <= rows
-                if window is not None:
-                    keep &= cols > rows - window
-                if len_ref is not None:
-                    keep &= cols < row_len
-                accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep,
-                      k_blk, v_blk)
-
-            if not _INTERIOR_SKIP:
-                mask_and_accum(score(k), col_min, k, v)
-                return
-
-            @pl.when(needs_mask)
-            def _masked():
-                if not diag_subtile:
-                    mask_and_accum(score(k), col_min, k, v)
-                    return
-                # strip-wise boundary dots (see the fwd kernel): all three
-                # MXU dots shrink to the live column strips; dq_scr
-                # accumulation is additive so strip-wise updates are exact
-                ds_w = diag_subtile
-                for j in range(block_k // ds_w):
-                    c0 = col_min + j * ds_w
-                    c_max = c0 + ds_w - 1
-                    live = True
-                    if causal:
-                        live &= c0 <= row_max
-                    if window is not None:
-                        live &= c_max >= row_min - (window - 1)
-                    if len_ref is not None:
-                        live &= c0 < row_len
-
-                    @pl.when(live)
-                    def _strip(j=j, c0=c0, c_max=c_max):
-                        k_sub = k[j * ds_w:(j + 1) * ds_w]
-                        v_sub = v[j * ds_w:(j + 1) * ds_w]
-                        strip_masked = False
-                        if causal:
-                            strip_masked |= c_max > row_min
-                        if window is not None:
-                            strip_masked |= row_max - window >= c0
-                        if len_ref is not None:
-                            strip_masked |= c0 + ds_w > row_len
-
-                        @pl.when(strip_masked)
-                        def _m():
-                            mask_and_accum(score(k_sub), c0, k_sub, v_sub)
-
-                        @pl.when(jnp.logical_not(strip_masked))
-                        def _i():
-                            accum(score(k_sub), None, k_sub, v_sub)
-
-            @pl.when(jnp.logical_not(needs_mask))
-            def _interior():
-                accum(score(k), None, k, v)
+                keep &= cols < row_len
+            accum(jnp.where(keep, s, DEFAULT_MASK_VALUE), keep, k, v)
         else:
             accum(score(k), None, k, v)
 
@@ -674,18 +1003,7 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
-               kv_lengths=None, window=None, diag_subtile=0):
-    # Strip width applies per kernel where it divides the stripped block
-    # axis (dQ strips block_k columns, dKV strips block_q rows).
-    ds_dq = ds_dkv = 0
-    if diag_subtile:
-        if diag_subtile % 128:
-            raise ValueError(
-                f"diag_subtile ({diag_subtile}) must be a multiple of 128")
-        if block_k % diag_subtile == 0 and diag_subtile < block_k:
-            ds_dq = diag_subtile
-        if block_q % diag_subtile == 0 and diag_subtile < block_q:
-            ds_dkv = diag_subtile
+               kv_lengths=None, window=None):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     h_kv = k.shape[1]
@@ -762,7 +1080,7 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
     dk, dv = make_call(
         bind(_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
              block_q=block_q, block_k=block_k, num_q=num_q, group=group,
-             window=window, diag_subtile=ds_dkv),
+             window=window),
         grid=(b, h_kv, num_kv, group, num_q),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
         out_specs=[
@@ -801,8 +1119,7 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
 
     (dq,) = make_call(
         bind(_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
-             block_q=block_q, block_k=block_k, num_kv=num_kv, window=window,
-             diag_subtile=ds_dq),
+             block_q=block_q, block_k=block_k, num_kv=num_kv, window=window),
         grid=(b, h, num_q, num_kv),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2,
                   stat_spec2],
@@ -832,7 +1149,7 @@ def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int):
 MIN_KERNEL_KV_LEN = 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(
     q: Array,
     k: Array,
@@ -843,7 +1160,6 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto",
     window: Optional[int] = None,
-    diag_subtile: int = DEFAULT_DIAG_SUBTILE,
 ) -> Array:
     """softmax(Q K^T / sqrt(d)) V without materialising the scores matrix.
 
@@ -861,19 +1177,11 @@ def flash_attention(
         outside the window are skipped at the GRID level with their DMAs
         elided, so compute AND memory traffic are O(seq * window), in
         forward and both backward kernels.
-      diag_subtile: 0 (off) or a multiple of 128 — issue mask-crossing
-        (diagonal/window-edge/varlen-boundary) tiles' MXU dots in strips of
-        this width, skipping strips with no live element.  Cuts the causal
-        overcompute from max(block_q, block_k)/2 to diag_subtile/2 score
-        columns per row while interior tiles keep the full-width dot.
-        Applies to the forward kernel (column strips, when it divides
-        block_k), the dQ kernel (column strips, ditto) and the dKV kernel
-        (row strips, when it divides block_q).
 
     Returns: (batch, heads, seq_q, head_dim).
     """
     o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                            impl, window, diag_subtile)
+                            impl, window)
     return o
 
 
@@ -903,6 +1211,36 @@ def _check_heads(q, k, v):
             f"({h_kv}) for GQA/MQA grouping")
 
 
+def _loop_block(q, k, causal, window, impl, blocks):
+    """Block size for the q-major loop schedule, or None if the grid kernel
+    should run instead.
+
+    The loop kernels are the measured causal winners
+    (battery_logs/r3_measure_fwd*.log: fwd 99/119/129 TF at 2/4/8K vs the
+    grid's 84/106/117; bwd +20%), so ``impl="auto"`` routes eligible shapes
+    through them: causal dense self-attention, seq divisible by the 1024
+    block (smaller loop blocks measured SLOWER than the grid kernel), and a
+    lane-aligned head dim (the manual (chunk, d) DMA slices need d % 128 ==
+    0 to lower on Mosaic; sub-128 head dims keep the grid path).  Explicit
+    ``impl="loop"`` trusts the caller's block size (tests drive small
+    blocks in interpret mode).
+    """
+    if not causal or window is not None or q.shape[2] != k.shape[2]:
+        return None
+    n = q.shape[2]
+    if impl == "loop":
+        return blocks[0] if n % blocks[0] == 0 else None
+    if impl == "auto" and n % 1024 == 0 and q.shape[3] % 128 == 0 \
+            and blocks[0] >= 1024:
+        return 1024
+    return None
+
+
+# Backward loop-kernel tuning (battery_logs/r3_measure_fwd4.log: block 1024,
+# interior chunk = block, diagonal row groups of 256 won at every seq).
+_BWD_LOOP_DIAG = 256
+
+
 def _use_kernel(q, k, block_q, block_k, impl):
     if impl == "reference":
         return None
@@ -915,7 +1253,7 @@ def _use_kernel(q, k, block_q, block_k, impl):
 
 
 def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                     impl="auto", window=None, diag_subtile=0):
+                     impl="auto", window=None):
     _check_heads(q, k, v)
     if window is not None:
         if not causal:
@@ -929,9 +1267,11 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
     if blocks is None:
         # jnp op-graph path (jitted & fused by XLA); lse kept for the vjp.
         return _reference_fwd_with_lse(q, k, v, causal, scale, window=window)
+    lb = _loop_block(q, k, causal, window, impl, blocks)
+    if lb is not None:
+        return _flash_fwd_loop(q, k, v, sm_scale=scale, block_q=lb)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
-                      block_q=blocks[0], block_k=blocks[1], window=window,
-                      diag_subtile=diag_subtile)
+                      block_q=blocks[0], block_k=blocks[1], window=window)
 
 
 def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None,
@@ -973,14 +1313,14 @@ def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None,
 
 
 def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k, impl,
-                   window, diag_subtile):
+                   window):
     o, lse = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                              impl, window, diag_subtile)
+                              impl, window)
     return o, (q, k, v, o, lse)
 
 
 def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
-                   diag_subtile, res, do):
+                   res, do):
     q, k, v, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
@@ -992,9 +1332,17 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
 
         _, vjp = jax.vjp(f, q, k, v)
         return vjp(do)
+    lb = _loop_block(q, k, causal, window, impl, blocks)
+    if lb is not None:
+        di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                     axis=-1, keepdims=True)
+        ds = _BWD_LOOP_DIAG if lb % _BWD_LOOP_DIAG == 0 and \
+            lb > _BWD_LOOP_DIAG else 0
+        return _flash_bwd_loop(q, k, v, lse, di, do, sm_scale=scale,
+                               block=lb, diag_strip=ds)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal, sm_scale=scale,
                             block_q=blocks[0], block_k=blocks[1],
-                            window=window, diag_subtile=diag_subtile)
+                            window=window)
     return dq, dk, dv
 
 
@@ -1019,13 +1367,12 @@ def flash_attention_reference(q, k, v, causal: bool = False,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def flash_attention_varlen(
     q: Array, k: Array, v: Array, kv_lengths: Array,
     causal: bool = False, sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto", window: Optional[int] = None,
-    diag_subtile: int = DEFAULT_DIAG_SUBTILE,
 ) -> Array:
     """Flash attention over a PADDED batch: ``kv_lengths`` (B,) int32 gives
     each row's valid KV prefix; keys/values at positions >= length are
@@ -1039,12 +1386,12 @@ def flash_attention_varlen(
     (windowed batched prefill); requires causal.
     """
     o, _ = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
-                       block_k, impl, window, diag_subtile)
+                       block_k, impl, window)
     return o
 
 
 def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
-                impl, window=None, diag_subtile=0):
+                impl, window=None):
     _check_heads(q, k, v)
     if window is not None:
         if not causal:
@@ -1060,19 +1407,18 @@ def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
                                        window)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
                       block_q=blocks[0], block_k=blocks[1],
-                      kv_lengths=kv_lengths, window=window,
-                      diag_subtile=diag_subtile)
+                      kv_lengths=kv_lengths, window=window)
 
 
 def _varlen_vjp_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
-                    impl, window, diag_subtile):
+                    impl, window):
     o, lse = _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q,
-                         block_k, impl, window, diag_subtile)
+                         block_k, impl, window)
     return o, (q, k, v, kv_lengths, o, lse)
 
 
 def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
-                    diag_subtile, res, do):
+                    res, do):
     q, k, v, kv_lengths, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
@@ -1088,7 +1434,7 @@ def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal,
                             sm_scale=scale, block_q=blocks[0],
                             block_k=blocks[1], kv_lengths=kv_lengths,
-                            window=window, diag_subtile=diag_subtile)
+                            window=window)
     return dq, dk, dv, None
 
 
@@ -1100,7 +1446,6 @@ def flash_attention_with_lse(
     sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto", window: Optional[int] = None,
-    diag_subtile: int = DEFAULT_DIAG_SUBTILE,
 ):
     """Forward-only flash attention returning ``(o, lse)`` with lse shaped
     (b, h, n_q, 1).
@@ -1111,7 +1456,7 @@ def flash_attention_with_lse(
     (flashattention_kernel.cu:107-108), in FA-2 combined form.
     """
     return _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                            impl, window, diag_subtile)
+                            impl, window)
 
 
 def mha_attention(q, k, v, causal: bool = False, use_flash: bool = True) -> Array:

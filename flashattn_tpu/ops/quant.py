@@ -279,20 +279,14 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
             ) * ks.reshape(1, -1)
 
         if causal:
-            # Mask only diagonal-crossing tiles (same interior-tile skip as
-            # the bf16 flash kernel) -- interior tiles pay no iota+where.
+            # Unconditional iota+where on every running tile: branching the
+            # mask on a per-tile predicate measured ~18% SLOWER (r3_followup
+            # A/B — predication around the dot breaks Mosaic pipelining).
             row_min = qi * block_q
             col_min = ki * block_k
-
-            @pl.when(col_min + block_k - 1 > row_min)
-            def _masked():
-                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
-                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
-                update(jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE))
-
-            @pl.when(col_min + block_k - 1 <= row_min)
-            def _interior():
-                update(s)
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_min
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_min
+            update(jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE))
         else:
             update(s)
 
@@ -307,10 +301,214 @@ def _kv8_fwd_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
+def _kv8_loop_kernel(q_ref, kd_ref, kds_ref, vd_ref, vds_ref,
+                     k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref, lse_ref,
+                     m_scr, l_scr, acc_scr, kbuf, ksbuf, vbuf, vsbuf, sems,
+                     *, block_q: int, chunk: int, diag_strip: int,
+                     group: int, int8_mxu: bool):
+    """Quantized-KV port of the q-major loop schedule
+    (flash_attention.py::_fwd_loop_kernel): interior chunks streamed by
+    double-buffered DMA (payloads + per-token scale ROWS), the diagonal
+    block as trace-time triangular row groups.  Scales ride in (1, n) row
+    layout so both the K-scale rescale of the scores and the V-scale fold
+    into p are lane-broadcasts.  int8 payloads run the scores dot int8 x
+    int8 on the MXU (q quantised once per q block at trace time — no
+    pl.when, unlike the grid kernel's ki==0 gate)."""
+    b_ = pl.program_id(0)
+    h_ = pl.program_id(1)
+    qi = pl.program_id(2)
+    hk = h_ // group
+
+    q = q_ref[0, 0]                                   # (bq, d), pre-scaled
+    if int8_mxu:
+        qf = q.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qs = jnp.where(absmax == 0, 1.0, absmax / 127.0)    # (bq, 1)
+        q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+
+    def score(k8_blk, ks_row, q8_blk=None, qs_blk=None):
+        if int8_mxu:
+            return jax.lax.dot_general(
+                q8_blk, k8_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qs_blk * ks_row
+        return jax.lax.dot_general(
+            q if q8_blk is None else q8_blk, k8_blk.astype(q.dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * ks_row
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    n_int = qi * (block_q // chunk)
+
+    def dma(buf, hbm, i, slot, kind):
+        return pltpu.make_async_copy(
+            hbm.at[b_, hk, pl.ds(i * chunk, chunk)],
+            buf.at[slot], sems.at[slot, kind])
+
+    def dma_row(buf, hbm, i, slot, kind):
+        return pltpu.make_async_copy(
+            hbm.at[b_, hk, :, pl.ds(i * chunk, chunk)],
+            buf.at[slot], sems.at[slot, kind])
+
+    def start(i, slot):
+        dma(kbuf, k_hbm, i, slot, 0).start()
+        dma(vbuf, v_hbm, i, slot, 1).start()
+        dma_row(ksbuf, ks_hbm, i, slot, 2).start()
+        dma_row(vsbuf, vs_hbm, i, slot, 3).start()
+
+    def wait(i, slot):
+        dma(kbuf, k_hbm, i, slot, 0).wait()
+        dma(vbuf, v_hbm, i, slot, 1).wait()
+        dma_row(ksbuf, ks_hbm, i, slot, 2).wait()
+        dma_row(vsbuf, vs_hbm, i, slot, 3).wait()
+
+    @pl.when(n_int > 0)
+    def _warmup():
+        start(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_int)
+        def _prefetch():
+            start(i + 1, 1 - slot)
+
+        wait(i, slot)
+        s = score(kbuf[slot], ksbuf[slot],
+                  q8 if int8_mxu else None, qs if int8_mxu else None)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        e = jnp.exp2(s - m_next)
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        # V scale folded into p (lane-broadcast; the per-row V dequant would
+        # need a (chunk, 1) column layout the row streams don't carry)
+        pv = jax.lax.dot((e * vsbuf[slot]).astype(q.dtype),
+                         vbuf[slot].astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        return 0
+
+    jax.lax.fori_loop(0, n_int, body, 0)
+
+    # -- diagonal block: triangular row groups (see _fwd_loop_kernel) ------
+    kd8 = kd_ref[0, 0]
+    vd8 = vd_ref[0, 0]
+    ds = diag_strip if (diag_strip and block_q % diag_strip == 0
+                        and diag_strip < block_q) else block_q
+    for g in range(block_q // ds):
+        r0 = g * ds
+        c_hi = r0 + ds
+        kds_g = kds_ref[0, 0, :, :c_hi]               # (1, c_hi) f32
+        vds_g = vds_ref[0, 0, :, :c_hi]
+        sj = score(kd8[:c_hi], kds_g,
+                   q8[r0:c_hi] if int8_mxu else q[r0:c_hi],
+                   qs[r0:c_hi] if int8_mxu else None)  # (ds, c_hi)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ds, ds), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ds, ds), 1)
+        wedge = jnp.where(cols <= rows, sj[:, r0:], DEFAULT_MASK_VALUE)
+        if r0 > 0:
+            sj = jnp.concatenate([sj[:, :r0], wedge], axis=1)
+        else:
+            sj = wedge
+        m_prev = m_scr[r0:c_hi, ...]
+        l_prev = l_scr[r0:c_hi, ...]
+        m_curr = jnp.max(sj, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        e = jnp.exp2(sj - m_next)
+        m_scr[r0:c_hi, ...] = m_next
+        l_scr[r0:c_hi, ...] = alpha * l_prev + jnp.sum(e, -1, keepdims=True)
+        pv = jax.lax.dot((e * vds_g).astype(q.dtype),
+                         vd8[:c_hi].astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        acc_scr[r0:c_hi, ...] = acc_scr[r0:c_hi, ...] * alpha + pv
+
+    l = l_scr[...]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    lse = m_scr[...] * 0.6931471805599453 + jnp.log(
+        jnp.where(l == 0.0, 1.0, l))
+    lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+def _kv8_flash_loop(q, k, v, *, sm_scale, block_q=1024, diag_strip=0):
+    """Causal int8/fp8-KV self-attention via the loop schedule.  Requires
+    block_q | n (dispatcher guarantees)."""
+    from .flash_attention import LOG2E
+
+    b, h, n, d = q.shape
+    h_kv = k.values.shape[1]
+    group = h // h_kv
+    num_q = n // block_q
+    int8_mxu = k.values.dtype == jnp.int8
+
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    # scale ROWS: (b, h_kv, n, 1) -> (b, h_kv, 1, n) so per-chunk DMA slices
+    # are (1, chunk) with a lane-aligned minor dim
+    ks_row = k.scales.reshape(b, h_kv, 1, n)
+    vs_row = v.scales.reshape(b, h_kv, 1, n)
+
+    kernel = functools.partial(
+        _kv8_loop_kernel, block_q=block_q, chunk=block_q,
+        diag_strip=diag_strip, group=group, int8_mxu=int8_mxu)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(b, h, num_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda b_, h_, q_: (b_, h_ // group, 0, q_)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda b_, h_, q_: (b_, h_ // group, 0, q_)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b_, h_, q_: (b_, h_, q_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((2, block_q, d), k.values.dtype),
+            pltpu.VMEM((2, 1, block_q), jnp.float32),
+            pltpu.VMEM((2, block_q, d), v.values.dtype),
+            pltpu.VMEM((2, 1, block_q), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=use_interpret_mode(),
+    )(q, k.values, ks_row, v.values, vs_row,
+      k.values, ks_row, v.values, vs_row)
+    return o, lse
+
+
 def flash_attention_kv_int8(
     q: Array, k: QuantizedTensor, v: QuantizedTensor,
     causal: bool = False, sm_scale: Optional[float] = None,
-    block_q: int = 512, block_k: int = 1024,
+    block_q: int = 1024, block_k: int = 1024,
 ):
     """Flash attention with int8-quantised KV-cache (inference path).
 
@@ -329,6 +527,15 @@ def flash_attention_kv_int8(
         from .flash_attention import _reference_fwd_with_lse
 
         return _reference_fwd_with_lse(q, kd, vd, causal, scale)
+
+    # causal self-attention at loop-tileable shapes: the q-major loop
+    # schedule (no skipped grid steps / branches; measured winner, see
+    # battery_logs/r3_measure*).  The manual DMA slices need sublane/lane
+    # alignment (block % 128, d % 128) — odd shapes keep the grid kernel
+    # (a 327-row int8 slice fails tpu.memref_slice at compile).
+    if (causal and n_q == n_kv and n_q % bq == 0 and bq % 128 == 0
+            and bq >= 128 and d % 128 == 0):
+        return _kv8_flash_loop(q, k, v, sm_scale=scale, block_q=bq)
 
     # Fold log2(e) into the scale: the kernel's online softmax runs in exp2
     # (VPU-native); l is invariant, lse recovered as m*ln2 + log(l).

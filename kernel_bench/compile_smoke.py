@@ -66,46 +66,36 @@ def main():
                 ft.flash_attention_reference(q, k, k, causal).astype(jnp.float32)))(q)
             ok &= check(f"flash bwd nq={nq} {dtype.__name__}", g, gr, 5e-2)
 
-    # diag_subtile: strip-wise boundary dots (nested pl.when + static row
-    # slices of the K/V blocks — Mosaic lowering must be validated on-chip).
-    # The flag is OPT-IN (defaults stay 0) and every consumer (bench.py,
-    # r2_measure) guards it with try/except, so a lowering failure here is
-    # reported loudly but does NOT flip the smoke's exit code — it must not
-    # block the battery from measuring the independent default-path kernels.
-    for (dtype, window, ds) in [(jnp.bfloat16, None, 256),
-                                (jnp.float32, None, 128),
-                                (jnp.bfloat16, 300, 256)]:
-        qs = jax.random.normal(key, (1, 4, 2048, 128), dtype)
-        try:
-            o = ft.flash_attention(qs, qs, qs, True, impl="pallas",
-                                   window=window, diag_subtile=ds)
-            ref = ft.flash_attention_reference(qs, qs, qs, True,
-                                               window=window)
-            if not check(f"flash fwd diag_subtile={ds} {dtype.__name__} "
-                         f"w={window}", o, ref, 2e-2):
-                print("WARN diag_subtile MISMATCH (opt-in path; not "
-                      "gating) -- do not enable it in defaults")
-        except Exception as e:
-            print(f"WARN flash fwd diag_subtile={ds} {dtype.__name__} "
-                  f"w={window} failed to lower (opt-in path; not gating): "
-                  f"{type(e).__name__}: {e}")
-    # backward strips (dQ column strips + dKV row strips, GQA group axis)
-    try:
-        qs = jax.random.normal(key, (1, 4, 2048, 128), jnp.float32)
-        kg2 = jax.random.normal(key, (1, 2, 2048, 128), jnp.float32)
-        gsub = jax.grad(lambda a, b: jnp.sum(ft.flash_attention(
-            a, b, b, True, None, 512, 512, "pallas", None, 256)),
-            argnums=(0, 1))(qs, kg2)
-        gref = jax.grad(lambda a, b: jnp.sum(ft.flash_attention_reference(
-            a, b, b, True)), argnums=(0, 1))(qs, kg2)
-        if not (check("flash bwd diag_subtile dq", gsub[0], gref[0], 5e-2)
-                & check("flash bwd diag_subtile dkv", gsub[1], gref[1],
-                        5e-2)):
-            print("WARN diag_subtile bwd MISMATCH (opt-in path; not "
-                  "gating) -- do not enable it in defaults")
-    except Exception as e:
-        print(f"WARN flash bwd diag_subtile failed to lower (opt-in path; "
-              f"not gating): {type(e).__name__}: {e}")
+    # q-major loop kernel (impl="loop"): manual double-buffered KV DMA with
+    # a dynamic trip count + trace-time triangular diagonal strips.  Mosaic
+    # lowering of the DMA slices and the strip writes into the f32 staging
+    # tile only fails when compiling on-chip, hence the smoke coverage.
+    # GATING: the loop kernel is a bench.py candidate and the intended
+    # production causal path.
+    for (dtype, nq, bq, hkv) in [(jnp.bfloat16, 2048, 1024, 4),
+                                 (jnp.float32, 2048, 512, 4),
+                                 (jnp.bfloat16, 4096, 1024, 2)]:  # GQA
+        qs = jax.random.normal(key, (1, 4, nq, 128), dtype)
+        ks = jax.random.normal(key, (1, hkv, nq, 128), dtype)
+        o = ft.flash_attention(qs, ks, ks, True, impl="loop", block_q=bq)
+        ref = ft.flash_attention_reference(qs, ks, ks, True)
+        ok &= check(f"flash fwd loop {dtype.__name__} nq={nq} bq={bq} "
+                    f"hkv={hkv}", o, ref, 2e-2)
+    # backward loop kernels (dq q-major + dkv transposed kv-major with
+    # GQA group unroll and diagonal row groups) at the production config
+    qs = jax.random.normal(key, (1, 4, 2048, 128), jnp.bfloat16)
+    kg = jax.random.normal(key, (1, 2, 2048, 128), jnp.bfloat16)
+    gl = jax.grad(lambda a, b: jnp.sum(ft.flash_attention(
+        a, b, b, True, impl="loop").astype(jnp.float32)),
+        argnums=(0, 1))(qs, kg)
+    gr = jax.grad(lambda a, b: jnp.sum(ft.flash_attention_reference(
+        a, b, b, True).astype(jnp.float32)), argnums=(0, 1))(qs, kg)
+    ok &= check("flash bwd loop dq (GQA)", gl[0], gr[0], 5e-2)
+    ok &= check("flash bwd loop dkv (GQA)", gl[1], gr[1], 5e-2)
+    # auto dispatch routes eligible causal shapes through the loop kernels
+    o_auto = ft.flash_attention(qs, kg, kg, True)
+    ok &= check("flash fwd auto->loop", o_auto,
+                ft.flash_attention_reference(qs, kg, kg, True), 2e-2)
 
     # GQA: q heads grouped onto fewer kv heads (index-map folding)
     qg = jax.random.normal(key, (2, 8, 2048, 64), jnp.float32)

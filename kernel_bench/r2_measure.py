@@ -1,6 +1,8 @@
-"""Round-2 change measurements: mask-skip, int8-MXU, GQA bwd, int8 paged.
+"""Quantized-path measurements: int8-KV prefill and int8 paged decode.
 
-Runs the four VERDICT-r1 perf items' scoreboard numbers on the real chip.
+(The round-2 block sweep and GQA-backward sections were superseded by the
+r3 loop-kernel harness, kernel_bench/r3_measure.py, when the diag_subtile
+strip API they exercised was removed as a measured loss.)
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u kernel_bench/r2_measure.py
 """
@@ -21,117 +23,28 @@ from flashattn_tpu.utils.timing import device_loop_time
 ROOFLINE = 175.0  # measured 8192^3 bf16 matmul TFLOP/s on this chip
 
 
-def flash_block_sweep():
-    print("== flash fwd causal bf16 B4 H8 D128: block sweep (mask-skip) ==")
-    B, H, D = 4, 8, 128
-    for N in (2048, 4096, 8192):
-        q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), jnp.bfloat16)
-        flops = 4 * B * H * N * N * D * 0.5
-        raw_rows = []
-        # causal overcompute ~= N*block_k/2 regardless of block_q, so small
-        # block_k is the useful-fraction lever; large block_q keeps the MXU
-        # fed and amortises the per-tile softmax update.  diag_subtile (ds)
-        # keeps the big block_k on interior tiles and strips only the
-        # boundary blocks — overcompute drops to ~N*ds/2 at full-width raw
-        # efficiency.
-        for (bq, bk, ds) in [(512, 1024, 0), (512, 512, 0), (256, 512, 0),
-                             (1024, 1024, 0), (1024, 512, 0), (512, 256, 0),
-                             (1024, 256, 0), (2048, 256, 0), (2048, 512, 0),
-                             (256, 256, 0), (256, 128, 0),
-                             (512, 1024, 256), (512, 1024, 128),
-                             (1024, 1024, 256), (512, 512, 128),
-                             (2048, 1024, 256), (1024, 512, 128)]:
-            if bq > N or bk > N:
-                continue
-            try:
-                t = device_loop_time(
-                    lambda x: ft.flash_attention(x, x, x, True, block_q=bq,
-                                                 block_k=bk, impl="pallas",
-                                                 diag_subtile=ds),
-                    (q,), iters=60)
-            except Exception as e:
-                print(f"  N={N} blocks=({bq},{bk}) ds={ds}: FAILED "
-                      f"{type(e).__name__}: {e}")
-                continue
-            # raw = flops actually issued incl. masked-tile overcompute
-            tf = flops / t / 1e12
-            raw_rows.append((bq, bk, ds, t * 1e3, tf))
-            print(f"  N={N} blocks=({bq},{bk}) ds={ds}: {t*1e3:7.3f} ms  "
-                  f"{tf:6.1f} useful TFLOP/s ({tf/ROOFLINE*100:4.1f}% roof)")
-        best = max(raw_rows, key=lambda r: r[4])
-        print(f"  N={N} BEST blocks=({best[0]},{best[1]}) ds={best[2]} "
-              f"{best[4]:.1f} TFLOP/s")
-
-    # sliding window at long seq: strips cut BOTH edges' overcompute (the
-    # PERF.md note: the gap to the O(n*w) ideal was diagonal-tile
-    # granularity).  B=1 H=8 N=32768 w=1024, ms/call only.
-    q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32768, 128),
-                          jnp.bfloat16)
-    for (bq, bk, ds) in [(512, 1024, 0), (512, 1024, 256), (512, 512, 128),
-                         (256, 256, 0)]:
-        try:
-            t = device_loop_time(
-                lambda x: ft.flash_attention(x, x, x, True, block_q=bq,
-                                             block_k=bk, impl="pallas",
-                                             window=1024, diag_subtile=ds),
-                (q,), iters=40)
-            print(f"  N=32768 w=1024 blocks=({bq},{bk}) ds={ds}: "
-                  f"{t*1e3:7.3f} ms")
-        except Exception as e:
-            print(f"  N=32768 w=1024 ({bq},{bk}) ds={ds}: FAILED "
-                  f"{type(e).__name__}: {e}")
-
-
 def int8_prefill():
     print("== int8-KV flash vs bf16 (prefill, causal, B4 H8 D128) ==")
+    # int8-KV now routes causal tileable shapes through the quantized loop
+    # schedule (quant.py::_kv8_flash_loop); the honest denominator is the
+    # BEST bf16 path (the bf16 loop kernel), not the old grid kernel.
     from flashattn_tpu.ops.quant import flash_attention_kv_int8, quantize_int8
     B, H, D = 4, 8, 128
     for N in (2048, 4096, 8192):
         q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), jnp.bfloat16)
         kq = quantize_int8(q.astype(jnp.float32), axis=-1)
         t_bf16 = device_loop_time(
-            lambda x: ft.flash_attention(x, x, x, True, impl="pallas"),
+            lambda x: ft.flash_attention(x, x, x, True, impl="loop"),
             (q,), iters=60)
         t_int8 = device_loop_time(
             lambda x: flash_attention_kv_int8(x, kq, kq, True)[0],
             (q,), iters=60)
         flops = 4 * B * H * N * N * D * 0.5
-        print(f"  N={N}: bf16 {t_bf16*1e3:7.3f} ms ({flops/t_bf16/1e12:5.1f} TF) "
-              f"| int8-KV {t_int8*1e3:7.3f} ms ({flops/t_int8/1e12:5.1f} TF) "
+        print(f"  N={N}: bf16-loop {t_bf16*1e3:7.3f} ms "
+              f"({flops/t_bf16/1e12:5.1f} TF) "
+              f"| int8-KV-loop {t_int8*1e3:7.3f} ms "
+              f"({flops/t_int8/1e12:5.1f} TF) "
               f"| int8/bf16 {t_bf16/t_int8:5.2f}x")
-
-
-def gqa_bwd():
-    print("== flash bwd TFLOP/s (causal bf16 D128): MHA vs GQA 8q/2kv ==")
-    B, D = 4, 128
-    for N in (2048, 4096):
-        for (hq, hkv) in [(8, 8), (8, 2), (8, 1)]:
-            q = jax.random.normal(jax.random.PRNGKey(0), (B, hq, N, D),
-                                  jnp.bfloat16)
-            kv = jax.random.normal(jax.random.PRNGKey(1), (B, hkv, N, D),
-                                   jnp.bfloat16)
-
-            def bwd(q, ds=0, bq=512, bk=1024):
-                return jax.grad(lambda a, b: jnp.sum(
-                    ft.flash_attention(a, b, b, True, None, bq, bk,
-                                       "pallas", None, ds)
-                    .astype(jnp.float32)), argnums=0)(q, kv)
-
-            t = device_loop_time(jax.jit(bwd), (q,), iters=30)
-            flops = 5 * 2 * B * hq * N * N * D * 0.5
-            print(f"  N={N} {hq}q/{hkv}kv: {t*1e3:7.3f} ms  "
-                  f"{flops/t/1e12:6.1f} TFLOP/s")
-            # strip-dot backward variants (dQ col strips + dKV row strips)
-            for (bq, bk, ds) in [(512, 1024, 256), (512, 512, 128)]:
-                try:
-                    t = device_loop_time(
-                        jax.jit(functools.partial(bwd, ds=ds, bq=bq, bk=bk)),
-                        (q,), iters=30)
-                    print(f"  N={N} {hq}q/{hkv}kv ds={ds} ({bq},{bk}): "
-                          f"{t*1e3:7.3f} ms  {flops/t/1e12:6.1f} TFLOP/s")
-                except Exception as e:
-                    print(f"  N={N} {hq}q/{hkv}kv ds={ds}: FAILED "
-                          f"{type(e).__name__}: {e}")
 
 
 def paged_int8():
@@ -173,7 +86,17 @@ def paged_int8():
 
 
 if __name__ == "__main__":
-    for fn in (flash_block_sweep, int8_prefill, gqa_bwd, paged_int8):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma-separated section names to run")
+    args = ap.parse_args()
+    sections = (int8_prefill, paged_int8)
+    if args.only:
+        wanted = set(args.only.split(","))
+        sections = [f for f in sections if f.__name__ in wanted]
+    for fn in sections:
         try:
             fn()
         except Exception as e:  # keep the remaining sections' measurements

@@ -1,7 +1,8 @@
 #!/bin/bash
-# Round-2 on-chip measurement battery. Run when the TPU relay is up:
+# Round-3 on-chip measurement battery. Run when the TPU relay is up:
 #   bash kernel_bench/run_battery.sh
-# Logs land in /tmp/battery/. compile_smoke gates everything else.
+# Logs land in /tmp/battery/ AND kernel_bench/battery_logs/.
+# compile_smoke gates everything else.
 set -u
 mkdir -p /tmp/battery
 cd /root/repo
@@ -12,6 +13,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "=== $name ($(date +%H:%M:%S)) ==="
   timeout "$t" "$@" > "/tmp/battery/$name.log" 2>&1
   local rc=$?
+  cp "/tmp/battery/$name.log" "kernel_bench/battery_logs/$name.log"
   tail -3 "/tmp/battery/$name.log"
   echo "--- $name rc=$rc"
   return $rc
@@ -19,10 +21,13 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run compile_smoke 1800 python -u kernel_bench/compile_smoke.py || {
   echo "SMOKE FAILED - stopping battery"; exit 1; }
-run r2_measure 3600 python -u kernel_bench/r2_measure.py
+run r3_measure 4800 python -u kernel_bench/r3_measure.py
+run int8_paged 2400 python -u kernel_bench/r2_measure.py --only paged_int8,int8_prefill
 run fused_dropout 1200 python -u kernel_bench/bench_fused_dropout.py
 run train_precision 2400 python -u kernel_bench/bench_train_precision.py
 run serving 2400 python -u kernel_bench/bench_serving.py
 run speculative 3600 python -u kernel_bench/bench_speculative.py
+run sweep_reference 4800 python -u kernel_bench/speed_test_flash_attention.py \
+  --reference --out kernel_bench/results_speed_test_tpu_v5e_reference.csv
 run bench_headline 1200 python -u bench.py
 echo "BATTERY DONE $(date)"

@@ -236,55 +236,83 @@ class TestGQA:
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
-class TestDiagSubtile:
-    """diag_subtile strips the boundary tiles' score dot: exactness vs the
-    oracle across causal / window / varlen, and argument validation."""
+class TestLoopKernel:
+    """The q-major loop schedule (impl="loop"): interior KV chunks streamed
+    by manual double-buffered DMA with a dynamic trip count, the diagonal
+    block as trace-time triangular strips with one softmax update."""
 
     def test_causal_matches_oracle(self):
-        q, k, v = _qkv((1, 2, 512, 32), seed=41)
-        out = flash_attention(q, k, v, True, None, 128, 256,
-                              diag_subtile=128)
+        q, k, v = _qkv((2, 2, 512, 32), seed=41)
+        out = flash_attention(q, k, v, True, block_q=128, impl="loop")
         ref = flash_attention_reference(q, k, v, True)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
-    def test_window_matches_oracle(self):
+    def test_single_block_row(self):
+        """num_q == 1: the interior loop never runs, diagonal only."""
+        q, k, v = _qkv((1, 1, 256, 32), seed=42)
+        out = flash_attention(q, k, v, True, block_q=256, impl="loop")
+        ref = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_gqa_matches_oracle(self):
+        b, hq, hkv, n, d = 1, 4, 2, 512, 32
+        key = jax.random.PRNGKey(61)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, hq, n, d))
+        k = jax.random.normal(kk, (b, hkv, n, d))
+        v = jax.random.normal(kv_, (b, hkv, n, d))
+        out = flash_attention(q, k, v, True, block_q=128, impl="loop")
+        ref = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_strip_width_sweep(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_loop
         q, k, v = _qkv((1, 1, 512, 32), seed=43)
-        out = flash_attention(q, k, v, True, None, 128, 256, window=200,
-                              diag_subtile=128)
-        ref = flash_attention_reference(q, k, v, True, window=200)
+        ref = flash_attention_reference(q, k, v, True)
+        for ds in (64, 128, 256):
+            out, _ = _flash_fwd_loop(q, k, v, sm_scale=1.0 / 32**0.5,
+                                     block_q=256, diag_strip=ds)
+            np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_sub_block_chunks(self):
+        """chunk < block_q: interior chunks walk at finer granularity."""
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_loop
+        q, k, v = _qkv((1, 1, 512, 32), seed=44)
+        out, _ = _flash_fwd_loop(q, k, v, sm_scale=1.0 / 32**0.5,
+                                 block_q=256, chunk=128)
+        ref = flash_attention_reference(q, k, v, True)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
-    def test_varlen_matches_oracle(self):
-        from flashattn_tpu.ops.flash_attention import (
-            _reference_fwd_with_lse, flash_attention_varlen)
-        q, k, v = _qkv((3, 1, 512, 32), seed=47)
-        lens = jnp.asarray([512, 300, 32], jnp.int32)
-        out = flash_attention_varlen(q, k, v, lens, True, block_q=128,
-                                     block_k=256, impl="pallas",
-                                     diag_subtile=128)
-        ref, _ = _reference_fwd_with_lse(q, k, v, True, 1.0 / 32**0.5,
-                                         kv_lengths=lens)
-        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+    def test_lse_matches_grid_kernel(self):
+        """Ring attention consumes the lse: loop and grid must agree."""
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_entry
+        q, k, v = _qkv((1, 2, 512, 32), seed=45)
+        o_l, lse_l = _flash_fwd_entry(q, k, v, True, None, 128, 128, "loop")
+        o_g, lse_g = _flash_fwd_entry(q, k, v, True, None, 128, 128,
+                                      "pallas")
+        np.testing.assert_allclose(lse_l, lse_g, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(o_l, o_g, atol=1e-5, rtol=1e-5)
 
-    def test_gradients_match_plain_backward(self):
-        """Strip-wise dQ (column strips) and dKV (row strips) must equal the
-        full-tile backward: strip accumulation is additive, so only float
-        reduction order differs."""
-        q, k, v = _qkv((1, 1, 512, 32), seed=53)
+    def test_gradients_match_oracle(self):
+        """impl="loop" stays differentiable (the vjp runs the split grid
+        backward kernels on the loop forward's residuals)."""
+        q, k, v = _qkv((1, 2, 512, 32), seed=46)
 
-        def f(sub):
-            def g(q_, k_, v_):
-                return jnp.sum(flash_attention(q_, k_, v_, True, None, 128,
-                                               256, diag_subtile=sub))
-            return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+        def g(fn):
+            return jax.grad(lambda a, b, c: jnp.sum(fn(a, b, c)),
+                            argnums=(0, 1, 2))(q, k, v)
 
-        for a, b in zip(f(128), f(0)):
-            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+        got = g(lambda a, b, c: flash_attention(a, b, c, True, block_q=128,
+                                                block_k=128, impl="loop"))
+        want = g(lambda a, b, c: flash_attention_reference(a, b, c, True))
+        for a, b_ in zip(got, want):
+            np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-5)
 
     def test_gqa_gradients_match_oracle(self):
-        """Row-strip dKV composes with the GQA group grid axis."""
-        b, hq, hkv, n, d = 1, 4, 1, 512, 32
-        key = jax.random.PRNGKey(61)
+        """The dKV loop kernel accumulates the GQA group in-kernel (static
+        unroll over group query heads revisiting the same dk/dv block)."""
+        b, hq, hkv, n, d = 1, 4, 2, 512, 32
+        key = jax.random.PRNGKey(62)
         kq, kk, kv_ = jax.random.split(key, 3)
         q = jax.random.normal(kq, (b, hq, n, d))
         k = jax.random.normal(kk, (b, hkv, n, d))
@@ -294,61 +322,62 @@ class TestDiagSubtile:
             return jax.grad(lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_)),
                             argnums=(0, 1, 2))(q, k, v)
 
-        got = g(lambda q_, k_, v_: flash_attention(
-            q_, k_, v_, True, None, 256, 256, diag_subtile=128))
-        want = g(lambda q_, k_, v_: flash_attention_reference(
-            q_, k_, v_, True))
-        for a, b_ in zip(got, want):
-            np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-5)
+        got = g(lambda a, b_, c: flash_attention(a, b_, c, True,
+                                                 block_q=128, block_k=128,
+                                                 impl="loop"))
+        want = g(lambda a, b_, c: flash_attention_reference(a, b_, c, True))
+        for a, w in zip(got, want):
+            np.testing.assert_allclose(a, w, atol=1e-5, rtol=1e-5)
 
-    def test_invalid_subtile_raises(self):
-        q, k, v = _qkv((1, 1, 512, 32), seed=59)
-        with pytest.raises(ValueError):
-            flash_attention(q, k, v, True, None, 128, 256, diag_subtile=64)
+    def test_bwd_strip_widths(self):
+        from flashattn_tpu.ops.flash_attention import _flash_bwd_loop
+        q, k, v = _qkv((1, 2, 512, 32), seed=63)
+        scale = 1.0 / 32**0.5
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_entry
+        o, lse = _flash_fwd_entry(q, k, v, True, scale, 128, 128, "loop")
+        do = jnp.ones_like(o)
+        di = jnp.sum(o * do, axis=-1, keepdims=True)
+        want = jax.grad(
+            lambda a, b_, c: jnp.sum(flash_attention_reference(
+                a, b_, c, True)), argnums=(0, 1, 2))(q, k, v)
+        for (ds, ch) in ((0, None), (64, None), (128, None), (0, 64),
+                         (64, 64)):
+            got = _flash_bwd_loop(q, k, v, lse, di, do, sm_scale=scale,
+                                  block=128, diag_strip=ds, chunk=ch)
+            for a, w in zip(got, want):
+                np.testing.assert_allclose(a, w, atol=1e-5, rtol=1e-5)
 
-    def test_non_dividing_subtile_falls_back(self):
-        """A strip width that doesn't tile the (possibly auto-shrunk)
-        block_k silently disables stripping instead of erroring."""
-        q, k, v = _qkv((1, 1, 512, 32), seed=59)
-        out = flash_attention(q, k, v, True, None, 128, 256,
-                              diag_subtile=384)
+    def test_auto_dispatch_gate(self):
+        """impl="auto" routes to the loop kernel only for causal dense
+        self-attention at loop-friendly shapes (seq % 1024 == 0, head dim
+        lane-aligned); everything else keeps the grid kernel."""
+        from flashattn_tpu.ops.flash_attention import _loop_block
+
+        def gate(nq, nkv, d, causal=True, window=None, impl="auto",
+                 blocks=(1024, 1024)):
+            q = jax.ShapeDtypeStruct((1, 2, nq, d), jnp.bfloat16)
+            k = jax.ShapeDtypeStruct((1, 2, nkv, d), jnp.bfloat16)
+            return _loop_block(q, k, causal, window, impl, blocks)
+
+        assert gate(2048, 2048, 128) == 1024
+        assert gate(2048, 2048, 64) is None          # sub-lane head dim
+        assert gate(1536, 1536, 128, blocks=(512, 1024)) is None
+        assert gate(2048, 2048, 128, causal=False) is None
+        assert gate(2048, 2048, 128, window=256) is None
+        assert gate(2048, 1024, 128) is None         # cross-attention
+        assert gate(512, 512, 32, impl="loop", blocks=(128, 128)) == 128
+
+    def test_falls_back_when_ineligible(self):
+        """Non-causal, windowed, cross-attention, or non-dividing seq all
+        dispatch to the grid kernel instead of erroring."""
+        q, k, v = _qkv((1, 1, 384, 32), seed=47)   # 384 % 256 != 0
+        out = flash_attention(q, k, v, True, block_q=256, impl="loop")
         ref = flash_attention_reference(q, k, v, True)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
-
-
-class TestDiagSubtileBackwardMasks:
-    """Backward strip conditions under window and varlen — the trickiest
-    inequalities (dKV row strips see the window from the kv side, dQ column
-    strips from the q side)."""
-
-    def _grads(self, fn, q, k, v):
-        return jax.grad(lambda a, b, c: jnp.sum(fn(a, b, c)),
-                        argnums=(0, 1, 2))(q, k, v)
-
-    def test_window_gradients_match_oracle(self):
-        q, k, v = _qkv((1, 2, 512, 32), seed=71)
-        got = self._grads(
-            lambda a, b, c: flash_attention(a, b, c, True, None, 128, 256,
-                                            window=200, diag_subtile=128),
-            q, k, v)
-        want = self._grads(
-            lambda a, b, c: flash_attention_reference(a, b, c, True,
-                                                      window=200),
-            q, k, v)
-        for g, w in zip(got, want):
-            np.testing.assert_allclose(g, w, atol=1e-5, rtol=1e-5)
-
-    def test_varlen_gradients_match_oracle(self):
-        from flashattn_tpu.ops.flash_attention import (
-            _reference_fwd_with_lse, flash_attention_varlen)
-        q, k, v = _qkv((3, 1, 512, 32), seed=73)
-        lens = jnp.asarray([512, 300, 64], jnp.int32)
-        got = self._grads(
-            lambda a, b, c: flash_attention_varlen(
-                a, b, c, lens, True, block_q=128, block_k=256,
-                impl="pallas", diag_subtile=128), q, k, v)
-        want = self._grads(
-            lambda a, b, c: _reference_fwd_with_lse(
-                a, b, c, True, 1.0 / 32**0.5, kv_lengths=lens)[0], q, k, v)
-        for g, w in zip(got, want):
-            np.testing.assert_allclose(g, w, atol=1e-5, rtol=1e-5)
+        out = flash_attention(q, k, v, False, block_q=128, impl="loop")
+        ref = flash_attention_reference(q, k, v, False)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+        out = flash_attention(q, k, v, True, block_q=128, impl="loop",
+                              window=100)
+        ref = flash_attention_reference(q, k, v, True, window=100)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

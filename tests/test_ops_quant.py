@@ -81,6 +81,24 @@ def test_flash_attention_kv_int8(causal):
     assert float(jnp.max(jnp.abs(o - full))) < 0.15
 
 
+def test_flash_attention_kv_int8_loop_multichunk_gqa():
+    """The quantized loop schedule with >1 interior DMA chunk and GQA
+    grouping (kv heads < q heads) matches the dequantised oracle."""
+    from flashattn_tpu.ops.quant import _kv8_flash_loop
+
+    b, hq, hkv, n, d = 1, 4, 2, 512, 32
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (b, hq, n, d))
+    k = jax.random.normal(ks[1], (b, hkv, n, d))
+    v = jax.random.normal(ks[2], (b, hkv, n, d))
+    kq, vq = quantize_kv(k, v)
+    o, lse = _kv8_flash_loop(q, kq, vq, sm_scale=1.0 / d**0.5, block_q=128)
+    q_deq = quantize_int8(q, axis=-1).dequantize()
+    ref = flash_attention_reference(q_deq, kq.dequantize(), vq.dequantize(),
+                                    True)
+    np.testing.assert_allclose(o, ref, atol=1e-4, rtol=1e-3)
+
+
 def test_flash_attention_kv_int8_ragged_fallback():
     b, h, n, d = 1, 1, 37, 16
     q = jax.random.normal(jax.random.PRNGKey(6), (b, h, n, d))
