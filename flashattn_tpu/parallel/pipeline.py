@@ -102,8 +102,12 @@ def pipeline_apply(
     )
     out_specs = P(None, data_axis)
 
+    # check_vma=False: stage_fn may contain pallas_call (fused layernorm,
+    # flash attention) whose out_shape carries no vma annotation — same
+    # setting as the sharded-attention shims.
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
     )
     def _pipeline(params, x_mb_):
         s = jax.lax.axis_index(axis)
@@ -136,10 +140,8 @@ def pipeline_apply(
             buf = jax.lax.ppermute(y, axis, fwd_perm)
             return buf, outs
 
-        # carries become device-varying inside the loop (ppermute/axis_index);
-        # mark the zero inits as varying so scan's type check accepts them
-        buf0 = jax.lax.pcast(jnp.zeros_like(x_mb_[0]), (axis,), to="varying")
-        outs0 = jax.lax.pcast(jnp.zeros_like(x_mb_), (axis,), to="varying")
+        buf0 = jnp.zeros_like(x_mb_[0])
+        outs0 = jnp.zeros_like(x_mb_)
         _, outs = jax.lax.fori_loop(0, T, rotation, (buf0, outs0))
         # outs is complete only on the last stage; broadcast it to all
         # (psum of the one non-zero copy).
@@ -165,6 +167,86 @@ def split_layers_into_stages(layer_params: Sequence[Any],
             *layer_params[i * per:(i + 1) * per])
         for i in range(n_stages)
     ]
+
+
+def megatron_layer_fn(template: Any, model_axis: str = "model",
+                      causal: bool = True) -> Callable[[Any, Array], Array]:
+    """Lift a REAL ``TransformerLayer`` into a pipeline layer fn with
+    Megatron tensor parallelism under manual SPMD.
+
+    Inside :func:`pipeline_apply`'s ``shard_map`` there is no GSPMD, so the
+    module's own TP shim (``apply_mesh``) cannot be used; this function
+    replays the layer's forward with explicit collectives instead:
+
+    * q/k/v projections column-parallel (each device holds its slice of
+      heads; the flash kernel runs on the LOCAL heads, communication-free),
+    * attention out-projection and ``ff.linear_out`` row-parallel with one
+      ``psum`` over ``model_axis`` each (their replicated biases are added
+      AFTER the psum so they are not multiplied by the TP degree),
+    * ``ff.linear_in`` column-parallel (its bias is sharded with it),
+    * layernorms replicated.
+
+    ``template`` supplies the treedef (static config) used to rebuild the
+    layer module from the TP-local parameter pytree the pipeline hands each
+    stage; shard the stacked stage params with :func:`megatron_stage_specs`.
+    Dropout is skipped (no per-microbatch PRNG threading) — use for eval or
+    p_dropout=0 training.
+    """
+    treedef = jax.tree_util.tree_structure(template)
+
+    def layer_fn(p, h):
+        blk = jax.tree_util.tree_unflatten(
+            treedef, jax.tree_util.tree_leaves(p))
+        attn = blk.attention
+        hd = attn.attn_hidden_dim
+
+        def proj(lin, src):
+            y = lin(src)                       # (B, S, local_heads * hd)
+            b_, s_, ld = y.shape
+            return y.reshape(b_, s_, ld // hd, hd).transpose(0, 2, 1, 3)
+
+        a = blk.ln_1(h)
+        q = proj(attn.q_projection, a)
+        k = proj(attn.k_projection, a)
+        v = proj(attn.v_projection, a)
+        q, k = attn._rope(q, k, jnp.arange(a.shape[1], dtype=jnp.int32))
+        from ..ops.flash_attention import flash_attention
+
+        o = flash_attention(q, k, v, causal, window=attn.window)
+        b_, nh, s_, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b_, s_, nh * hd)
+        o = jax.lax.psum(o @ attn.out_projection.weights, model_axis)
+        if attn.out_projection.bias is not None:
+            o = o + attn.out_projection.bias
+        h = h + o
+
+        from ..nn import functional as F
+
+        m = blk.ln_2(h)
+        u = m @ blk.ff.linear_in.weights       # column-parallel
+        if blk.ff.linear_in.bias is not None:
+            u = u + blk.ff.linear_in.bias      # bias sharded with the cols
+        y = jax.lax.psum(F.GELU(u) @ blk.ff.linear_out.weights, model_axis)
+        if blk.ff.linear_out.bias is not None:
+            y = y + blk.ff.linear_out.bias
+        return h + y
+
+    return layer_fn
+
+
+def megatron_stage_specs(template: Any, axis: str = STAGE_AXIS,
+                         model_axis: str = "model") -> Any:
+    """PartitionSpec pytree for stacked stage params of real transformer
+    layers: ``P(stage, None(layers-per-stage), *tp_spec)`` per leaf, where
+    the TP part follows the Megatron rules (:func:`..sharding.tp_spec_for`).
+    Pass as ``pipeline_apply(param_specs=...)``."""
+    from .sharding import _path_to_str, tp_spec_for
+
+    def spec(path, leaf):
+        tp = tp_spec_for(_path_to_str(path), model_axis)
+        return P(axis, None, *tuple(tp))
+
+    return jax.tree_util.tree_map_with_path(spec, template)
 
 
 def scan_stage_fn(layer_fn: Callable[[Any, Array], Array]
