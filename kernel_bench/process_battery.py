@@ -19,12 +19,13 @@ import sys
 
 PICK = {
     "compile_smoke": [r"^FAIL", r"^WARN", r"ALL OK|FAILURES PRESENT"],
-    "r2_measure": [r"BEST", r"int8/bf16", r"q/\d+kv", r"hist=", r"w=1024",
-                   r"SECTION .* FAILED"],
+    "r3_measure": [r"BEST", r"max err", r"SECTION .* FAILED"],
+    "int8_paged": [r"int8/bf16", r"hist=", r"SECTION .* FAILED"],
     "fused_dropout": [r"speedup|pallas|xla", r"FAIL"],
     "train_precision": [r"tok/s|TFLOP|step|bf16|f32"],
     "serving": [r"tok/s"],
     "speculative": [r"tok/s|SPEEDUP|acceptance|identical"],
+    "sweep_reference": [r"wrote \d+ rows"],
     "bench_headline": [r"\{"],
 }
 
