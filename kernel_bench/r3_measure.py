@@ -119,6 +119,29 @@ def _loop_fwd_bwd(block, chunk, ds):
     return jax.grad(lambda x_: jnp.sum(f(x_)))
 
 
+print("== r3 long-context causal bf16 B1 H8 D128: loop vs grid ==")
+for N in (16384, 32768):
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, N, D), jnp.bfloat16)
+    flops = 4 * 1 * 8 * N * N * D * 0.5
+    for (label, fn) in [
+        ("grid (1024,1024)",
+         lambda x: ft.flash_attention(x, x, x, True, block_q=1024,
+                                      block_k=1024, impl="pallas")),
+        ("loop bq1024 rg0",
+         lambda x: fa._flash_fwd_loop(x, x, x, sm_scale=D**-0.5,
+                                      block_q=1024, diag_strip=0)[0]),
+    ]:
+        try:
+            t = device_loop_time(fn, (q,), iters=20)
+        except Exception as e:
+            print(f"  N={N} {label}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}")
+            continue
+        tf = flops / t / 1e12
+        print(f"  N={N} {label}: {t*1e3:7.3f} ms  {tf:6.1f} TF "
+              f"({tf/ROOFLINE*100:4.1f}%)")
+        sys.stdout.flush()
+
 print("== r3 flash bwd causal bf16 B4 H8 D128: loop vs grid ==")
 for N in (2048, 4096, 8192):
     q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), jnp.bfloat16)
