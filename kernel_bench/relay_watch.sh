@@ -1,5 +1,6 @@
 #!/bin/bash
-# Wait for the TPU relay to come back, then run the full battery once.
+# Keep re-running the battery (which skips .done sections) whenever the TPU
+# relay is reachable, until every section completes or max wait elapses.
 # Probe = a tiny dispatch under a short timeout (the first dispatch HANGS
 # forever when the relay is down — never probe without a timeout).
 #   bash kernel_bench/relay_watch.sh [max_wait_seconds]
@@ -11,14 +12,19 @@ while true; do
   if timeout 90 env PYTHONPATH=/root/repo:/root/.axon_site python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((8, 8)); (x @ x).block_until_ready()" >/dev/null 2>&1; then
-    echo "RELAY UP ($(date)) — starting battery"
-    exec bash kernel_bench/run_battery.sh
+    echo "RELAY UP ($(date)) — starting/resuming battery"
+    if bash kernel_bench/run_battery.sh; then
+      echo "BATTERY COMPLETE ($(date))"
+      exit 0
+    fi
+    echo "battery interrupted ($(date)); will resume"
+  else
+    echo "relay down ($(date)); retrying in 120s"
   fi
   now=$(date +%s)
   if [ $((now - START)) -gt "$MAX" ]; then
-    echo "RELAY STILL DOWN after ${MAX}s — giving up ($(date))"
+    echo "giving up after ${MAX}s ($(date))"
     exit 1
   fi
-  echo "relay down ($(date)); retrying in 120s"
   sleep 120
 done
