@@ -99,6 +99,20 @@ def test_flash_attention_kv_int8_loop_multichunk_gqa():
     np.testing.assert_allclose(o, ref, atol=1e-4, rtol=1e-3)
 
 
+def test_flash_attention_kv_int8_alignment_fallbacks():
+    """The quantized loop schedule needs 128-aligned blocks and head dims
+    for its DMA slices; unaligned shapes must keep the grid kernel and stay
+    correct (a 327-row int8 DMA slice fails Mosaic at compile)."""
+    for (n, d) in ((320, 32), (256, 64)):   # n%128!=0 / d%128!=0
+        q = jax.random.normal(jax.random.PRNGKey(10), (1, 2, n, d))
+        kq, vq = quantize_kv(q, q)
+        o, _ = flash_attention_kv_int8(q, kq, vq, True)
+        q_deq = quantize_int8(q, axis=-1).dequantize()
+        ref = flash_attention_reference(q_deq, kq.dequantize(),
+                                        vq.dequantize(), True)
+        np.testing.assert_allclose(o, ref, atol=1e-4, rtol=1e-3)
+
+
 def test_flash_attention_kv_int8_ragged_fallback():
     b, h, n, d = 1, 1, 37, 16
     q = jax.random.normal(jax.random.PRNGKey(6), (b, h, n, d))
