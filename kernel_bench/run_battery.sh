@@ -40,4 +40,9 @@ run speculative 3600 python -u kernel_bench/bench_speculative.py
 run sweep_reference 4800 python -u kernel_bench/speed_test_flash_attention.py \
   --reference --out kernel_bench/results_speed_test_tpu_v5e_reference.csv
 run bench_headline 1200 python -u bench.py
+# MT curve on the r3-expanded genuine corpus (7,284 pairs): per-epoch
+# checkpoints make this section itself resumable across relay drops.
+run mt_curve 7200 python -u -m flashattn_tpu.training.translation \
+  --dataset-name deen-fixture --n-epochs 12 --resume true \
+  --workdir workdir_fixture_r3
 echo "BATTERY DONE $(date)"
