@@ -1137,7 +1137,14 @@ def _flash_bwd(q, k, v, o, lse, do, *, causal, sm_scale, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 
-def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int):
+def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int,
+                 d: Optional[int] = None):
+    if d is not None and d > 128:
+        # the kernels stage (block_q, block_k) f32 scores plus (block_q, d)
+        # accumulators in scoped vmem (16MB): the (1024,1024) default that
+        # wins at d=128 OOMs at d=256 (measured: sweep_reference HTTP 500) —
+        # big head dims keep round 1's proven (512, 1024)
+        block_q = min(block_q, 512)
     bq = largest_divisor_block(n_q, block_q, _MIN_BLOCK)
     bk = largest_divisor_block(n_kv, block_k, _MIN_BLOCK)
     return bq, bk
@@ -1230,7 +1237,7 @@ def _loop_block(q, k, causal, window, impl, blocks):
     n = q.shape[2]
     if impl == "loop":
         return blocks[0] if n % blocks[0] == 0 else None
-    if impl == "auto" and n % 1024 == 0 and q.shape[3] % 128 == 0 \
+    if impl == "auto" and n % 1024 == 0 and q.shape[3] == 128 \
             and blocks[0] >= 1024:
         return 1024
     return None
@@ -1244,7 +1251,8 @@ _BWD_LOOP_DIAG = 256
 def _use_kernel(q, k, block_q, block_k, impl):
     if impl == "reference":
         return None
-    bq, bk = _pick_blocks(q.shape[2], k.shape[2], block_q, block_k)
+    bq, bk = _pick_blocks(q.shape[2], k.shape[2], block_q, block_k,
+                          q.shape[3])
     if bq is None or bk is None:   # not tileable at all
         return None
     if impl == "auto" and k.shape[2] < MIN_KERNEL_KV_LEN:

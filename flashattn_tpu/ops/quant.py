@@ -518,6 +518,8 @@ def flash_attention_kv_int8(
     b, h, n_q, d = q.shape
     n_kv = k.values.shape[2]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    if d > 128:   # scoped-vmem headroom (see flash_attention._pick_blocks)
+        block_q = min(block_q, 512)
     bq = largest_divisor_block(n_q, block_q, 8)
     bk = largest_divisor_block(n_kv, block_k, 8)
     if bq is None or bk is None:
@@ -534,7 +536,7 @@ def flash_attention_kv_int8(
     # alignment (block % 128, d % 128) — odd shapes keep the grid kernel
     # (a 327-row int8 slice fails tpu.memref_slice at compile).
     if (causal and n_q == n_kv and n_q % bq == 0 and bq % 128 == 0
-            and bq >= 128 and d % 128 == 0):
+            and bq >= 128 and d == 128):
         return _kv8_flash_loop(q, k, v, sm_scale=scale, block_q=bq)
 
     # Fold log2(e) into the scale: the kernel's online softmax runs in exp2

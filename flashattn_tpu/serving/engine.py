@@ -358,6 +358,7 @@ class ContinuousBatchingEngine:
                  steps_per_dispatch: int = 8, mesh=None,
                  head_axis: str = "model", seed: int = 0,
                  draft_model=None, spec_len: int = 4,
+                 spec_waves_per_dispatch: int = 4,
                  prompt_lookup: int = 0, lookup_max_ngram: int = 3,
                  prefill_chunk: int = 512,
                  enable_prefix_cache: bool = False):
@@ -433,6 +434,10 @@ class ContinuousBatchingEngine:
         # the output IDENTICAL to plain greedy decoding.
         self.draft_model = None
         self.spec_len = spec_len
+        # all-greedy batches scan this many waves per dispatch (device-side
+        # acceptance) — the speculative analogue of steps_per_dispatch; 1
+        # restores the single-wave host loop
+        self.spec_waves_per_dispatch = spec_waves_per_dispatch
         self.spec_stats = [0, 0]   # [accepted tokens, waves]
 
         # Prompt-lookup (n-gram) speculation: draft-FREE proposals from the
@@ -531,6 +536,58 @@ class ContinuousBatchingEngine:
                 return tpools, dpools, drafts[:-1].T, greedy, lps
 
             self._jit_spec = _spec_step
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3),
+                               static_argnames=("n_spec", "n_waves"))
+            def _spec_scan(tmodel, dmodel, tpools, dpools, tokens, table,
+                           lengths, n_spec, n_waves):
+                """n_waves speculative waves in ONE dispatch: draft scan +
+                multi-token verify + GREEDY acceptance all device-side, so
+                the per-dispatch round trip (tens of ms through a remote
+                relay) amortises over every wave — the same lever
+                steps_per_dispatch is for plain decode.  Rows advance by
+                their own per-wave acceptance (ragged lengths are what the
+                paged kernels are built for); the host epilogue lands
+                n_land[w, i] tokens per wave and applies the usual
+                retire/stop semantics (tokens past EOS are discarded — the
+                overwritten pool positions beyond a row's length are inert,
+                attention masks by length)."""
+                B = tokens.shape[0]
+
+                def wave(carry, _):
+                    tpools, dpools, tok, lens = carry
+
+                    def body(c, _):
+                        dpools, t, l = c
+                        logits, dpools = dmodel.forward_decode_paged(
+                            t[:, None], dpools, table, l)
+                        nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                        return (dpools, nxt, l + 1), nxt
+
+                    (dpools, _, _), drafts = jax.lax.scan(
+                        body, (dpools, tok, lens), None, length=n_spec)
+                    chunk = jnp.concatenate([tok[None], drafts[:-1]], 0).T
+                    logits, tpools = tmodel.forward_extend_paged(
+                        chunk, tpools, table, lens)
+                    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+                    lps = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                    lps = jnp.take_along_axis(
+                        lps, greedy[..., None], -1)[..., 0]
+                    # greedy acceptance: longest proposal prefix the target
+                    # agrees with, plus the target's own next token
+                    match = (drafts[:-1].T == greedy[:, :-1]).astype(jnp.int32)
+                    acc = jnp.cumprod(match, axis=1).sum(1)     # (B,)
+                    n_land = acc + 1
+                    new_tok = greedy[jnp.arange(B), acc]
+                    return ((tpools, dpools, new_tok, lens + n_land),
+                            (greedy, lps, n_land))
+
+                (tpools, dpools, _, _), (toks, lps, n_land) = jax.lax.scan(
+                    wave, (tpools, dpools, tokens, lengths), None,
+                    length=n_waves)
+                return tpools, dpools, toks, lps, n_land
+
+            self._jit_spec_scan = _spec_scan
 
             @functools.partial(jax.jit, donate_argnums=(2, 3),
                                static_argnames=("n_spec",))
@@ -1187,6 +1244,48 @@ class ContinuousBatchingEngine:
         self._accept_wave(active, np.asarray(drafts), np.asarray(greedy),
                           np.asarray(lps), self.spec_len, self.spec_stats)
 
+    def _spec_scan_waves(self, active) -> int:
+        """How many greedy speculative waves can scan device-side before a
+        host scheduling event, power-of-2 bucketed (mirrors
+        _decode_chunk_len).  Each wave lands 1..spec_len tokens, so cap by
+        the headroom a FULL-acceptance scan would consume — overshoot past
+        EOS/max_new is discarded by the epilogue, undershoot just costs
+        another dispatch."""
+        w = self.spec_waves_per_dispatch
+        if w <= 1 or self.collect_logits:
+            return 1
+        if self.queue and any(s is None for s in self.slots):
+            return 1
+        for i in active:
+            slot = self.slots[i]
+            req = slot.request
+            headroom = min(req.max_new_tokens - len(req.generated),
+                           self.capacity - slot.length)
+            w = min(w, max(1, -(-headroom // self.spec_len)))
+        return max(1, 1 << (max(w, 1).bit_length() - 1))
+
+    def _run_spec_scan(self, active, tokens, lengths, n_waves) -> None:
+        """Multi-wave greedy speculative decode: one dispatch runs
+        ``n_waves`` x (draft scan + verify + device-side acceptance); the
+        host lands each wave through the shared epilogue, dropping rows as
+        they retire (their device-side continuation wrote only positions
+        past the retained length — inert)."""
+        (self.pools, self.draft_pools, toks, lps,
+         n_land) = self._jit_spec_scan(
+            self.model, self.draft_model, self.pools, self.draft_pools,
+            jnp.asarray(tokens), jnp.asarray(self.page_table),
+            jnp.asarray(lengths), n_spec=self.spec_len, n_waves=n_waves)
+        toks = np.asarray(toks)                  # (W, B, n_spec)
+        lps = np.asarray(lps)
+        n_land = np.asarray(n_land)              # (W, B)
+        live = list(active)
+        for w in range(n_waves):
+            if not live:
+                break
+            self._land_wave(live, {i: int(n_land[w, i]) for i in live},
+                            toks[w], lps[w], self.spec_stats)
+            live = [i for i in live if self.slots[i] is not None]
+
     def _resolve_ngram_impl(self):
         """Prefer the C++ proposer (native/ngram.cc — the per-wave context
         scan is the only O(history) host work in the decode loop); fall
@@ -1416,9 +1515,21 @@ class ContinuousBatchingEngine:
             lengths[i] = self.slots[i].length
 
         if self.draft_model is not None:
+            all_greedy = all(self.slots[i].request.temperature == 0
+                             for i in active)
+            if (all_greedy and self.spec_len >= 2
+                    and not self.collect_logits):
+                # multi-wave device-side scan: try the widest wave count
+                # whose pages preallocate, halving on pool pressure
+                w = self._spec_scan_waves(active)
+                while w > 1 and not self._wave_ready(
+                        active, w * self.spec_len):
+                    w //= 2
+                if w > 1:
+                    self._run_spec_scan(active, tokens, lengths, w)
+                    return True
             if self._spec_ready(active):
-                if all(self.slots[i].request.temperature == 0
-                       for i in active):
+                if all_greedy:
                     self._run_spec(active, tokens, lengths)
                 else:
                     self._run_spec_sampled(active, tokens, lengths)

@@ -258,3 +258,36 @@ def test_engine_fuzz_prompt_lookup(model, seed):
                                 [round(l, 4) for l in r.token_logprobs])
                         for r in reqs})
     assert results[0] == results[1]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_engine_fuzz_spec_scan(model, seed):
+    """Multi-wave speculative scan (device-side acceptance) vs the
+    single-wave host loop vs the plain engine, over random request mixes
+    with EOS and varying lengths: greedy speculation is exact, so all three
+    must produce identical tokens and logprobs."""
+    rng = np.random.default_rng(1100 + seed)
+    max_batch = int(rng.integers(1, 4))
+
+    prompts = []
+    for _ in range(int(rng.integers(3, 6))):
+        p = list(rng.integers(1, 60, size=int(rng.integers(1, 16))))
+        eos = int(rng.integers(1, 60)) if rng.random() < 0.3 else None
+        prompts.append((p, int(rng.integers(3, 18)), eos))
+
+    results = []
+    for cfg in ({},
+                dict(draft_model=model, spec_len=4,
+                     spec_waves_per_dispatch=1),
+                dict(draft_model=model, spec_len=4,
+                     spec_waves_per_dispatch=4)):
+        eng = ContinuousBatchingEngine(
+            model, max_batch=max_batch, page_size=8, pages_per_seq=8, **cfg)
+        reqs = [eng.submit(p, m, eos_id=e) for p, m, e in prompts]
+        eng.run()
+        assert eng.pool.n_free == eng.pool.total
+        results.append({r.uid: (r.generated,
+                                [round(l, 4) for l in r.token_logprobs])
+                        for r in reqs})
+    assert results[0] == results[1]
+    assert results[0] == results[2]
