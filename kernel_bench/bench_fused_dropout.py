@@ -37,6 +37,11 @@ def _fused_kernel(seed_ref, x_ref, b_ref, r_ref, o_ref, *, rate: float):
 
 def pallas_dropout_res_bias(x, bias, residual, rate, seed, block_rows=512):
     n, d = x.shape
+    # scoped-vmem: the block stages x + residual + random bits + output at
+    # (block_rows, d); d=4096 at 512 rows overflows the 16MB limit by 36KB
+    # (measured) — halve rows at wide hiddens
+    while block_rows > 128 and block_rows * d * 4 * 2 > 12 * 2**20:
+        block_rows //= 2
     grid = (n // block_rows,)
     return pl.pallas_call(
         functools.partial(_fused_kernel, rate=rate),

@@ -39,7 +39,7 @@ from flashattn_tpu.training.translation import make_synthetic_dataset
 
 SEQ = 24            # src + <eos_de> + tgt + <eos_en> fits in 24 tokens
 BATCH = 64
-N_REQ = 16
+N_REQ = 64
 NEW_TOKENS = 64
 SPEC_LEN = 4
 
@@ -100,14 +100,17 @@ def train(model, loss_fn, rows, masks, n_steps, lr, seed, label, ctx=None):
     return model.eval()
 
 
-def bench(target, draft, prompts, label, temperature=0.0, **kw):
+def bench(target, draft, prompts, label, temperature=0.0, eos_id=None,
+          **kw):
     eng = ContinuousBatchingEngine(
-        target, max_batch=N_REQ, page_size=128, pages_per_seq=2,
+        target, max_batch=16, page_size=128, pages_per_seq=2,
         steps_per_dispatch=8, draft_model=draft, spec_len=SPEC_LEN, **kw)
-    eng.submit(prompts[0], NEW_TOKENS, temperature=temperature)  # warmup
+    eng.submit(prompts[0], NEW_TOKENS, temperature=temperature,
+               eos_id=eos_id)  # warmup
     eng.run()
     eng.finished.clear()
-    reqs = [eng.submit(p, NEW_TOKENS, temperature=temperature)
+    reqs = [eng.submit(p, NEW_TOKENS, temperature=temperature,
+                       eos_id=eos_id)
             for p in prompts]
     t0 = time.perf_counter()
     eng.run()
@@ -156,26 +159,33 @@ def main():
     for i in pick:
         ids = [vocab[w] for w in examples[i]["de"].split()] + [vocab["<eos_de>"]]
         prompts.append(ids)
+    # requests stop at <eos_en> like real serving: generation stays
+    # ON-distribution, where a converged draft actually agrees with the
+    # target (without eos, 3/4 of the 64-token budget ran PAST the
+    # translation into unlearned padding territory -- the round-3 battery
+    # measured acceptance 1.31/4 there, turning speculation into overhead)
+    eos_en = vocab["<eos_en>"]
 
-    print(f"serving {N_REQ} requests x {NEW_TOKENS} new tokens:")
-    t_plain, out_plain = bench(target, None, prompts, "greedy, 8 steps/dispatch")
+    print(f"serving {N_REQ} requests (cap {NEW_TOKENS} tokens, stop at "
+          f"<eos_en>):")
+    t_plain, out_plain = bench(target, None, prompts, "greedy, 8 steps/dispatch", eos_id=eos_en)
     t_spec, out_spec = bench(target, draft, prompts,
                              f"speculative (distilled, k={SPEC_LEN}, "
-                             f"4 waves/dispatch)")
+                             f"4 waves/dispatch)", eos_id=eos_en)
     t_spec1, _ = bench(target, draft, prompts,
                        f"speculative (distilled, 1 wave/dispatch)",
-                       spec_waves_per_dispatch=1)
+                       spec_waves_per_dispatch=1, eos_id=eos_en)
     t_spec8, _ = bench(target, draft, prompts,
                        f"speculative (distilled, 8 waves/dispatch)",
-                       spec_waves_per_dispatch=8)
+                       spec_waves_per_dispatch=8, eos_id=eos_en)
     t_look, out_look = bench(target, None, prompts, "prompt-lookup (k=3)",
-                             prompt_lookup=3)
+                             prompt_lookup=3, eos_id=eos_en)
     # sampled speculation: the exact accept/residual wave on a trained
     # model (peaked distributions -> high acceptance even at t=0.7)
     t_ps, _ = bench(target, None, prompts, "plain sampled t=0.7",
-                    temperature=0.7)
+                    temperature=0.7, eos_id=eos_en)
     t_ls, _ = bench(target, None, prompts, "lookup sampled t=0.7 (k=3)",
-                    temperature=0.7, prompt_lookup=3)
+                    temperature=0.7, prompt_lookup=3, eos_id=eos_en)
     print(f"  outputs identical to greedy: spec={out_plain == out_spec} "
           f"lookup={out_plain == out_look}")
     print(f"  SPEEDUP: distilled {t_spec / t_plain:.2f}x "
