@@ -327,7 +327,7 @@ def _flash_fwd(q, k, v, *, causal, sm_scale, block_q, block_k,
 def _fwd_loop_kernel(q_ref, kd_ref, vd_ref, k_hbm, v_hbm, o_ref, lse_ref,
                      m_scr, l_scr, acc_scr, kbuf, vbuf, sems,
                      *, block_q: int, chunk: int, diag_strip: int,
-                     group: int):
+                     group: int, causal: bool = True, n_kv: int = 0):
     b_ = pl.program_id(0)
     h_ = pl.program_id(1)
     qi = pl.program_id(2)
@@ -338,7 +338,12 @@ def _fwd_loop_kernel(q_ref, kd_ref, vd_ref, k_hbm, v_hbm, o_ref, lse_ref,
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    n_int = qi * (block_q // chunk)                   # interior chunk count
+    if causal:
+        n_int = qi * (block_q // chunk)               # interior chunk count
+    else:
+        # non-causal: every chunk is interior; the BlockSpec-piped block
+        # serves the LAST kv chunk (no mask anywhere)
+        n_int = n_kv // chunk - 1
 
     def dma(buf, hbm, i, slot, kind):
         return pltpu.make_async_copy(
@@ -382,7 +387,8 @@ def _fwd_loop_kernel(q_ref, kd_ref, vd_ref, k_hbm, v_hbm, o_ref, lse_ref,
 
     jax.lax.fori_loop(0, n_int, body, 0)
 
-    # -- diagonal block: trace-time triangular ROW groups ------------------
+    # -- final block --------------------------------------------------------
+    # Causal: the diagonal block as trace-time triangular ROW groups.
     # Row group g covers q rows [g*ds, (g+1)*ds) and needs only kv columns
     # [0, (g+1)*ds) under the causal mask, so its score dot is
     # (ds, d) x (d, (g+1)*ds) — MXU work drops from bq^2 to
@@ -393,8 +399,29 @@ def _fwd_loop_kernel(q_ref, kd_ref, vd_ref, k_hbm, v_hbm, o_ref, lse_ref,
     # measured 25-45% slower from the repeated full-height updates).  Only
     # each group's trailing (ds, ds) square pays an iota mask.  ds=0 (or
     # ds=block_q) degrades to one full-width masked dot.
+    # Non-causal: the piped block is simply the LAST kv chunk, unmasked.
     kd = kd_ref[0, 0]                                 # (bq, d)
     vd = vd_ref[0, 0]
+    if not causal:
+        s = jax.lax.dot_general(q, kd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_prev + jnp.sum(p, -1, keepdims=True)
+        pv = jax.lax.dot(p.astype(vd.dtype), vd,
+                         preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = m_scr[...] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+        return
     ds = diag_strip if (diag_strip and block_q % diag_strip == 0
                         and diag_strip < block_q) else block_q
     for g in range(block_q // ds):
@@ -440,33 +467,45 @@ DEFAULT_DIAG_STRIP = 0
 
 
 def _flash_fwd_loop(q, k, v, *, sm_scale, block_q, chunk=None,
-                    diag_strip=DEFAULT_DIAG_STRIP):
-    """Causal self-attention via the q-major loop schedule.
+                    diag_strip=DEFAULT_DIAG_STRIP, causal=True):
+    """Self-attention via the q-major loop schedule.
 
-    Requires n_q == n_kv with block_q | n_q (the dispatcher guarantees it).
+    Causal requires n_q == n_kv with block_q | n_q (the dispatcher
+    guarantees it); non-causal allows n_kv != n_q (cross-attention) with
+    block_q | n_kv — every chunk is interior and the piped block serves
+    the last kv chunk.
     """
     b, h, n, d = q.shape
+    n_kv = k.shape[2]
     group = h // k.shape[1]
     chunk = chunk or block_q
     assert n % block_q == 0 and block_q % chunk == 0
+    assert causal is False or n == n_kv
+    assert n_kv % block_q == 0
     num_q = n // block_q
+    last_kv = n_kv // block_q - 1
 
     q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+
+    if causal:
+        def kv_index(b_, h_, q_):
+            return (b_, h_ // group, q_, 0)
+    else:
+        def kv_index(b_, h_, q_):
+            return (b_, h_ // group, last_kv, 0)
 
     grid = (b, h, num_q)
     kernel = functools.partial(
         _fwd_loop_kernel, block_q=block_q, chunk=chunk,
-        diag_strip=diag_strip, group=group)
+        diag_strip=diag_strip, group=group, causal=causal, n_kv=n_kv)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, q_: (b_, h_, q_, 0)),
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, h_, q_: (b_, h_ // group, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, d), kv_index),
+            pl.BlockSpec((1, 1, block_q, d), kv_index),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -1232,13 +1271,17 @@ def _loop_block(q, k, causal, window, impl, blocks):
     ``impl="loop"`` trusts the caller's block size (tests drive small
     blocks in interpret mode).
     """
-    if not causal or window is not None or q.shape[2] != k.shape[2]:
+    if window is not None:
         return None
-    n = q.shape[2]
+    n, n_kv = q.shape[2], k.shape[2]
+    if causal and n != n_kv:
+        return None
     if impl == "loop":
-        return blocks[0] if n % blocks[0] == 0 else None
-    if impl == "auto" and n % 1024 == 0 and q.shape[3] == 128 \
-            and blocks[0] >= 1024:
+        bq = blocks[0]
+        return bq if (n % bq == 0 and n_kv % bq == 0) else None
+    # auto stays causal-only until the non-causal loop is measured a win
+    if impl == "auto" and causal and n % 1024 == 0 \
+            and q.shape[3] == 128 and blocks[0] >= 1024:
         return 1024
     return None
 
@@ -1277,7 +1320,8 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
         return _reference_fwd_with_lse(q, k, v, causal, scale, window=window)
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None:
-        return _flash_fwd_loop(q, k, v, sm_scale=scale, block_q=lb)
+        return _flash_fwd_loop(q, k, v, sm_scale=scale, block_q=lb,
+                               causal=causal)
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
                       block_q=blocks[0], block_k=blocks[1], window=window)
 
@@ -1341,7 +1385,7 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
         _, vjp = jax.vjp(f, q, k, v)
         return vjp(do)
     lb = _loop_block(q, k, causal, window, impl, blocks)
-    if lb is not None:
+    if lb is not None and causal:   # the loop backward is causal-only
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                      axis=-1, keepdims=True)
         ds = _BWD_LOOP_DIAG if lb % _BWD_LOOP_DIAG == 0 and \

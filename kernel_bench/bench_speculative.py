@@ -37,7 +37,11 @@ from flashattn_tpu.training import (
     lm_loss, make_distill_loss, make_train_scan)
 from flashattn_tpu.training.translation import make_synthetic_dataset
 
-SEQ = 64            # packed multi-example rows (long-form LM)
+# SEQ must cover prompt + NEW_TOKENS: generation PAST the trained row
+# length lands on untrained learned-position embeddings where target and
+# draft argmax-disagree on noise (measured: acceptance 1.50/4 at SEQ=64
+# with ~72-position generations; the r2 run's SEQ=24 had the same flaw)
+SEQ = 128           # packed multi-example rows (long-form LM)
 BATCH = 64
 N_REQ = 64
 NEW_TOKENS = 64

@@ -367,15 +367,25 @@ class TestLoopKernel:
         assert gate(2048, 1024, 128) is None         # cross-attention
         assert gate(512, 512, 32, impl="loop", blocks=(128, 128)) == 128
 
+    def test_non_causal_loop(self):
+        """Non-causal loop schedule: every chunk interior, the piped block
+        serves the LAST kv chunk unmasked; cross-attention allowed."""
+        q, k, v = _qkv((1, 2, 512, 32), seed=48)
+        out = flash_attention(q, k, v, False, block_q=128, impl="loop")
+        ref = flash_attention_reference(q, k, v, False)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+        # cross-attention: kv longer than q
+        kc = jax.random.normal(jax.random.PRNGKey(49), (1, 2, 768, 32))
+        out = flash_attention(q, kc, kc, False, block_q=128, impl="loop")
+        ref = flash_attention_reference(q, kc, kc, False)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
     def test_falls_back_when_ineligible(self):
-        """Non-causal, windowed, cross-attention, or non-dividing seq all
-        dispatch to the grid kernel instead of erroring."""
+        """Windowed or non-dividing seq dispatch to the grid kernel
+        instead of erroring."""
         q, k, v = _qkv((1, 1, 384, 32), seed=47)   # 384 % 256 != 0
         out = flash_attention(q, k, v, True, block_q=256, impl="loop")
         ref = flash_attention_reference(q, k, v, True)
-        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
-        out = flash_attention(q, k, v, False, block_q=128, impl="loop")
-        ref = flash_attention_reference(q, k, v, False)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
         out = flash_attention(q, k, v, True, block_q=128, impl="loop",
                               window=100)
