@@ -1261,13 +1261,13 @@ class ContinuousBatchingEngine:
             req = slot.request
             headroom = min(req.max_new_tokens - len(req.generated),
                            self.capacity - slot.length)
-            if headroom < w * self.spec_len:
-                # BINARY wave counts ({w, 1}, not a power-of-2 ladder):
-                # every distinct count is its own compiled executable, and
-                # intermediate counts appearing mid-run cost a recompile
-                # right inside the serving loop
-                return 1
-        return w
+            w = min(w, max(1, -(-headroom // self.spec_len)))
+        # power-of-2 ladder: request tails step down 8->4->2->1 instead of
+        # collapsing straight to single-wave.  Each distinct count is its
+        # own compiled executable (log2 W of them) — a long-lived engine
+        # compiles each once; benchmarks should warm a full request pass
+        # before timing.
+        return max(1, 1 << (max(w, 1).bit_length() - 1))
 
     def _run_spec_scan(self, active, tokens, lengths, n_waves) -> None:
         """Multi-wave greedy speculative decode: one dispatch runs
@@ -1524,11 +1524,14 @@ class ContinuousBatchingEngine:
                              for i in active)
             if (all_greedy and self.spec_len >= 2
                     and not self.collect_logits):
-                # multi-wave device-side scan; binary fallback (w or the
-                # single-wave path) so pool pressure can't mint new wave
-                # counts — each count is its own compiled executable
+                # multi-wave device-side scan: widest wave count whose
+                # pages preallocate, halving down the pow-2 ladder on pool
+                # pressure
                 w = self._spec_scan_waves(active)
-                if w > 1 and self._wave_ready(active, w * self.spec_len):
+                while w > 1 and not self._wave_ready(
+                        active, w * self.spec_len):
+                    w //= 2
+                if w > 1:
                     self._run_spec_scan(active, tokens, lengths, w)
                     return True
             if self._spec_ready(active):

@@ -6,8 +6,8 @@ beaten plain chunked greedy.  This bench constructs the configuration the
 scheme exists for:
 
 * a TARGET big enough that its decode step dwarfs the draft's
-  (8L / 1024 embd / 8 heads, D=128 -> the pipelined paged-decode path),
-* a 1L / 256 DRAFT distilled from the target (``make_distill_loss``) on the
+  (16L / 1024 embd / 8 heads, D=128 -> the pipelined paged-decode path),
+* a 2L / 256 DRAFT distilled from the target (``make_distill_loss``) on the
   framework's MT corpus, so greedy acceptance is earned, not self-drafted,
 * engine throughput measured for plain chunked greedy vs speculative with
   the SAME target weights.
@@ -44,7 +44,7 @@ from flashattn_tpu.training.translation import make_synthetic_dataset
 SEQ = 128           # packed multi-example rows (long-form LM)
 BATCH = 64
 N_REQ = 64
-NEW_TOKENS = 64
+NEW_TOKENS = 96
 SPEC_LEN = 4
 
 
@@ -127,8 +127,12 @@ def bench(target, draft, prompts, label, temperature=0.0, eos_id=None,
     eng = ContinuousBatchingEngine(
         target, max_batch=16, page_size=128, pages_per_seq=3,
         steps_per_dispatch=8, draft_model=draft, spec_len=SPEC_LEN, **kw)
-    eng.submit(prompts[0], NEW_TOKENS, temperature=temperature,
-               eos_id=eos_id)  # warmup
+    # warm a FULL request pass: the wave scheduler walks a power-of-2
+    # ladder of wave counts down each request's tail, and every count is
+    # its own compiled executable — steady-state serving throughput is the
+    # honest metric, so all compiles happen before the timed pass
+    for p in prompts[:16]:
+        eng.submit(p, NEW_TOKENS, temperature=temperature, eos_id=eos_id)
     eng.run()
     eng.finished.clear()
     reqs = [eng.submit(p, NEW_TOKENS, temperature=temperature,
@@ -157,7 +161,7 @@ def main():
     n_vocab = ((len(vocab) + 127) // 128) * 128
     print(f"corpus: {len(rows)} examples, vocab {len(vocab)} -> {n_vocab}")
 
-    t_embd, t_layer, d_embd = (128, 2, 64) if smoke else (1024, 8, 256)
+    t_embd, t_layer, d_embd = (128, 2, 64) if smoke else (1024, 16, 256)
     # the round-2 battery measured acceptance 1.25/4 from a 400-step draft
     # (distill loss 1.31 vs target 0.54) -- an undertrained draft turns the
     # whole scheme into overhead, so the draft gets 5x the budget

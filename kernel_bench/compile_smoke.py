@@ -81,6 +81,13 @@ def main():
         ref = ft.flash_attention_reference(qs, ks, ks, True)
         ok &= check(f"flash fwd loop {dtype.__name__} nq={nq} bq={bq} "
                     f"hkv={hkv}", o, ref, 2e-2)
+    # non-causal loop variant (every chunk interior, last chunk piped),
+    # incl. cross-attention with kv_len != q_len
+    qs = jax.random.normal(key, (1, 4, 1024, 128), jnp.bfloat16)
+    kcx = jax.random.normal(key, (1, 4, 2048, 128), jnp.bfloat16)
+    o = ft.flash_attention(qs, kcx, kcx, False, impl="loop", block_q=1024)
+    ref = ft.flash_attention_reference(qs, kcx, kcx, False)
+    ok &= check("flash fwd loop non-causal cross", o, ref, 2e-2)
     # backward loop kernels (dq q-major + dkv transposed kv-major with
     # GQA group unroll and diagonal row groups) at the production config
     qs = jax.random.normal(key, (1, 4, 2048, 128), jnp.bfloat16)
