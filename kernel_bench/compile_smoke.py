@@ -103,6 +103,14 @@ def main():
     o_auto = ft.flash_attention(qs, kg, kg, True)
     ok &= check("flash fwd auto->loop", o_auto,
                 ft.flash_attention_reference(qs, kg, kg, True), 2e-2)
+    # ... and the TP shim reaches the same path INSIDE shard_map (manual
+    # DMA + semaphores under manual SPMD — verify it lowers on chip with a
+    # 1-device mesh; multi-chip differs only in the collective-free split)
+    from flashattn_tpu.parallel import create_mesh, sharded_flash_attention
+    mesh1 = create_mesh((1, 1), ("data", "model"), jax.devices()[:1])
+    o_sm = sharded_flash_attention(qs, kg, kg, True, mesh=mesh1)
+    ok &= check("flash fwd loop under shard_map", o_sm,
+                ft.flash_attention_reference(qs, kg, kg, True), 2e-2)
 
     # GQA: q heads grouped onto fewer kv heads (index-map folding)
     qg = jax.random.normal(key, (2, 8, 2048, 64), jnp.float32)
