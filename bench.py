@@ -22,8 +22,9 @@ round-trip latency which would dominate and understate throughput ~3x.
 Reference points measured on this chip with this methodology (v5e-1):
 XLA 8192^3 bf16 matmul = 175 TFLOP/s; XLA naive attention at the bench
 shape = 22.2 TFLOP/s; jax.experimental.pallas production flash kernel
-(default blocks) = 17.4 TFLOP/s; this kernel = ~79 TFLOP/s causal
-(126 TFLOP/s non-causal; 135-138 at seq 4-8K).
+(default blocks) = 17.4 TFLOP/s; this framework = ~134 TFLOP/s causal at
+the bench shape (subrow schedule; 118-148 at seq 4-32K via the loop
+kernels; ~144 non-causal).
 """
 
 from __future__ import annotations
@@ -69,11 +70,12 @@ def main():
 
     # Self-select among a small set of causal schedules (each candidate is
     # one extra remote compile; the winner is what a production config sweep
-    # would pin).  The r2/r3 on-chip sweeps crowned grid blocks (1024,1024)
-    # with the unconditional mask (battery_logs/r3_followup.log); the r3
-    # q-major loop kernel (impl="loop") is the new candidate to beat it.
-    candidates = [("loop", 1024, 1024), ("pallas", 1024, 1024),
-                  ("pallas", 512, 1024)]
+    # would pin).  r3 sweeps: the SUBROW schedule (whole K/V row resident,
+    # single-pass softmax per q row group) wins at 2K (133.8 TF), the
+    # q-major loop kernel at 4K+ (118-148 TF), grid (1024,1024) is the
+    # fallback (battery_logs/r3_subrow.log, r3_measure_fwd*.log).
+    candidates = [("subrow", 1024, 1024), ("loop", 1024, 1024),
+                  ("pallas", 1024, 1024)]
     best = None
     for (impl, bq, bk) in candidates:
         try:

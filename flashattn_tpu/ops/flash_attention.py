@@ -536,6 +536,81 @@ def _flash_fwd_loop(q, k, v, *, sm_scale, block_q, chunk=None,
 
 
 # ---------------------------------------------------------------------------
+# Forward kernel, subrow schedule (causal, short-to-moderate sequences)
+# ---------------------------------------------------------------------------
+#
+# At seq <= ~4K the whole K/V row fits in VMEM, so causal attention needs
+# NO online softmax at all: grid (batch, head), K/V/Q arrive whole through
+# the BlockSpec pipeline, and a trace-time loop over q ROW GROUPS gives
+# each group one triangular-width score dot (rows [g*sub, (g+1)*sub) only
+# attend cols [0, (g+1)*sub)) followed by a single-pass softmax and one PV
+# dot.  No m/l rescale chains, no DMA loop, no pl.when — causal overcompute
+# falls to (1 + sub/N)x and every VPU op touches only live elements.
+
+
+def _fwd_subrow_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       *, sub: int, n: int):
+    q = q_ref[0, 0]                                   # (n, d), pre-scaled
+    k = k_ref[0, 0]                                   # (n, d)
+    v = v_ref[0, 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+    tri = cols <= rows
+    for g in range(n // sub):
+        r0 = g * sub
+        c_hi = r0 + sub
+        s = jax.lax.dot_general(
+            q[r0:c_hi], k[:c_hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (sub, c_hi)
+        wedge = jnp.where(tri, s[:, r0:], DEFAULT_MASK_VALUE)
+        if r0 > 0:
+            s = jnp.concatenate([s[:, :r0], wedge], axis=1)
+        else:
+            s = wedge
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v[:c_hi],
+                         preferred_element_type=jnp.float32)
+        o_ref[0, 0, r0:c_hi] = (pv / l).astype(o_ref.dtype)
+        lse_ref[0, 0, r0:c_hi] = (m * LN2 + jnp.log(l)).astype(jnp.float32)
+
+
+def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256):
+    """Causal self-attention with the whole K/V row VMEM-resident.
+
+    Requires n_q == n_kv, sub | n, and the row to fit VMEM (the dispatcher
+    gates on n <= 4096 at d = 128)."""
+    b, h, n, d = q.shape
+    group = h // k.shape[1]
+    assert n % sub == 0
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_subrow_kernel, sub=sub, n=n),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, 1), lambda b_, h_: (b_, h_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=use_interpret_mode(),
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
 # Backward kernels, q-major / kv-major loop schedules (causal fast path)
 # ---------------------------------------------------------------------------
 #
@@ -1215,9 +1290,14 @@ def flash_attention(
         ``flash_attention_causal``, tensor_functions.py:501-516).
       sm_scale: score scale; defaults to 1/sqrt(head_dim)
         (flashattention_kernel.cu:278).
-      impl: "auto" uses the Pallas kernel at kv_len >= 1024 and XLA's fused
-        op-graph below (where the kernel's grid overhead loses to XLA —
-        measured, PERF.md); "pallas" / "reference" force a path.
+      impl: "auto" picks the measured-best path per shape: XLA's fused
+        op-graph below kv_len 1024, the SUBROW kernel for causal dense
+        self-attention at seq 1024-2048 / d=128 (whole K/V row resident,
+        no online softmax), the q-major LOOP kernels at larger causal
+        seq % 1024 == 0 / d == 128 (forward AND backward), and the grid
+        kernels otherwise.  "pallas" forces the grid kernels, "loop" /
+        "subrow" force those schedules, "reference" forces the jnp
+        op-graph.
       window: sliding-window (local) attention — row i attends cols
         (i - window, i].  Requires ``causal=True``.  KV blocks wholly
         outside the window are skipped at the GRID level with their DMAs
@@ -1255,6 +1335,19 @@ def _check_heads(q, k, v):
         raise ValueError(
             f"q heads ({h}) must be a positive multiple of kv heads "
             f"({h_kv}) for GQA/MQA grouping")
+
+
+def _subrow_ok(q, k, causal, window, impl):
+    """Eligibility for the subrow schedule (the measured 2K champion:
+    133.8 TF vs the loop kernel's 95, battery_logs/r3_subrow.log): causal
+    dense self-attention with the whole K/V row VMEM-resident.  n <= 2048
+    at d == 128 is the compile-proven envelope (4K overflows the 16MB
+    scoped-vmem limit; d != 128 unmeasured)."""
+    if impl not in ("auto", "subrow") or not causal or window is not None:
+        return False
+    n = q.shape[2]
+    return (n == k.shape[2] and q.shape[3] == 128 and 1024 <= n <= 2048
+            and n % 512 == 0)
 
 
 def _loop_block(q, k, causal, window, impl, blocks):
@@ -1318,6 +1411,8 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
     if blocks is None:
         # jnp op-graph path (jitted & fused by XLA); lse kept for the vjp.
         return _reference_fwd_with_lse(q, k, v, causal, scale, window=window)
+    if _subrow_ok(q, k, causal, window, impl):
+        return _flash_fwd_subrow(q, k, v, sm_scale=scale, sub=512)
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None:
         return _flash_fwd_loop(q, k, v, sm_scale=scale, block_q=lb,

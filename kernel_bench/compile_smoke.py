@@ -99,10 +99,15 @@ def main():
         a, b, b, True).astype(jnp.float32)), argnums=(0, 1))(qs, kg)
     ok &= check("flash bwd loop dq (GQA)", gl[0], gr[0], 5e-2)
     ok &= check("flash bwd loop dkv (GQA)", gl[1], gr[1], 5e-2)
-    # auto dispatch routes eligible causal shapes through the loop kernels
+    # auto dispatch routes eligible causal shapes through the r3 schedules
+    # (subrow at this 2048/128 shape; loop at 4K+)
     o_auto = ft.flash_attention(qs, kg, kg, True)
-    ok &= check("flash fwd auto->loop", o_auto,
+    ok &= check("flash fwd auto->subrow", o_auto,
                 ft.flash_attention_reference(qs, kg, kg, True), 2e-2)
+    q4 = jax.random.normal(key, (1, 2, 4096, 128), jnp.bfloat16)
+    ok &= check("flash fwd auto->loop 4K",
+                ft.flash_attention(q4, q4, q4, True),
+                ft.flash_attention_reference(q4, q4, q4, True), 3e-2)
     # ... and the TP shim reaches the same path INSIDE shard_map (manual
     # DMA + semaphores under manual SPMD — verify it lowers on chip with a
     # 1-device mesh; multi-chip differs only in the collective-free split)

@@ -391,3 +391,56 @@ class TestLoopKernel:
                               window=100)
         ref = flash_attention_reference(q, k, v, True, window=100)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+class TestSubrowKernel:
+    """The subrow schedule (whole K/V row VMEM-resident, single-pass
+    softmax per triangular q row group — the measured 2K champion)."""
+
+    def test_matches_oracle(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_subrow
+        q, k, v = _qkv((2, 2, 512, 32), seed=80)
+        ref = flash_attention_reference(q, k, v, True)
+        for sub in (64, 128, 256):
+            out, _ = _flash_fwd_subrow(q, k, v, sm_scale=1.0 / 32**0.5,
+                                       sub=sub)
+            np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_gqa_and_lse(self):
+        from flashattn_tpu.ops.flash_attention import (
+            _flash_fwd_entry, _flash_fwd_subrow)
+        b, hq, hkv, n, d = 1, 4, 2, 512, 32
+        key = jax.random.PRNGKey(81)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, hq, n, d))
+        k = jax.random.normal(kk, (b, hkv, n, d))
+        v = jax.random.normal(kv_, (b, hkv, n, d))
+        o_s, lse_s = _flash_fwd_subrow(q, k, v, sm_scale=1.0 / d**0.5,
+                                       sub=128)
+        o_g, lse_g = _flash_fwd_entry(q, k, v, True, None, 128, 128,
+                                      "pallas")
+        np.testing.assert_allclose(o_s, o_g, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(lse_s, lse_g, atol=1e-5, rtol=1e-5)
+
+    def test_auto_dispatch_and_grad(self):
+        """auto routes 1024<=n<=2048 / d=128 causal to subrow; gradients
+        still flow (loop backward on the subrow forward's residuals)."""
+        from flashattn_tpu.ops.flash_attention import _subrow_ok
+
+        def ok(nq, nkv, d, causal=True, window=None, impl="auto"):
+            q = jax.ShapeDtypeStruct((1, 2, nq, d), jnp.bfloat16)
+            k = jax.ShapeDtypeStruct((1, 2, nkv, d), jnp.bfloat16)
+            return _subrow_ok(q, k, causal, window, impl)
+
+        assert ok(2048, 2048, 128) and ok(1024, 1024, 128)
+        assert ok(1536, 1536, 128)
+        assert not ok(4096, 4096, 128)       # vmem envelope
+        assert not ok(2048, 2048, 64)        # unmeasured head dim
+        assert not ok(2048, 2048, 128, causal=False)
+        assert not ok(2048, 1024, 128)       # cross-attention
+        assert not ok(2048, 2048, 128, window=64)
+        assert not ok(2048, 2048, 128, impl="loop")
+
+        q = jax.random.normal(jax.random.PRNGKey(82), (1, 2, 1024, 128))
+        g = jax.grad(lambda a: jnp.sum(flash_attention(a, a, a, True)))(q)
+        assert bool(jnp.isfinite(g).all())
