@@ -34,8 +34,8 @@ def bench_one(bs, nh, n, d, causal, dtype=jnp.bfloat16, impl="pallas"):
     v = jax.random.normal(ks[2], (bs, nh, n, d), dtype)
     dy = jax.random.normal(ks[3], (bs, nh, n, d), dtype)
 
-    if impl == "pallas":
-        att = lambda q, k, v: flash_attention(q, k, v, causal, impl="pallas")
+    if impl in ("pallas", "auto"):
+        att = lambda q, k, v: flash_attention(q, k, v, causal, impl=impl)
     else:
         att = lambda q, k, v: flash_attention_reference(q, k, v, causal)
 
@@ -60,10 +60,15 @@ def main():
     if not args.quick:
         shapes += [(4, 8, 8192, 128), (1, 8, 16384, 128)]
 
-    print(f"{'shape':24s} {'causal':6s} {'pallas ms':>10s} {'TF/s':>7s} "
+    print(f"{'shape':24s} {'causal':6s} {'auto ms':>9s} {'TF/s':>7s} "
+          f"{'pallas ms':>10s} {'TF/s':>7s} "
           f"{'xla ms':>9s} {'TF/s':>7s} {'speedup':>8s}")
     for bs, nh, n, d in shapes:
         for causal in (True, False):
+            # auto = the production dispatch (subrow/loop fwd + loop bwd at
+            # eligible shapes); pallas = the grid kernels, kept as the
+            # within-log schedule comparison.
+            ta, fa = bench_one(bs, nh, n, d, causal, impl="auto")
             tp, fp = bench_one(bs, nh, n, d, causal, impl="pallas")
             # op-graph bwd materialises (B,H,N,N) f32 scores twice; OOMs
             # above 8k at B4 — guard.
@@ -73,7 +78,8 @@ def main():
             else:
                 xla = f"{'—':>9s} {'—':>7s} {'—':>8s}"
             print(f"B{bs} H{nh} N{n} D{d}".ljust(24) +
-                  f"{str(causal):6s} {tp * 1e3:10.2f} {fp:7.1f} {xla}")
+                  f"{str(causal):6s} {ta * 1e3:9.2f} {fa:7.1f} "
+                  f"{tp * 1e3:10.2f} {fp:7.1f} {xla}")
 
 
 if __name__ == "__main__":
