@@ -62,7 +62,7 @@ def main():
 
     print(f"{'shape':24s} {'causal':6s} {'auto ms':>9s} {'TF/s':>7s} "
           f"{'pallas ms':>10s} {'TF/s':>7s} "
-          f"{'xla ms':>9s} {'TF/s':>7s} {'speedup':>8s}")
+          f"{'xla ms':>9s} {'TF/s':>7s} {'xla/auto':>8s} {'xla/grid':>8s}")
     for bs, nh, n, d in shapes:
         for causal in (True, False):
             # auto = the production dispatch (subrow/loop fwd + loop bwd at
@@ -74,9 +74,12 @@ def main():
             # above 8k at B4 — guard.
             if bs * nh * n * n * 4 * 3 < 12e9:
                 tx, fx = bench_one(bs, nh, n, d, causal, impl="xla")
-                xla = f"{tx * 1e3:9.2f} {fx:7.1f} {tp and tx / tp:8.2f}"
+                # xla/auto is the production speedup; xla/grid keeps the
+                # within-log schedule comparison vs the forced grid kernels.
+                xla = (f"{tx * 1e3:9.2f} {fx:7.1f} {tx / ta:8.2f} "
+                       f"{tp and tx / tp:8.2f}")
             else:
-                xla = f"{'—':>9s} {'—':>7s} {'—':>8s}"
+                xla = f"{'—':>9s} {'—':>7s} {'—':>8s} {'—':>8s}"
             print(f"B{bs} H{nh} N{n} D{d}".ljust(24) +
                   f"{str(causal):6s} {ta * 1e3:9.2f} {fa:7.1f} "
                   f"{tp * 1e3:10.2f} {fp:7.1f} {xla}")
