@@ -549,7 +549,7 @@ def _flash_fwd_loop(q, k, v, *, sm_scale, block_q, chunk=None,
 
 
 def _fwd_subrow_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       *, sub: int, n: int):
+                       *, sub: int, n: int, concat_mask: bool = True):
     q = q_ref[0, 0]                                   # (n, d), pre-scaled
     k = k_ref[0, 0]                                   # (n, d)
     v = v_ref[0, 0]
@@ -562,11 +562,18 @@ def _fwd_subrow_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q[r0:c_hi], k[:c_hi], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (sub, c_hi)
-        wedge = jnp.where(tri, s[:, r0:], DEFAULT_MASK_VALUE)
-        if r0 > 0:
-            s = jnp.concatenate([s[:, :r0], wedge], axis=1)
+        if concat_mask:
+            wedge = jnp.where(tri, s[:, r0:], DEFAULT_MASK_VALUE)
+            if r0 > 0:
+                s = jnp.concatenate([s[:, :r0], wedge], axis=1)
+            else:
+                s = wedge
         else:
-            s = wedge
+            # full-width select (no slice+concat buffer): row r0+rr keeps
+            # cols <= r0+rr
+            rr = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 0) + r0
+            cc = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 1)
+            s = jnp.where(cc <= rr, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -576,7 +583,8 @@ def _fwd_subrow_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0, r0:c_hi] = (m * LN2 + jnp.log(l)).astype(jnp.float32)
 
 
-def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256):
+def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256,
+                      concat_mask: bool = True):
     """Causal self-attention with the whole K/V row VMEM-resident.
 
     Requires n_q == n_kv, sub | n, and the row to fit VMEM (the dispatcher
@@ -586,7 +594,8 @@ def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256):
     assert n % sub == 0
     q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_subrow_kernel, sub=sub, n=n),
+        functools.partial(_fwd_subrow_kernel, sub=sub, n=n,
+                          concat_mask=concat_mask),
         grid=(b, h),
         in_specs=[
             pl.BlockSpec((1, 1, n, d), lambda b_, h_: (b_, h_, 0, 0)),
@@ -608,6 +617,113 @@ def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256):
         interpret=use_interpret_mode(),
     )(q, k, v)
     return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel, subrow schedule (whole row VMEM-resident, ONE kernel)
+# ---------------------------------------------------------------------------
+#
+# The loop backward (below) splits into a q-major dQ kernel and a kv-major
+# dKV kernel, so every (q, kv) pair's score matrix is computed TWICE (7
+# score-shaped dots total: s/dp/dq + s^T/dv/dp^T/dk).  When the whole K/V
+# row fits VMEM (seq <= 2K at d=128) a single fused kernel computes p once
+# per triangular q row group and issues exactly the 5 essential dots
+# (s, dv, dp, dq, dk) — a 7/5 = 1.4x MXU-work reduction on top of losing
+# the chunked-DMA machinery.  dq rows are disjoint per group (written
+# straight to the output); dk/dv accumulate in f32 scratch over row groups
+# and GQA group heads (grid is (batch, kv_head)).  Mirrors the reference's
+# one-kernel backward (flashattention_kernel.cu:547-690) at row-group
+# rather than thread granularity.
+
+
+def _bwd_subrow_kernel(q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref,
+                       dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                       *, sub: int, n: int, group: int, sm_scale: float):
+    k = k_ref[0, 0]                                   # (n, d)
+    v = v_ref[0, 0]
+    dk_scr[...] = jnp.zeros_like(dk_scr)
+    dv_scr[...] = jnp.zeros_like(dv_scr)
+    scale2 = sm_scale * LOG2E
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+    tri = cols <= rows
+    for g in range(group):                            # GQA: static unroll
+        q = q_ref[0, g]                               # (n, d)
+        do = do_ref[0, g]
+        for i in range(n // sub):
+            r0 = i * sub
+            c_hi = r0 + sub
+            qs = q[r0:c_hi]
+            dos = do[r0:c_hi]
+            lse2 = lse_ref[0, g, r0:c_hi] * LOG2E     # (sub, 1), base-2
+            di = di_ref[0, g, r0:c_hi]
+            s = jax.lax.dot_general(
+                qs, k[:c_hi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale2  # (sub, c_hi)
+            wedge = jnp.where(tri, s[:, r0:], DEFAULT_MASK_VALUE)
+            if r0 > 0:
+                s = jnp.concatenate([s[:, :r0], wedge], axis=1)
+            else:
+                s = wedge
+            p = jnp.exp2(s - lse2)                    # masked cols -> 0
+            dv_scr[:c_hi] += jax.lax.dot_general(
+                p.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (c_hi, d)
+            dp = jax.lax.dot_general(
+                dos, v[:c_hi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (sub, c_hi)
+            ds_ = p * (dp - di) * sm_scale
+            dq_ref[0, g, r0:c_hi] = jax.lax.dot(
+                ds_.astype(k.dtype), k[:c_hi],
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            dk_scr[:c_hi] += jax.lax.dot_general(
+                ds_.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_subrow(q, k, v, lse, di, do, *, sm_scale, sub: int = 512):
+    """Causal self-attention backward with the whole row VMEM-resident.
+
+    Requires n_q == n_kv, sub | n, and the dispatcher's vmem gate
+    (:func:`_bwd_subrow_ok`).  Returns (dq, dk, dv) with dk/dv at h_kv
+    granularity, matching :func:`_flash_bwd_loop`."""
+    b, h, n, d = q.shape
+    h_kv = k.shape[1]
+    group = h // h_kv
+    assert n % sub == 0
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_subrow_kernel, sub=sub, n=n, group=group,
+                          sm_scale=sm_scale),
+        grid=(b, h_kv),
+        in_specs=[
+            pl.BlockSpec((1, group, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, group, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, group, n, 1), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, group, n, 1), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, group, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, n, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, n, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, d), jnp.float32),
+            pltpu.VMEM((n, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=use_interpret_mode(),
+    )(q, do, lse, di, k, v)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -1383,6 +1499,27 @@ def _loop_block(q, k, causal, window, impl, blocks):
 # interior chunk = block, diagonal row groups of 256 won at every seq).
 _BWD_LOOP_DIAG = 256
 
+# Fused subrow-backward tuning (r4): row-group width.  256 keeps the three
+# score-shaped f32 intermediates (s/p, dp, ds) at <= 2MB each @2K.
+_BWD_SUBROW_SUB = 256
+
+
+def _bwd_subrow_ok(q, k, causal, window, impl):
+    """Eligibility for the fused one-kernel subrow backward: same envelope
+    as the forward subrow gate plus a VMEM budget that accounts for the
+    GQA group's q/do/dq blocks all being row-resident."""
+    if impl not in ("auto", "subrow") or not causal or window is not None:
+        return False
+    n, d = q.shape[2], q.shape[3]
+    if not (n == k.shape[2] and d == 128 and 1024 <= n <= 2048
+            and n % 512 == 0):
+        return False
+    group = q.shape[1] // k.shape[1]
+    est = ((3 * group + 2) * n * d * 2 * 2      # pipelined bf16 blocks (x2)
+           + 2 * n * d * 4                       # dk/dv f32 scratch
+           + 3 * _BWD_SUBROW_SUB * n * 4)        # score-shaped intermediates
+    return est <= 14 * 1024 * 1024
+
 
 def _use_kernel(q, k, block_q, block_k, impl):
     if impl == "reference":
@@ -1479,6 +1616,11 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
 
         _, vjp = jax.vjp(f, q, k, v)
         return vjp(do)
+    if _bwd_subrow_ok(q, k, causal, window, impl):
+        di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                     axis=-1, keepdims=True)
+        return _flash_bwd_subrow(q, k, v, lse, di, do, sm_scale=scale,
+                                 sub=_BWD_SUBROW_SUB)
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None and causal:   # the loop backward is causal-only
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),

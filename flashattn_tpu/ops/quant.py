@@ -505,6 +505,100 @@ def _kv8_flash_loop(q, k, v, *, sm_scale, block_q=1024, diag_strip=0):
     return o, lse
 
 
+def _kv8_subrow_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
+                       *, sub: int, n: int, int8_mxu: bool):
+    """Quantized-KV port of the subrow schedule
+    (flash_attention.py::_fwd_subrow_kernel): whole int8/fp8 K/V row + scale
+    rows VMEM-resident, trace-time triangular q row groups, single-pass
+    softmax — no online (m, l) chain at all.  q is quantised ONCE per
+    (batch, head) for the int8 x int8 MXU scores dot."""
+    q = q_ref[0, 0]                                   # (n, d), pre-scaled
+    k8 = k_ref[0, 0]                                  # (n, d) int8/fp8
+    v8 = v_ref[0, 0]
+    ks = ks_ref[0, 0]                                 # (1, n) f32
+    vs = vs_ref[0, 0]
+    if int8_mxu:
+        qf = q.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qs = jnp.where(absmax == 0, 1.0, absmax / 127.0)    # (n, 1)
+        q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+    tri = cols <= rows
+    for g in range(n // sub):
+        r0 = g * sub
+        c_hi = r0 + sub
+        ks_g = ks_ref[0, 0, :, :c_hi]
+        vs_g = vs_ref[0, 0, :, :c_hi]
+        if int8_mxu:
+            s = jax.lax.dot_general(
+                q8[r0:c_hi], k8[:c_hi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qs[r0:c_hi] * ks_g    # (sub, c_hi)
+        else:
+            s = jax.lax.dot_general(
+                q[r0:c_hi], k8[:c_hi].astype(q.dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * ks_g
+        wedge = jnp.where(tri, s[:, r0:], DEFAULT_MASK_VALUE)
+        if r0 > 0:
+            s = jnp.concatenate([s[:, :r0], wedge], axis=1)
+        else:
+            s = wedge
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot((p * vs_g).astype(q.dtype), v8[:c_hi].astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        o_ref[0, 0, r0:c_hi] = (pv / l).astype(o_ref.dtype)
+        lse_ref[0, 0, r0:c_hi] = (m * 0.6931471805599453
+                                  + jnp.log(l)).astype(jnp.float32)
+
+
+def _kv8_flash_subrow(q, k, v, *, sm_scale, sub: int = 512):
+    """Causal int8/fp8-KV self-attention via the subrow schedule (the bf16
+    short-seq champion).  Requires n_q == n_kv, sub | n, d = 128, and the
+    row to fit VMEM (dispatcher gates n <= 2048)."""
+    from .flash_attention import LOG2E
+
+    b, h, n, d = q.shape
+    h_kv = k.values.shape[1]
+    group = h // h_kv
+    int8_mxu = k.values.dtype == jnp.int8
+
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    ks_row = k.scales.reshape(b, h_kv, 1, n)
+    vs_row = v.scales.reshape(b, h_kv, 1, n)
+    o, lse = pl.pallas_call(
+        functools.partial(_kv8_subrow_kernel, sub=sub, n=n,
+                          int8_mxu=int8_mxu),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, 1), lambda b_, h_: (b_, h_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=use_interpret_mode(),
+    )(q, k.values, ks_row, v.values, vs_row)
+    return o, lse
+
+
 def flash_attention_kv_int8(
     q: Array, k: QuantizedTensor, v: QuantizedTensor,
     causal: bool = False, sm_scale: Optional[float] = None,
@@ -529,6 +623,13 @@ def flash_attention_kv_int8(
         from .flash_attention import _reference_fwd_with_lse
 
         return _reference_fwd_with_lse(q, kd, vd, causal, scale)
+
+    # causal self-attention at subrow-eligible shapes: whole quantized row
+    # VMEM-resident, no online softmax (the bf16 short-seq champion,
+    # battery_logs/r3_subrow.log; int8 rows in r4_int8_subrow.log)
+    if (causal and n_q == n_kv and d == 128 and 1024 <= n_q <= 2048
+            and n_q % 512 == 0):
+        return _kv8_flash_subrow(q, k, v, sm_scale=scale, sub=512)
 
     # causal self-attention at loop-tileable shapes: the q-major loop
     # schedule (no skipped grid steps / branches; measured winner, see

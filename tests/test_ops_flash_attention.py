@@ -444,3 +444,71 @@ class TestSubrowKernel:
         q = jax.random.normal(jax.random.PRNGKey(82), (1, 2, 1024, 128))
         g = jax.grad(lambda a: jnp.sum(flash_attention(a, a, a, True)))(q)
         assert bool(jnp.isfinite(g).all())
+
+    def test_subrow_backward_matches_vjp(self):
+        """The fused one-kernel subrow backward reproduces the op-graph
+        vjp (incl. GQA head-group accumulation into h_kv-granular dk/dv)."""
+        from flashattn_tpu.ops.flash_attention import (
+            _flash_bwd_subrow, _reference_fwd_with_lse)
+        for (b, hq, hkv, n, d, sub) in [(1, 2, 2, 256, 32, 64),
+                                        (2, 4, 2, 512, 32, 128),
+                                        (1, 4, 1, 256, 64, 256)]:
+            key = jax.random.PRNGKey(90 + n)
+            kq, kk, kv_, kd = jax.random.split(key, 4)
+            q = jax.random.normal(kq, (b, hq, n, d))
+            k = jax.random.normal(kk, (b, hkv, n, d))
+            v = jax.random.normal(kv_, (b, hkv, n, d))
+            do = jax.random.normal(kd, (b, hq, n, d))
+            scale = 1.0 / d**0.5
+
+            def f(q_, k_, v_):
+                return _reference_fwd_with_lse(q_, k_, v_, True, scale)[0]
+
+            o, lse = _reference_fwd_with_lse(q, k, v, True, scale)
+            di = jnp.sum(o * do, axis=-1, keepdims=True)
+            dq, dk, dv = _flash_bwd_subrow(q, k, v, lse, di, do,
+                                           sm_scale=scale, sub=sub)
+            _, vjp = jax.vjp(f, q, k, v)
+            rq, rk, rv = vjp(do)
+            np.testing.assert_allclose(dq, rq, atol=2e-4, rtol=2e-4)
+            np.testing.assert_allclose(dk, rk, atol=2e-4, rtol=2e-4)
+            np.testing.assert_allclose(dv, rv, atol=2e-4, rtol=2e-4)
+
+    def test_bwd_subrow_gate(self):
+        from flashattn_tpu.ops.flash_attention import _bwd_subrow_ok
+
+        def ok(nq, nkv, hq, hkv, d, causal=True, window=None, impl="auto"):
+            q = jax.ShapeDtypeStruct((1, hq, nq, d), jnp.bfloat16)
+            k = jax.ShapeDtypeStruct((1, hkv, nkv, d), jnp.bfloat16)
+            return _bwd_subrow_ok(q, k, causal, window, impl)
+
+        assert ok(2048, 2048, 8, 8, 128)        # group=1
+        assert ok(1024, 1024, 8, 2, 128)        # group=4 fits at 1K
+        assert not ok(2048, 2048, 8, 1, 128)    # group=8 blows the budget
+        assert not ok(4096, 4096, 8, 8, 128)
+        assert not ok(2048, 2048, 8, 8, 64)
+        assert not ok(2048, 2048, 8, 8, 128, causal=False)
+        assert not ok(2048, 1024, 8, 8, 128)
+        assert not ok(2048, 2048, 8, 8, 128, window=64)
+        assert not ok(2048, 2048, 8, 8, 128, impl="loop")
+
+    def test_grad_through_auto_dispatch_matches_reference(self):
+        """End-to-end: jax.grad through flash_attention at a subrow-eligible
+        shape equals the op-graph gradients (f32, interpret mode)."""
+        key = jax.random.PRNGKey(83)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 1024, 128))
+        k = jax.random.normal(kk, (1, 2, 1024, 128))
+        v = jax.random.normal(kv_, (1, 2, 1024, 128))
+
+        def loss_kernel(q_, k_, v_):
+            return jnp.sum(jnp.tanh(flash_attention(q_, k_, v_, True)))
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum(jnp.tanh(flash_attention_reference(q_, k_, v_,
+                                                              True)))
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)

@@ -99,6 +99,37 @@ def test_flash_attention_kv_int8_loop_multichunk_gqa():
     np.testing.assert_allclose(o, ref, atol=1e-4, rtol=1e-3)
 
 
+def test_flash_attention_kv_int8_subrow_gqa():
+    """The quantized subrow schedule (whole row resident, single-pass
+    softmax) matches the dequantised oracle, incl. GQA and fp8 payloads."""
+    from flashattn_tpu.ops.quant import _kv8_flash_subrow, quantize_fp8
+
+    b, hq, hkv, n, d = 1, 4, 2, 512, 32
+    ks = jax.random.split(jax.random.PRNGKey(19), 3)
+    q = jax.random.normal(ks[0], (b, hq, n, d))
+    k = jax.random.normal(ks[1], (b, hkv, n, d))
+    v = jax.random.normal(ks[2], (b, hkv, n, d))
+    kq, vq = quantize_kv(k, v)
+    o, lse = _kv8_flash_subrow(q, kq, vq, sm_scale=1.0 / d**0.5, sub=128)
+    q_deq = quantize_int8(q, axis=-1).dequantize()
+    ref = flash_attention_reference(q_deq, kq.dequantize(), vq.dequantize(),
+                                    True)
+    np.testing.assert_allclose(o, ref, atol=1e-4, rtol=1e-3)
+    # loop-vs-subrow schedule equivalence on the same quantized cache
+    from flashattn_tpu.ops.quant import _kv8_flash_loop
+
+    o_l, lse_l = _kv8_flash_loop(q, kq, vq, sm_scale=1.0 / d**0.5,
+                                 block_q=128)
+    np.testing.assert_allclose(o, o_l, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(lse, lse_l, atol=1e-5, rtol=1e-5)
+    # fp8 payloads flow through the same kernel (no int8-MXU path)
+    kf, vf = quantize_fp8(k, axis=-1), quantize_fp8(v, axis=-1)
+    o8, _ = _kv8_flash_subrow(q, kf, vf, sm_scale=1.0 / d**0.5, sub=128)
+    ref8 = flash_attention_reference(q, kf.dequantize(), vf.dequantize(),
+                                     True)
+    np.testing.assert_allclose(o8, ref8, atol=2e-2, rtol=2e-2)
+
+
 def test_flash_attention_kv_int8_alignment_fallbacks():
     """The quantized loop schedule needs 128-aligned blocks and head dims
     for its DMA slices; unaligned shapes must keep the grid kernel and stay
