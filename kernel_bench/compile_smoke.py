@@ -108,6 +108,28 @@ def main():
     ok &= check("flash fwd auto->loop 4K",
                 ft.flash_attention(q4, q4, q4, True),
                 ft.flash_attention_reference(q4, q4, q4, True), 3e-2)
+    # r4 fused subrow BACKWARD: auto routes group-1 2048/128 self-attention
+    # grads through the one-kernel 5-dot schedule (_bwd_subrow_kernel)
+    qs1 = jax.random.normal(key, (1, 2, 2048, 128), jnp.bfloat16)
+    gs = jax.grad(lambda a: jnp.sum(ft.flash_attention(
+        a, a, a, True).astype(jnp.float32)))(qs1)
+    gsr = jax.grad(lambda a: jnp.sum(ft.flash_attention_reference(
+        a, a, a, True).astype(jnp.float32)))(qs1)
+    ok &= check("flash bwd auto->subrow fused", gs, gsr, 5e-2)
+    # GQA group-4 at 1K stays inside the vmem gate
+    kg1 = jax.random.normal(key, (1, 1, 1024, 128), jnp.bfloat16)
+    qg1 = jax.random.normal(key, (1, 4, 1024, 128), jnp.bfloat16)
+    gs = jax.grad(lambda b: jnp.sum(ft.flash_attention(
+        qg1, b, b, True).astype(jnp.float32)))(kg1)
+    gsr = jax.grad(lambda b: jnp.sum(ft.flash_attention_reference(
+        qg1, b, b, True).astype(jnp.float32)))(kg1)
+    ok &= check("flash bwd auto->subrow fused GQA dk", gs, gsr, 5e-2)
+    # subrow fwd full-width-select mask variant (the 4K candidate)
+    from flashattn_tpu.ops.flash_attention import _flash_fwd_subrow
+    o_w, _ = _flash_fwd_subrow(qs1, qs1, qs1, sm_scale=128**-0.5,
+                               sub=512, concat_mask=False)
+    ok &= check("flash fwd subrow where-mask", o_w,
+                ft.flash_attention_reference(qs1, qs1, qs1, True), 2e-2)
     # ... and the TP shim reaches the same path INSIDE shard_map (manual
     # DMA + semaphores under manual SPMD — verify it lowers on chip with a
     # 1-device mesh; multi-chip differs only in the collective-free split)
