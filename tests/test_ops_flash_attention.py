@@ -402,9 +402,10 @@ class TestSubrowKernel:
         q, k, v = _qkv((2, 2, 512, 32), seed=80)
         ref = flash_attention_reference(q, k, v, True)
         for sub in (64, 128, 256):
-            out, _ = _flash_fwd_subrow(q, k, v, sm_scale=1.0 / 32**0.5,
-                                       sub=sub)
-            np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+            for concat in (True, False):
+                out, _ = _flash_fwd_subrow(q, k, v, sm_scale=1.0 / 32**0.5,
+                                           sub=sub, concat_mask=concat)
+                np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
     def test_gqa_and_lse(self):
         from flashattn_tpu.ops.flash_attention import (
