@@ -584,11 +584,14 @@ def _fwd_subrow_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256,
-                      concat_mask: bool = True):
+                      concat_mask: bool = True,
+                      vmem_limit: Optional[int] = None):
     """Causal self-attention with the whole K/V row VMEM-resident.
 
-    Requires n_q == n_kv, sub | n, and the row to fit VMEM (the dispatcher
-    gates on n <= 4096 at d = 128)."""
+    Requires n_q == n_kv, sub | n, and the row to fit VMEM.  ``vmem_limit``
+    raises Mosaic's scoped-vmem budget above the 16MB default (v5e has
+    128MB physical VMEM per core); the dispatcher passes it for n > 2048,
+    where the whole-row blocks + score intermediates exceed the default."""
     b, h, n, d = q.shape
     group = h // k.shape[1]
     assert n % sub == 0
@@ -613,7 +616,8 @@ def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256,
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=vmem_limit),
         interpret=use_interpret_mode(),
     )(q, k, v)
     return o, lse
@@ -683,7 +687,8 @@ def _bwd_subrow_kernel(q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref,
     dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_subrow(q, k, v, lse, di, do, *, sm_scale, sub: int = 512):
+def _flash_bwd_subrow(q, k, v, lse, di, do, *, sm_scale, sub: int = 512,
+                      vmem_limit: Optional[int] = None):
     """Causal self-attention backward with the whole row VMEM-resident.
 
     Requires n_q == n_kv, sub | n, and the dispatcher's vmem gate
@@ -720,7 +725,8 @@ def _flash_bwd_subrow(q, k, v, lse, di, do, *, sm_scale, sub: int = 512):
             pltpu.VMEM((n, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=vmem_limit),
         interpret=use_interpret_mode(),
     )(q, do, lse, di, k, v)
     return dq, dk, dv

@@ -38,6 +38,13 @@ def device_loop_time(fn: Callable, args: tuple, iters: int = 30,
     relays: each dispatch carries a constant ~25ms host->device round-trip
     latency that would otherwise be amortised into (and dominate) the
     per-call figure.  The slope cancels any constant per-dispatch cost.
+
+    DCE WARNING: only ``out[0]`` of a multi-output ``fn`` is threaded; any
+    computation feeding ONLY the other outputs is dead code under jit and
+    XLA deletes it (e.g. a split backward's separate dKV pallas call).  Fold
+    every output into the first before returning:
+    ``out0 + 1e-12 * (sum(out1) + sum(out2))`` — found the hard way in r4,
+    where the two-kernel loop backward benched above the MXU roofline.
     """
     x0 = args[0]
     rest = args[1:]

@@ -40,10 +40,16 @@ def bench_one(bs, nh, n, d, causal, dtype=jnp.bfloat16, impl="pallas"):
         att = lambda q, k, v: flash_attention_reference(q, k, v, causal)
 
     def bwd(q, k, v):
-        return jax.grad(
+        dq, dk, dv = jax.grad(
             lambda q_, k_, v_: jnp.sum(att(q_, k_, v_).astype(jnp.float32)
                                        * dy.astype(jnp.float32)),
             argnums=(0, 1, 2))(q, k, v)
+        # Fold ALL grads into the chained output: device_loop_time threads
+        # only out[0] (dq), and with the split loop/grid schedules dk/dv come
+        # from a SEPARATE pallas call that XLA dead-code-eliminates if its
+        # outputs dangle — r1-r3 bwd rows measured fwd+di+dQ only (found in
+        # r4; the "irreproducible" r1-vs-r3 grid numbers were this).
+        return dq + 1e-12 * (jnp.sum(dk) + jnp.sum(dv))
 
     t = device_loop_time(bwd, (q, k, v))
     pairs = n * n * (0.5 if causal else 1.0)

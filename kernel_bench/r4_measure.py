@@ -75,13 +75,24 @@ if run("bwd"):
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                      axis=-1, keepdims=True)
         flops = 5 * 2 * B * H * N * N * D * 0.5
+
+        # The timing chain threads only out[0]; fold dk/dv into the carry so
+        # XLA cannot DCE the dKV kernel (first r4 run measured the loop
+        # schedule at 207 "TF" — above the roofline — because only the dQ
+        # kernel survived).
+        def all_outs(fn):
+            def wrapped(x, y):
+                dq, dk, dv = fn(x, y)
+                return dq + 1e-12 * (jnp.sum(dk) + jnp.sum(dv))
+            return wrapped
+
         rows = [("loop b1024 rg256",
-                 lambda x, y: fa._flash_bwd_loop(
-                     x, x, x, lse, di, y, sm_scale=D**-0.5, block=min(N, 1024),
-                     diag_strip=256))]
+                 all_outs(lambda x, y: fa._flash_bwd_loop(
+                     x, x, x, lse, di, y, sm_scale=D**-0.5,
+                     block=min(N, 1024), diag_strip=256)))]
         rows += [(f"subrow sub={sub}",
-                  (lambda s: lambda x, y: fa._flash_bwd_subrow(
-                      x, x, x, lse, di, y, sm_scale=D**-0.5, sub=s))(sub))
+                  all_outs((lambda s: lambda x, y: fa._flash_bwd_subrow(
+                      x, x, x, lse, di, y, sm_scale=D**-0.5, sub=s))(sub)))
                  for sub in (256, 512)]
         for label, fn in rows:
             try:
@@ -102,15 +113,18 @@ if run("grad"):
         v = jax.random.normal(ks[2], (B, H, N, D), jnp.bfloat16)
         dy = jax.random.normal(ks[3], (B, H, N, D), jnp.bfloat16)
         flops = 5 * 2 * B * H * N * N * D * 0.5
-        for impl in ("auto", "loop"):
+        for impl in ("auto", "loop", "pallas"):
             def bwd(q_, k_, v_, impl=impl):
-                return jax.grad(
+                dq, dk, dv = jax.grad(
                     lambda a, b, c: jnp.sum(
                         ft.flash_attention(a, b, c, True, impl=impl)
                         .astype(jnp.float32) * dy.astype(jnp.float32)),
                     argnums=(0, 1, 2))(q_, k_, v_)
+                # fold ALL grads into the threaded output: dk/dv otherwise
+                # dangle and XLA DCEs the entire dKV pallas call
+                return dq + 1e-12 * (jnp.sum(dk) + jnp.sum(dv))
             t = device_loop_time(bwd, (q, k, v), iters=30)
-            print(f"grad impl={impl:5s} N={N}: {t*1e3:7.3f} ms  "
+            print(f"grad impl={impl:6s} N={N}: {t*1e3:7.3f} ms  "
                   f"{flops/t/1e12:6.1f} TF(bwd-5dot)")
 
 # -- forward subrow at 4K (r3 failed: vmem) -----------------------------------
