@@ -1459,16 +1459,34 @@ def _check_heads(q, k, v):
             f"({h_kv}) for GQA/MQA grouping")
 
 
+# Above Mosaic's 16MB default scoped-vmem budget the subrow kernels pass an
+# explicit limit (v5e has 128MB physical VMEM/core); r4_vmem_fwd/bwd.log
+# measured no win past 100MB (16K overflows it and the loop kernel already
+# runs 144 TF there).
+_SUBROW_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _subrow_params(n):
+    """(sub, vmem_limit) for the subrow schedules: 512-row groups inside the
+    default scoped-vmem budget at n <= 2048 (the r3-proven envelope);
+    256-row groups + the raised limit above (battery_logs/r4_vmem_fwd.log:
+    sub=256 wins at 4K/8K and the default budget overflows)."""
+    if n <= 2048:
+        return 512, None
+    return 256, _SUBROW_VMEM_LIMIT
+
+
 def _subrow_ok(q, k, causal, window, impl):
-    """Eligibility for the subrow schedule (the measured 2K champion:
-    133.8 TF vs the loop kernel's 95, battery_logs/r3_subrow.log): causal
-    dense self-attention with the whole K/V row VMEM-resident.  n <= 2048
-    at d == 128 is the compile-proven envelope (4K overflows the 16MB
-    scoped-vmem limit; d != 128 unmeasured)."""
+    """Eligibility for the subrow schedule — the measured champion at EVERY
+    seq it fits (vs the loop kernel: 131.9/97.6 @2K, 137.2/118.7 @4K,
+    145.2/129.0 @8K; battery_logs/r3_subrow.log + r4_vmem_fwd.log): causal
+    dense self-attention with the whole K/V row VMEM-resident.  16K
+    overflows the raised 100MB budget (r4_vmem_bwd.log tail); d != 128
+    unmeasured."""
     if impl not in ("auto", "subrow") or not causal or window is not None:
         return False
     n = q.shape[2]
-    return (n == k.shape[2] and q.shape[3] == 128 and 1024 <= n <= 2048
+    return (n == k.shape[2] and q.shape[3] == 128 and 1024 <= n <= 8192
             and n % 512 == 0)
 
 
@@ -1505,26 +1523,32 @@ def _loop_block(q, k, causal, window, impl, blocks):
 # interior chunk = block, diagonal row groups of 256 won at every seq).
 _BWD_LOOP_DIAG = 256
 
-# Fused subrow-backward tuning (r4): row-group width.  256 keeps the three
-# score-shaped f32 intermediates (s/p, dp, ds) at <= 2MB each @2K.
+# Fused subrow-backward tuning (r4): 256-row groups won or tied at every
+# seq (battery_logs/r4_vmem_bwd.log: 129.7/139.9/165.8 TF at 2/4/8K vs the
+# loop schedule's 102.2/116.3/115.5 — the 7-dots-to-5 fusion plus zero
+# chunk machinery; raw saturation at 8K is ~98% of the matmul roofline).
 _BWD_SUBROW_SUB = 256
 
 
 def _bwd_subrow_ok(q, k, causal, window, impl):
     """Eligibility for the fused one-kernel subrow backward: same envelope
     as the forward subrow gate plus a VMEM budget that accounts for the
-    GQA group's q/do/dq blocks all being row-resident."""
+    GQA group's q/do/dq blocks all being row-resident.  n <= 2048 stays
+    inside Mosaic's default scoped budget (est <= 14MB, the r4-proven
+    envelope); larger rows ride the raised 100MB limit with ~28MB headroom
+    kept for pipelining."""
     if impl not in ("auto", "subrow") or not causal or window is not None:
         return False
     n, d = q.shape[2], q.shape[3]
-    if not (n == k.shape[2] and d == 128 and 1024 <= n <= 2048
+    if not (n == k.shape[2] and d == 128 and 1024 <= n <= 8192
             and n % 512 == 0):
         return False
     group = q.shape[1] // k.shape[1]
     est = ((3 * group + 2) * n * d * 2 * 2      # pipelined bf16 blocks (x2)
            + 2 * n * d * 4                       # dk/dv f32 scratch
            + 3 * _BWD_SUBROW_SUB * n * 4)        # score-shaped intermediates
-    return est <= 14 * 1024 * 1024
+    budget = 14 * 1024 * 1024 if n <= 2048 else 72 * 1024 * 1024
+    return est <= budget
 
 
 def _use_kernel(q, k, block_q, block_k, impl):
@@ -1555,7 +1579,9 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
         # jnp op-graph path (jitted & fused by XLA); lse kept for the vjp.
         return _reference_fwd_with_lse(q, k, v, causal, scale, window=window)
     if _subrow_ok(q, k, causal, window, impl):
-        return _flash_fwd_subrow(q, k, v, sm_scale=scale, sub=512)
+        sub, lim = _subrow_params(q.shape[2])
+        return _flash_fwd_subrow(q, k, v, sm_scale=scale, sub=sub,
+                                 concat_mask=False, vmem_limit=lim)
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None:
         return _flash_fwd_loop(q, k, v, sm_scale=scale, block_q=lb,
@@ -1625,8 +1651,9 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
     if _bwd_subrow_ok(q, k, causal, window, impl):
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                      axis=-1, keepdims=True)
+        lim = None if q.shape[2] <= 2048 else _SUBROW_VMEM_LIMIT
         return _flash_bwd_subrow(q, k, v, lse, di, do, sm_scale=scale,
-                                 sub=_BWD_SUBROW_SUB)
+                                 sub=_BWD_SUBROW_SUB, vmem_limit=lim)
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None and causal:   # the loop backward is causal-only
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),

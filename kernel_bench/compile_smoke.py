@@ -105,9 +105,17 @@ def main():
     ok &= check("flash fwd auto->subrow", o_auto,
                 ft.flash_attention_reference(qs, kg, kg, True), 2e-2)
     q4 = jax.random.normal(key, (1, 2, 4096, 128), jnp.bfloat16)
-    ok &= check("flash fwd auto->loop 4K",
+    ok &= check("flash fwd auto->subrow 4K (vmem100)",
                 ft.flash_attention(q4, q4, q4, True),
                 ft.flash_attention_reference(q4, q4, q4, True), 3e-2)
+    ok &= check("flash fwd loop 4K",
+                ft.flash_attention(q4, q4, q4, True, impl="loop"),
+                ft.flash_attention_reference(q4, q4, q4, True), 3e-2)
+    g4 = jax.grad(lambda a: jnp.sum(ft.flash_attention(
+        a, a, a, True).astype(jnp.float32)))(q4)
+    g4r = jax.grad(lambda a: jnp.sum(ft.flash_attention_reference(
+        a, a, a, True).astype(jnp.float32)))(q4)
+    ok &= check("flash bwd auto->subrow 4K (vmem100)", g4, g4r, 5e-2)
     # r4 fused subrow BACKWARD: auto routes group-1 2048/128 self-attention
     # grads through the one-kernel 5-dot schedule (_bwd_subrow_kernel)
     qs1 = jax.random.normal(key, (1, 2, 2048, 128), jnp.bfloat16)

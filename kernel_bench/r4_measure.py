@@ -106,7 +106,7 @@ if run("bwd"):
 # -- grad-interval A/B (the PERF.md bwd-table methodology) -------------------
 if run("grad"):
     print("== r4 grad interval (fwd + di + bwd) bf16 B4 H8 D128 ==")
-    for N in (1024, 2048):
+    for N in (1024, 2048, 4096, 8192):
         ks = jax.random.split(jax.random.PRNGKey(N), 4)
         q = jax.random.normal(ks[0], (B, H, N, D), jnp.bfloat16)
         k = jax.random.normal(ks[1], (B, H, N, D), jnp.bfloat16)

@@ -435,7 +435,9 @@ class TestSubrowKernel:
 
         assert ok(2048, 2048, 128) and ok(1024, 1024, 128)
         assert ok(1536, 1536, 128)
-        assert not ok(4096, 4096, 128)       # vmem envelope
+        assert ok(4096, 4096, 128)           # r4: raised vmem limit
+        assert ok(8192, 8192, 128)
+        assert not ok(16384, 16384, 128)     # overflows even 100MB
         assert not ok(2048, 2048, 64)        # unmeasured head dim
         assert not ok(2048, 2048, 128, causal=False)
         assert not ok(2048, 1024, 128)       # cross-attention
@@ -486,7 +488,11 @@ class TestSubrowKernel:
         assert ok(2048, 2048, 8, 8, 128)        # group=1
         assert ok(1024, 1024, 8, 2, 128)        # group=4 fits at 1K
         assert not ok(2048, 2048, 8, 1, 128)    # group=8 blows the budget
-        assert not ok(4096, 4096, 8, 8, 128)
+        assert ok(4096, 4096, 8, 8, 128)        # r4: raised vmem limit
+        assert ok(8192, 8192, 8, 8, 128)
+        assert ok(8192, 8192, 8, 4, 128)        # group=2 within 72MB @8K
+        assert not ok(8192, 8192, 8, 2, 128)    # group=4 @8K over budget
+        assert not ok(16384, 16384, 8, 8, 128)
         assert not ok(2048, 2048, 8, 8, 64)
         assert not ok(2048, 2048, 8, 8, 128, causal=False)
         assert not ok(2048, 1024, 8, 8, 128)
