@@ -1651,9 +1651,14 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
     if _bwd_subrow_ok(q, k, causal, window, impl):
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                      axis=-1, keepdims=True)
-        lim = None if q.shape[2] <= 2048 else _SUBROW_VMEM_LIMIT
+        n = q.shape[2]
+        # r4_bwd.log: sub=512 wins at 1K (112.5 vs 107.6 TF), 256 at 2K+
+        # (148.9 vs 143.3); the raised limit only where the default budget
+        # overflows (at 2K it measured ~13% SLOWER than the default).
+        sub = 512 if n <= 1024 else _BWD_SUBROW_SUB
+        lim = None if n <= 2048 else _SUBROW_VMEM_LIMIT
         return _flash_bwd_subrow(q, k, v, lse, di, do, sm_scale=scale,
-                                 sub=_BWD_SUBROW_SUB, vmem_limit=lim)
+                                 sub=sub, vmem_limit=lim)
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None and causal:   # the loop backward is causal-only
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),

@@ -555,10 +555,12 @@ def _kv8_subrow_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
                                   + jnp.log(l)).astype(jnp.float32)
 
 
-def _kv8_flash_subrow(q, k, v, *, sm_scale, sub: int = 512):
+def _kv8_flash_subrow(q, k, v, *, sm_scale, sub: int = 512,
+                      vmem_limit: Optional[int] = None):
     """Causal int8/fp8-KV self-attention via the subrow schedule (the bf16
-    short-seq champion).  Requires n_q == n_kv, sub | n, d = 128, and the
-    row to fit VMEM (dispatcher gates n <= 2048)."""
+    champion at every seq it fits).  Requires n_q == n_kv, sub | n, d = 128,
+    and the row to fit VMEM (``vmem_limit`` raises Mosaic's 16MB default
+    scoped budget for n > 2048, mirroring the bf16 kernel)."""
     from .flash_attention import LOG2E
 
     b, h, n, d = q.shape
@@ -593,7 +595,8 @@ def _kv8_flash_subrow(q, k, v, *, sm_scale, sub: int = 512):
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=vmem_limit),
         interpret=use_interpret_mode(),
     )(q, k.values, ks_row, v.values, vs_row)
     return o, lse
