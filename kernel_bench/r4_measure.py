@@ -151,6 +151,99 @@ if run("fwd4k"):
                 print(f"{label} N=4096: FAILED {type(e).__name__} "
                       f"{str(e)[:120]}")
 
+# -- subrow at 4-16K under the raised scoped-vmem limit ----------------------
+if run("vmem"):
+    LIM = 100 * 1024 * 1024
+    print("== r4 subrow fwd/bwd with vmem_limit=100MB (bf16 B4 H8 D128) ==")
+    for N in (4096, 8192):
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D),
+                              jnp.bfloat16)
+        do = jax.random.normal(jax.random.PRNGKey(1), (B, H, N, D),
+                               jnp.bfloat16)
+        fflops = 4 * B * H * N * N * D * 0.5
+        t = device_loop_time(lambda x: fa._flash_fwd_loop(
+            x, x, x, sm_scale=D**-0.5, block_q=1024)[0], (q,), iters=30)
+        print(f"fwd loop bq1024    N={N}: {t*1e3:7.3f} ms  "
+              f"{fflops/t/1e12:6.1f} TF")
+        for sub in (256, 512):
+            try:
+                fn = (lambda s: lambda x: fa._flash_fwd_subrow(
+                    x, x, x, sm_scale=D**-0.5, sub=s, concat_mask=False,
+                    vmem_limit=LIM)[0])(sub)
+                t = device_loop_time(fn, (q,), iters=30)
+                print(f"fwd subrow{sub} vmem100 N={N}: {t*1e3:7.3f} ms  "
+                      f"{fflops/t/1e12:6.1f} TF")
+            except Exception as e:  # noqa: BLE001
+                print(f"fwd subrow{sub} N={N}: FAILED {type(e).__name__} "
+                      f"{str(e)[:90]}")
+        o, lse = fa._flash_fwd_subrow(q, q, q, sm_scale=D**-0.5, sub=256,
+                                      concat_mask=False, vmem_limit=LIM)
+        di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                     axis=-1, keepdims=True)
+        bflops = 5 * 2 * B * H * N * N * D * 0.5
+
+        def all_outs(fn):
+            def wrapped(x, y):
+                dq, dk, dv = fn(x, y)
+                return dq + 1e-12 * (jnp.sum(dk) + jnp.sum(dv))
+            return wrapped
+
+        rows = [("bwd loop b1024 rg256 ",
+                 all_outs(lambda x, y: fa._flash_bwd_loop(
+                     x, x, x, lse, di, y, sm_scale=D**-0.5, block=1024,
+                     diag_strip=256)))]
+        rows += [(f"bwd subrow{sub} vmem100", all_outs(
+            (lambda s: lambda x, y: fa._flash_bwd_subrow(
+                x, x, x, lse, di, y, sm_scale=D**-0.5, sub=s,
+                vmem_limit=LIM))(sub))) for sub in (256,)]
+        for lbl, fn in rows:
+            try:
+                t = device_loop_time(fn, (q, do), iters=20)
+                print(f"{lbl} N={N}: {t*1e3:7.3f} ms  "
+                      f"{bflops/t/1e12:6.1f} TF")
+            except Exception as e:  # noqa: BLE001
+                print(f"{lbl} N={N}: FAILED {type(e).__name__} {str(e)[:90]}")
+
+# -- int8/fp8-KV prefill through the subrow schedule -------------------------
+if run("int8sub"):
+    from flashattn_tpu.ops import quant as qz
+
+    LIM = 100 * 1024 * 1024
+    print("== r4 int8-KV subrow prefill (bf16 activations, B4 H8 D128) ==")
+    qg = jax.random.normal(jax.random.PRNGKey(0), (B, 2, 2048, D),
+                           jnp.bfloat16)
+    kq, vq = qz.quantize_kv(qg.astype(jnp.float32), qg.astype(jnp.float32))
+    o_s, _ = qz._kv8_flash_subrow(qg, kq, vq, sm_scale=D**-0.5, sub=512)
+    o_l, _ = qz._kv8_flash_loop(qg, kq, vq, sm_scale=D**-0.5, block_q=1024)
+    err = float(jnp.max(jnp.abs(o_s.astype(jnp.float32)
+                                - o_l.astype(jnp.float32))))
+    print(f"kv8 subrow vs loop @2K bf16 max err: {err:.3e}")
+    assert err < 3e-2, "kv8 subrow CORRECTNESS FAIL"
+    for N in (2048, 4096, 8192):
+        ks = jax.random.split(jax.random.PRNGKey(N), 3)
+        q = jax.random.normal(ks[0], (B, H, N, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, H, N, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, H, N, D), jnp.float32)
+        kq, vq = qz.quantize_kv(k, v)
+        flops = 4 * B * H * N * N * D * 0.5
+        sub, lim = (512, None) if N <= 2048 else (256, LIM)
+        rows = [
+            ("bf16 subrow  ", lambda x: fa._flash_fwd_subrow(
+                x, x, x, sm_scale=D**-0.5, sub=sub, concat_mask=False,
+                vmem_limit=lim)[0]),
+            ("kv8 loop     ", lambda x: qz._kv8_flash_loop(
+                x, kq, vq, sm_scale=D**-0.5, block_q=1024)[0]),
+            ("kv8 subrow   ", lambda x: qz._kv8_flash_subrow(
+                x, kq, vq, sm_scale=D**-0.5, sub=sub, vmem_limit=lim)[0]),
+        ]
+        for lbl, fn in rows:
+            try:
+                t = device_loop_time(fn, (q,), iters=30)
+                print(f"{lbl} N={N}: {t*1e3:7.3f} ms  "
+                      f"{flops/t/1e12:6.1f} TF")
+            except Exception as e:  # noqa: BLE001
+                print(f"{lbl} N={N}: FAILED {type(e).__name__} {str(e)[:90]}")
+
 # -- forward subrow mask-variant at 1-2K (guard against regression) ----------
 if run("fwd2k"):
     print("== r4 fwd subrow mask variants (bf16 B4 H8 D128) ==")

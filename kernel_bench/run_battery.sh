@@ -31,6 +31,9 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run compile_smoke 1800 python -u kernel_bench/compile_smoke.py || {
   echo "SMOKE FAILED - stopping battery"; exit 1; }
+run r4_measure 7200 python -u kernel_bench/r4_measure.py
+run train_mfu 2700 python -u kernel_bench/bench_train_mfu.py
+run flash_bwd 3600 python -u kernel_bench/bench_flash_bwd.py
 run r3_measure 4800 python -u kernel_bench/r3_measure.py
 run int8_paged 2400 python -u kernel_bench/r2_measure.py --only int8_prefill,paged_int8
 run fused_dropout 1200 python -u kernel_bench/bench_fused_dropout.py
