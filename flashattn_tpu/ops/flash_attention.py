@@ -642,47 +642,54 @@ def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256,
 
 def _bwd_subrow_kernel(q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref,
                        dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                       *, sub: int, n: int, group: int, sm_scale: float):
+                       *, sub: int, n: int, sm_scale: float):
+    g_ = pl.program_id(2)                             # GQA group step
     k = k_ref[0, 0]                                   # (n, d)
     v = v_ref[0, 0]
-    dk_scr[...] = jnp.zeros_like(dk_scr)
-    dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(g_ == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
     scale2 = sm_scale * LOG2E
     rows = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     tri = cols <= rows
-    for g in range(group):                            # GQA: static unroll
-        q = q_ref[0, g]                               # (n, d)
-        do = do_ref[0, g]
-        for i in range(n // sub):
-            r0 = i * sub
-            c_hi = r0 + sub
-            qs = q[r0:c_hi]
-            dos = do[r0:c_hi]
-            lse2 = lse_ref[0, g, r0:c_hi] * LOG2E     # (sub, 1), base-2
-            di = di_ref[0, g, r0:c_hi]
-            s = jax.lax.dot_general(
-                qs, k[:c_hi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale2  # (sub, c_hi)
-            wedge = jnp.where(tri, s[:, r0:], DEFAULT_MASK_VALUE)
-            if r0 > 0:
-                s = jnp.concatenate([s[:, :r0], wedge], axis=1)
-            else:
-                s = wedge
-            p = jnp.exp2(s - lse2)                    # masked cols -> 0
-            dv_scr[:c_hi] += jax.lax.dot_general(
-                p.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (c_hi, d)
-            dp = jax.lax.dot_general(
-                dos, v[:c_hi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (sub, c_hi)
-            ds_ = p * (dp - di) * sm_scale
-            dq_ref[0, g, r0:c_hi] = jax.lax.dot(
-                ds_.astype(k.dtype), k[:c_hi],
-                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-            dk_scr[:c_hi] += jax.lax.dot_general(
-                ds_.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    q = q_ref[0, 0]                                   # (n, d)
+    do = do_ref[0, 0]
+    for i in range(n // sub):
+        r0 = i * sub
+        c_hi = r0 + sub
+        qs = q[r0:c_hi]
+        dos = do[r0:c_hi]
+        lse2 = lse_ref[0, 0, r0:c_hi] * LOG2E         # (sub, 1), base-2
+        di = di_ref[0, 0, r0:c_hi]
+        s = jax.lax.dot_general(
+            qs, k[:c_hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale2  # (sub, c_hi)
+        wedge = jnp.where(tri, s[:, r0:], DEFAULT_MASK_VALUE)
+        if r0 > 0:
+            s = jnp.concatenate([s[:, :r0], wedge], axis=1)
+        else:
+            s = wedge
+        p = jnp.exp2(s - lse2)                        # masked cols -> 0
+        dv_scr[:c_hi] += jax.lax.dot_general(
+            p.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (c_hi, d)
+        dp = jax.lax.dot_general(
+            dos, v[:c_hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (sub, c_hi)
+        ds_ = p * (dp - di) * sm_scale
+        dq_ref[0, 0, r0:c_hi] = jax.lax.dot(
+            ds_.astype(k.dtype), k[:c_hi],
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_scr[:c_hi] += jax.lax.dot_general(
+            ds_.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    # dk/dv output blocks are revisited across the group axis; Pallas
+    # flushes them to HBM when the (b, hk) index changes, so the last group
+    # step's store wins — write the running accumulation every step.
     dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
     dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
@@ -692,28 +699,38 @@ def _flash_bwd_subrow(q, k, v, lse, di, do, *, sm_scale, sub: int = 512,
     """Causal self-attention backward with the whole row VMEM-resident.
 
     Requires n_q == n_kv, sub | n, and the dispatcher's vmem gate
-    (:func:`_bwd_subrow_ok`).  Returns (dq, dk, dv) with dk/dv at h_kv
-    granularity, matching :func:`_flash_bwd_loop`."""
+    (:func:`_bwd_subrow_ok`).  GQA rides the GRID (grid (b, h_kv, group)
+    with k/v blocks revisited and dk/dv accumulated in scratch across the
+    group axis), so the VMEM footprint is group-independent.  Returns
+    (dq, dk, dv) with dk/dv at h_kv granularity, matching
+    :func:`_flash_bwd_loop`."""
     b, h, n, d = q.shape
     h_kv = k.shape[1]
     group = h // h_kv
     assert n % sub == 0
+
+    def q_index(b_, hk_, g_):
+        return (b_, hk_ * group + g_, 0, 0)
+
+    def kv_index(b_, hk_, g_):
+        return (b_, hk_, 0, 0)
+
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_subrow_kernel, sub=sub, n=n, group=group,
+        functools.partial(_bwd_subrow_kernel, sub=sub, n=n,
                           sm_scale=sm_scale),
-        grid=(b, h_kv),
+        grid=(b, h_kv, group),
         in_specs=[
-            pl.BlockSpec((1, group, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
-            pl.BlockSpec((1, group, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
-            pl.BlockSpec((1, group, n, 1), lambda b_, hk_: (b_, hk_, 0, 0)),
-            pl.BlockSpec((1, group, n, 1), lambda b_, hk_: (b_, hk_, 0, 0)),
-            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
-            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), q_index),
+            pl.BlockSpec((1, 1, n, d), q_index),
+            pl.BlockSpec((1, 1, n, 1), q_index),
+            pl.BlockSpec((1, 1, n, 1), q_index),
+            pl.BlockSpec((1, 1, n, d), kv_index),
+            pl.BlockSpec((1, 1, n, d), kv_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
-            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
-            pl.BlockSpec((1, 1, n, d), lambda b_, hk_: (b_, hk_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), q_index),
+            pl.BlockSpec((1, 1, n, d), kv_index),
+            pl.BlockSpec((1, 1, n, d), kv_index),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
@@ -725,7 +742,7 @@ def _flash_bwd_subrow(q, k, v, lse, di, do, *, sm_scale, sub: int = 512,
             pltpu.VMEM((n, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=vmem_limit),
         interpret=use_interpret_mode(),
     )(q, do, lse, di, k, v)
@@ -1532,23 +1549,14 @@ _BWD_SUBROW_SUB = 256
 
 def _bwd_subrow_ok(q, k, causal, window, impl):
     """Eligibility for the fused one-kernel subrow backward: same envelope
-    as the forward subrow gate plus a VMEM budget that accounts for the
-    GQA group's q/do/dq blocks all being row-resident.  n <= 2048 stays
-    inside Mosaic's default scoped budget (est <= 14MB, the r4-proven
-    envelope); larger rows ride the raised 100MB limit with ~28MB headroom
-    kept for pipelining."""
+    as the forward subrow gate.  GQA group size does not affect the
+    footprint — the group rides the grid with per-step (1, 1, n, d) q/do/dq
+    blocks and dk/dv accumulated in scratch across the group axis."""
     if impl not in ("auto", "subrow") or not causal or window is not None:
         return False
     n, d = q.shape[2], q.shape[3]
-    if not (n == k.shape[2] and d == 128 and 1024 <= n <= 8192
-            and n % 512 == 0):
-        return False
-    group = q.shape[1] // k.shape[1]
-    est = ((3 * group + 2) * n * d * 2 * 2      # pipelined bf16 blocks (x2)
-           + 2 * n * d * 4                       # dk/dv f32 scratch
-           + 3 * _BWD_SUBROW_SUB * n * 4)        # score-shaped intermediates
-    budget = 14 * 1024 * 1024 if n <= 2048 else 72 * 1024 * 1024
-    return est <= budget
+    return (n == k.shape[2] and d == 128 and 1024 <= n <= 8192
+            and n % 512 == 0)
 
 
 def _use_kernel(q, k, block_q, block_k, impl):

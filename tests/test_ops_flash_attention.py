@@ -486,12 +486,11 @@ class TestSubrowKernel:
             return _bwd_subrow_ok(q, k, causal, window, impl)
 
         assert ok(2048, 2048, 8, 8, 128)        # group=1
-        assert ok(1024, 1024, 8, 2, 128)        # group=4 fits at 1K
-        assert not ok(2048, 2048, 8, 1, 128)    # group=8 blows the budget
+        assert ok(1024, 1024, 8, 2, 128)        # GQA rides the grid…
+        assert ok(2048, 2048, 8, 1, 128)        # …at ANY group size (MQA)
         assert ok(4096, 4096, 8, 8, 128)        # r4: raised vmem limit
         assert ok(8192, 8192, 8, 8, 128)
-        assert ok(8192, 8192, 8, 4, 128)        # group=2 within 72MB @8K
-        assert not ok(8192, 8192, 8, 2, 128)    # group=4 @8K over budget
+        assert ok(8192, 8192, 8, 2, 128)
         assert not ok(16384, 16384, 8, 8, 128)
         assert not ok(2048, 2048, 8, 8, 64)
         assert not ok(2048, 2048, 8, 8, 128, causal=False)
