@@ -74,10 +74,15 @@ def main():
           f"{flops/1e12:.2f} model TFLOP/step "
           f"({attn_flops/flops*100:.0f}% attention)")
 
+    # f32 WITHOUT remat is omitted: at this config its activation footprint
+    # blows HBM at compile (HTTP 500 in train_mfu.log, r4) — the remat row
+    # is the honest f32 baseline.  Note mixed+remat measured FASTER than
+    # plain mixed here (120 vs 94 TF/s): recompute costs less than the HBM
+    # traffic of spilled activations at E2048/M8192.
     for label, loss_fn, remat in [
         ("bf16-mixed", make_mixed_precision_loss(lm_loss), False),
         ("bf16-mixed + remat", make_mixed_precision_loss(lm_loss), True),
-        ("f32", lm_loss, False),
+        ("f32 + remat", lm_loss, True),
     ]:
         m = model
         if remat:
