@@ -628,11 +628,19 @@ def flash_attention_kv_int8(
         return _reference_fwd_with_lse(q, kd, vd, causal, scale)
 
     # causal self-attention at subrow-eligible shapes: whole quantized row
-    # VMEM-resident, no online softmax (the bf16 short-seq champion,
-    # battery_logs/r3_subrow.log; int8 rows in r4_int8_subrow.log)
-    if (causal and n_q == n_kv and d == 128 and 1024 <= n_q <= 2048
+    # VMEM-resident, no online softmax.  With the rescale chain gone the
+    # int8 x int8 MXU scores dot (2x bf16 MACs on v5e) plus halved K/V
+    # bytes make int8 prefill FASTER than the best bf16 path at every
+    # eligible seq: 136.7/159.2/166.8 TF at 2/4/8K vs bf16 subrow
+    # 126.8/135.7/145.9 (battery_logs/r4_int8_subrow.log) — vs 0.96-0.98x
+    # for the r3 loop schedule.  Envelope mirrors the bf16 _subrow_ok gate.
+    if (causal and n_q == n_kv and d == 128 and 1024 <= n_q <= 8192
             and n_q % 512 == 0):
-        return _kv8_flash_subrow(q, k, v, sm_scale=scale, sub=512)
+        from .flash_attention import _SUBROW_VMEM_LIMIT
+
+        sub, lim = (512, None) if n_q <= 2048 else (256, _SUBROW_VMEM_LIMIT)
+        return _kv8_flash_subrow(q, k, v, sm_scale=scale, sub=sub,
+                                 vmem_limit=lim)
 
     # causal self-attention at loop-tileable shapes: the q-major loop
     # schedule (no skipped grid steps / branches; measured winner, see
