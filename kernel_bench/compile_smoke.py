@@ -277,6 +277,16 @@ def main():
                                        kqb.dequantize(jnp.float32), True)
     ok &= check("int8-KV flash D128 bf16", o, ref, 3e-2)
 
+    # r4: the quantized subrow path at 4K rides the raised vmem limit
+    qb4 = jax.random.normal(key, (1, 2, 4096, 128), jnp.bfloat16)
+    kqb4 = quantize_int8(qb4.astype(jnp.float32), axis=-1)
+    o, _ = flash_attention_kv_int8(qb4, kqb4, kqb4, True)
+    qb4d = quantize_int8(qb4.astype(jnp.float32), axis=-1).dequantize(jnp.float32)
+    ref = ft.flash_attention_reference(qb4d.astype(jnp.bfloat16),
+                                       kqb4.dequantize(jnp.float32),
+                                       kqb4.dequantize(jnp.float32), True)
+    ok &= check("int8-KV subrow 4K (vmem100)", o, ref, 3e-2)
+
     # fp8 (e4m3) payloads through the same kernels
     from flashattn_tpu.ops.quant import quantize_fp8, quantize_int8_stochastic
 
