@@ -634,8 +634,11 @@ def flash_attention_kv_int8(
     # eligible seq: 136.7/159.2/166.8 TF at 2/4/8K vs bf16 subrow
     # 126.8/135.7/145.9 (battery_logs/r4_int8_subrow.log) — vs 0.96-0.98x
     # for the r3 loop schedule.  Envelope mirrors the bf16 _subrow_ok gate.
+    # INT8 ONLY: fp8 has no native MXU path on v5e, and its per-dot dequant
+    # measured 69.4/84.3 TF through subrow (r4_fp8_subrow.log) — worse than
+    # the loop schedule it would replace, so fp8 keeps the loop/grid route.
     if (causal and n_q == n_kv and d == 128 and 1024 <= n_q <= 8192
-            and n_q % 512 == 0):
+            and n_q % 512 == 0 and k.values.dtype == jnp.int8):
         from .flash_attention import _SUBROW_VMEM_LIMIT
 
         sub, lim = (512, None) if n_q <= 2048 else (256, _SUBROW_VMEM_LIMIT)
