@@ -1477,20 +1477,29 @@ def _check_heads(q, k, v):
 
 
 # Above Mosaic's 16MB default scoped-vmem budget the subrow kernels pass an
-# explicit limit (v5e has 128MB physical VMEM/core); r4_vmem_fwd/bwd.log
-# measured no win past 100MB (16K overflows it and the loop kernel already
-# runs 144 TF there).
-_SUBROW_VMEM_LIMIT = 100 * 1024 * 1024
+# explicit limit (v5e has 128MB physical VMEM/core).  The limit is a
+# PERFORMANCE knob, not just a capacity one: Mosaic's allocation/pipelining
+# choices degrade with headroom, so the TIGHTEST limit that compiles wins —
+# fwd @4K measured 159.0 TF at 32MB vs 135.6 at 100MB (+17%), @8K 149.1 at
+# 64MB vs 144.3 at 100MB; 32/48MB fail to compile at 8K
+# (battery_logs/r4_limtune.log).
+_SUBROW_VMEM_4K = 32 * 1024 * 1024
+_SUBROW_VMEM_8K = 64 * 1024 * 1024
+# bwd holds four score-shaped intermediates (s/p, dp, ds) + dk/dv scratch:
+# 48MB is its 4K floor (142.7 TF vs 139.1 at 100MB); 64MB at 8K (167.5).
+_BWD_SUBROW_VMEM_4K = 48 * 1024 * 1024
 
 
 def _subrow_params(n):
-    """(sub, vmem_limit) for the subrow schedules: 512-row groups inside the
+    """(sub, vmem_limit) for the subrow forward: 512-row groups inside the
     default scoped-vmem budget at n <= 2048 (the r3-proven envelope);
-    256-row groups + the raised limit above (battery_logs/r4_vmem_fwd.log:
-    sub=256 wins at 4K/8K and the default budget overflows)."""
+    256-row groups + the tightest compiling raised limit above
+    (battery_logs/r4_vmem_fwd.log, r4_limtune.log)."""
     if n <= 2048:
         return 512, None
-    return 256, _SUBROW_VMEM_LIMIT
+    if n <= 4096:
+        return 256, _SUBROW_VMEM_4K
+    return 256, _SUBROW_VMEM_8K
 
 
 def _subrow_ok(q, k, causal, window, impl):
@@ -1662,9 +1671,14 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
         n = q.shape[2]
         # r4_bwd.log: sub=512 wins at 1K (112.5 vs 107.6 TF), 256 at 2K+
         # (148.9 vs 143.3); the raised limit only where the default budget
-        # overflows (at 2K it measured ~13% SLOWER than the default).
+        # overflows, and then the tightest compiling one (r4_limtune.log).
         sub = 512 if n <= 1024 else _BWD_SUBROW_SUB
-        lim = None if n <= 2048 else _SUBROW_VMEM_LIMIT
+        if n <= 2048:
+            lim = None
+        elif n <= 4096:
+            lim = _BWD_SUBROW_VMEM_4K
+        else:
+            lim = _SUBROW_VMEM_8K
         return _flash_bwd_subrow(q, k, v, lse, di, do, sm_scale=scale,
                                  sub=sub, vmem_limit=lim)
     lb = _loop_block(q, k, causal, window, impl, blocks)

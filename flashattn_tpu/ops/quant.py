@@ -639,9 +639,11 @@ def flash_attention_kv_int8(
     # the loop schedule it would replace, so fp8 keeps the loop/grid route.
     if (causal and n_q == n_kv and d == 128 and 1024 <= n_q <= 8192
             and n_q % 512 == 0 and k.values.dtype == jnp.int8):
-        from .flash_attention import _SUBROW_VMEM_LIMIT
+        from .flash_attention import _subrow_params
 
-        sub, lim = (512, None) if n_q <= 2048 else (256, _SUBROW_VMEM_LIMIT)
+        # int8 payloads are half the bf16 footprint, so the bf16-tuned
+        # tightest-compiling limits (r4_limtune.log) are safe upper bounds
+        sub, lim = _subrow_params(n_q)
         return _kv8_flash_subrow(q, k, v, sm_scale=scale, sub=sub,
                                  vmem_limit=lim)
 

@@ -226,7 +226,7 @@ if run("int8sub"):
         v = jax.random.normal(ks[2], (B, H, N, D), jnp.float32)
         kq, vq = qz.quantize_kv(k, v)
         flops = 4 * B * H * N * N * D * 0.5
-        sub, lim = (512, None) if N <= 2048 else (256, LIM)
+        sub, lim = fa._subrow_params(N)
         rows = [
             ("bf16 subrow  ", lambda x: fa._flash_fwd_subrow(
                 x, x, x, sm_scale=D**-0.5, sub=sub, concat_mask=False,
