@@ -24,6 +24,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def make_timing_loop(fn: Callable, length: int):
+    """The jitted scan chain device_loop_time measures.
+
+    Every output leaf of ``fn`` is folded into the carry, so no part of a
+    multi-output call can be dead-code-eliminated (tested by jaxpr
+    inspection in tests/test_timing.py -- the r1-r3 DCE regression).
+    """
+
+    @jax.jit
+    def loop(x, *rest):
+        def body(c, _):
+            out = fn(c, *rest)
+            leaves = jax.tree_util.tree_leaves(out)
+            first, extra = leaves[0], leaves[1:]
+            # fold every other output leaf into the carry so no branch
+            # of fn is dead code under jit
+            sig_extra = sum(jnp.sum(l).astype(jnp.float32)
+                            for l in extra) if extra else None
+            if first.shape == x.shape and first.dtype == x.dtype:
+                if sig_extra is None:
+                    return first, None
+                return first + (sig_extra * 1e-12).astype(x.dtype), None
+            sig = jnp.sum(first).astype(jnp.float32)
+            if sig_extra is not None:
+                sig = sig + sig_extra
+            return c + sig.astype(x.dtype) * 1e-12, None
+
+        final, _ = jax.lax.scan(body, x, None, length=length)
+        return jnp.sum(final).astype(jnp.float32)
+
+    return loop
+
+
 def device_loop_time(fn: Callable, args: tuple, iters: int = 30,
                      repeats: int = 3) -> float:
     """Seconds per call of fn(*args), timed as scan-chained device programs.
@@ -39,36 +72,18 @@ def device_loop_time(fn: Callable, args: tuple, iters: int = 30,
     latency that would otherwise be amortised into (and dominate) the
     per-call figure.  The slope cancels any constant per-dispatch cost.
 
-    DCE WARNING: only ``out[0]`` of a multi-output ``fn`` is threaded; any
-    computation feeding ONLY the other outputs is dead code under jit and
-    XLA deletes it (e.g. a split backward's separate dKV pallas call).  Fold
-    every output into the first before returning:
-    ``out0 + 1e-12 * (sum(out1) + sum(out2))`` — found the hard way in r4,
-    where the two-kernel loop backward benched above the MXU roofline.
+    DCE-proof by construction (r5): EVERY output leaf of ``fn`` is folded
+    into the scan carry, so a multi-output pallas call cannot have part of
+    its work elided.  (The r1-r3 backward tables were voided because an
+    earlier version threaded only ``out[0]``: the separate dKV pallas call
+    was dead code under jit and a row benched above the MXU roofline.)
     """
     x0 = args[0]
     rest = args[1:]
 
-    def make_loop(length):
-        @jax.jit
-        def loop(x, *rest):
-            def body(c, _):
-                out = fn(c, *rest)
-                out = out[0] if isinstance(out, (tuple, list)) else out
-                # keep the carry shape: broadcast-add a reduced signal if the
-                # output shape differs from the input
-                if out.shape == x.shape and out.dtype == x.dtype:
-                    return out, None
-                sig = jnp.sum(out).astype(x.dtype)
-                return c + sig * 1e-12, None
-
-            final, _ = jax.lax.scan(body, x, None, length=length)
-            return jnp.sum(final).astype(jnp.float32)
-
-        return loop
-
     def measure(n):
-        loop1, loop3 = make_loop(n), make_loop(3 * n)
+        loop1 = make_timing_loop(fn, n)
+        loop3 = make_timing_loop(fn, 3 * n)
         np.asarray(loop1(x0, *rest))  # compile + warm
         np.asarray(loop3(x0, *rest))
         t1 = t3 = float("inf")
