@@ -553,9 +553,10 @@ def _fwd_subrow_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     q = q_ref[0, 0]                                   # (n, d), pre-scaled
     k = k_ref[0, 0]                                   # (n, d)
     v = v_ref[0, 0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
-    tri = cols <= rows
+    if concat_mask:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+        tri = cols <= rows
     for g in range(n // sub):
         r0 = g * sub
         c_hi = r0 + sub
@@ -623,6 +624,207 @@ def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256,
     return o, lse
 
 
+def _fwd_subrow_varlen_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                              *, sub: int, n: int):
+    """Varlen port of the subrow schedule: the batch row's valid KV prefix
+    arrives via scalar prefetch and masks score COLUMNS (cols >= len join
+    the causal mask in one full-width where — the measured-fastest dense
+    mask variant).  Rows past len still attend the valid prefix, matching
+    the grid varlen kernel / oracle bit-for-bit on padding rows; len == 0
+    rows emit (0, -inf) via a scalar guard."""
+    ln = len_ref[pl.program_id(0)]
+    q = q_ref[0, 0]                                   # (n, d), pre-scaled
+    k = k_ref[0, 0]                                   # (n, d)
+    v = v_ref[0, 0]
+    live = (ln > 0).astype(jnp.float32)               # scalar 0/1
+    for g in range(n // sub):
+        r0 = g * sub
+        c_hi = r0 + sub
+        s = jax.lax.dot_general(
+            q[r0:c_hi], k[:c_hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (sub, c_hi)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 0) + r0
+        cc = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 1)
+        s = jnp.where((cc <= rr) & (cc < ln), s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v[:c_hi],
+                         preferred_element_type=jnp.float32)
+        # ln == 0 leaves every col masked: m == MASK makes p uniform 1 and
+        # pv/l a spurious mean of v — the scalar guard restores the
+        # oracle's (0, -inf) empty-row convention.
+        o_ref[0, 0, r0:c_hi] = (pv / l * live).astype(o_ref.dtype)
+        lse_ref[0, 0, r0:c_hi] = jnp.where(
+            live > 0, m * LN2 + jnp.log(l), -jnp.inf).astype(jnp.float32)
+
+
+def _flash_fwd_subrow_varlen(q, k, v, kv_lengths, *, sm_scale,
+                             sub: int = 256,
+                             vmem_limit: Optional[int] = None):
+    """Varlen causal self-attention with the whole K/V row VMEM-resident.
+
+    The serving engine's batched prefill is varlen
+    (serving/engine.py::_prefill -> models/transformer.py
+    forward_prefill_paged), which previously excluded it from the champion
+    subrow schedule; this wrapper brings the same whole-row/no-online-
+    softmax layout to padded ragged batches.  Same eligibility envelope as
+    the dense kernel (:func:`_subrow_ok`) — lengths only affect masking,
+    not the footprint."""
+    b, h, n, d = q.shape
+    group = h // k.shape[1]
+    assert n % sub == 0
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_, lens: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_, lens: (b_, h_ // group, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_, lens: (b_, h_ // group, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_, lens: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, 1),
+                         lambda b_, h_, lens: (b_, h_, 0, 0)),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_subrow_varlen_kernel, sub=sub, n=n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=vmem_limit),
+        interpret=use_interpret_mode(),
+    )(kv_lengths.astype(jnp.int32), q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel, TWO-LEVEL schedule (16K+: subrow inside VMEM-sized panels,
+# online softmax only ACROSS panels)
+# ---------------------------------------------------------------------------
+#
+# At 16K the whole K/V row overflows even the 100MB raised budget, so the
+# loop kernel served it (144.5 TF) with a 1024-wide online-softmax merge per
+# chunk.  This schedule keeps the subrow structure but at PANEL granularity:
+# grid (b, h, q_panel, kv_panel) with ~4K panels; interior panels run
+# full-width (sub, panel) dots and ONE (m, l, acc) merge per row group per
+# panel — n/panel merges per row instead of the loop kernel's n/1024 — and
+# the diagonal panel runs the triangular subrow wedge.  Above-diagonal
+# steps clamp their index maps onto the diagonal so their DMAs elide.
+
+
+def _fwd_twolevel_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                         m_scr, l_scr, acc_scr, *, panel: int, sub: int):
+    qp = pl.program_id(2)
+    kp = pl.program_id(3)
+
+    @pl.when(kp == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                                   # (panel, d) pre-scaled
+    k = k_ref[0, 0]                                   # (panel, d)
+    v = v_ref[0, 0]
+
+    def merge(g, s, c_hi):
+        r0, r1 = g * sub, g * sub + sub
+        m_prev = m_scr[r0:r1]
+        l_prev = l_scr[r0:r1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        m_scr[r0:r1] = m_next
+        l_scr[r0:r1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v[:c_hi],
+                         preferred_element_type=jnp.float32)
+        acc_scr[r0:r1] = acc_scr[r0:r1] * alpha + pv
+
+    @pl.when(kp < qp)
+    def _interior():
+        for g in range(panel // sub):
+            r0 = g * sub
+            s = jax.lax.dot_general(
+                q[r0:r0 + sub], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (sub, panel)
+            merge(g, s, panel)
+
+    @pl.when(kp == qp)
+    def _diag_and_finalize():
+        for g in range(panel // sub):
+            r0 = g * sub
+            c_hi = r0 + sub
+            s = jax.lax.dot_general(
+                q[r0:c_hi], k[:c_hi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (sub, c_hi)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 0) + r0
+            cc = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 1)
+            merge(g, jnp.where(cc <= rr, s, DEFAULT_MASK_VALUE), c_hi)
+        l = l_scr[...]
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[...] * LN2 + jnp.log(l)).astype(jnp.float32)
+
+
+def _flash_fwd_twolevel(q, k, v, *, sm_scale, panel: int = 4096,
+                        sub: int = 256, vmem_limit: Optional[int] = None):
+    """Causal self-attention for rows too long for the subrow schedule.
+
+    Requires n_q == n_kv, panel | n, sub | panel.  GQA folds kv heads in
+    the index maps like every other schedule here."""
+    b, h, n, d = q.shape
+    group = h // k.shape[1]
+    assert n % panel == 0 and panel % sub == 0
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    num_p = n // panel
+
+    def kv_index(b_, h_, qp_, kp_):
+        return (b_, h_ // group, jnp.minimum(kp_, qp_), 0)
+
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_twolevel_kernel, panel=panel, sub=sub),
+        grid=(b, h, num_p, num_p),
+        in_specs=[
+            pl.BlockSpec((1, 1, panel, d),
+                         lambda b_, h_, qp_, kp_: (b_, h_, qp_, 0)),
+            pl.BlockSpec((1, 1, panel, d), kv_index),
+            pl.BlockSpec((1, 1, panel, d), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, panel, d),
+                         lambda b_, h_, qp_, kp_: (b_, h_, qp_, 0)),
+            pl.BlockSpec((1, 1, panel, 1),
+                         lambda b_, h_, qp_, kp_: (b_, h_, qp_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((panel, 1), jnp.float32),
+            pltpu.VMEM((panel, 1), jnp.float32),
+            pltpu.VMEM((panel, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
+        interpret=use_interpret_mode(),
+    )(q, k, v)
+    return o, lse
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel, subrow schedule (whole row VMEM-resident, ONE kernel)
 # ---------------------------------------------------------------------------
@@ -630,7 +832,9 @@ def _flash_fwd_subrow(q, k, v, *, sm_scale, sub: int = 256,
 # The loop backward (below) splits into a q-major dQ kernel and a kv-major
 # dKV kernel, so every (q, kv) pair's score matrix is computed TWICE (7
 # score-shaped dots total: s/dp/dq + s^T/dv/dp^T/dk).  When the whole K/V
-# row fits VMEM (seq <= 2K at d=128) a single fused kernel computes p once
+# row fits VMEM (seq 1-8K at d=128 bf16 — up to 2K inside the default 16MB
+# scoped-vmem budget, 4/8K under the tuned 48/64MB raised limits of
+# _flash_vjp_bwd) a single fused kernel computes p once
 # per triangular q row group and issues exactly the 5 essential dots
 # (s, dv, dp, dq, dk) — a 7/5 = 1.4x MXU-work reduction on top of losing
 # the chunked-DMA machinery.  dq rows are disjoint per group (written
@@ -1512,8 +1716,14 @@ def _subrow_ok(q, k, causal, window, impl):
     if impl not in ("auto", "subrow") or not causal or window is not None:
         return False
     n = q.shape[2]
-    return (n == k.shape[2] and q.shape[3] == 128 and 1024 <= n <= 8192
-            and n % 512 == 0)
+    if not (n == k.shape[2] and q.shape[3] == 128 and 1024 <= n <= 8192
+            and n % 512 == 0):
+        return False
+    # The raised-limit envelope (n > 2048) was tuned tightest-compiling for
+    # 2-byte dtypes; f32 doubles the whole-row + score footprint and would
+    # fail Mosaic compile on chip (bf16 already fails at 48MB @8K,
+    # r4_limtune.log).  f32 at 4-8K keeps the loop schedule.
+    return n <= 2048 or q.dtype.itemsize <= 2
 
 
 def _loop_block(q, k, causal, window, impl, blocks):
@@ -1564,8 +1774,39 @@ def _bwd_subrow_ok(q, k, causal, window, impl):
     if impl not in ("auto", "subrow") or not causal or window is not None:
         return False
     n, d = q.shape[2], q.shape[3]
-    return (n == k.shape[2] and d == 128 and 1024 <= n <= 8192
-            and n % 512 == 0)
+    if not (n == k.shape[2] and d == 128 and 1024 <= n <= 8192
+            and n % 512 == 0):
+        return False
+    # same 2-byte gate as _subrow_ok: the raised limits are bf16-tuned
+    return n <= 2048 or q.dtype.itemsize <= 2
+
+
+def _pad128(t):
+    d = t.shape[-1]
+    return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, 128 - d)))
+
+
+def _pad128_ok(q, k, causal, window, impl):
+    """Small-head-dim tier (the reference's flagship MT config is d=32,
+    run_machine_translation.py:397-407): zero-pad d -> 128 and ride the
+    champion subrow/loop schedules.
+
+    On the MXU every dense mapping of d < 128 attention pays a 128/d waste
+    factor — the score dot underfills the contraction depth, the PV dot the
+    output lanes, and block-diagonal head-packing layouts cost identical
+    FLOPs (the zeros are multiplied either way).  Zero-padding therefore
+    achieves the optimal rate: champion_rate * d/128 useful, measured ~2x
+    the unpadded grid kernel at d=32/64 (battery_logs/r5_pad.log).  Scores
+    and lse are exact (zero pad contributes nothing to q.k); padded dV/dK
+    columns are discarded on slice."""
+    if impl != "auto" or not causal or window is not None:
+        return False
+    n, d = q.shape[2], q.shape[3]
+    if not (d < 128 and d % 8 == 0 and d >= 32):
+        return False
+    if not (n == k.shape[2] and n >= 1024 and n % 512 == 0):
+        return False
+    return n <= 2048 or q.dtype.itemsize <= 2
 
 
 def _use_kernel(q, k, block_q, block_k, impl):
@@ -1599,6 +1840,11 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
         sub, lim = _subrow_params(q.shape[2])
         return _flash_fwd_subrow(q, k, v, sm_scale=scale, sub=sub,
                                  concat_mask=False, vmem_limit=lim)
+    if _pad128_ok(q, k, causal, window, impl):
+        qp, kp, vp = (_pad128(t) for t in (q, k, v))
+        o, lse = _flash_fwd_entry(qp, kp, vp, causal, scale, block_q,
+                                  block_k, impl, window)
+        return o[..., :d], lse
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None:
         return _flash_fwd_loop(q, k, v, sm_scale=scale, block_q=lb,
@@ -1681,6 +1927,15 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
             lim = _SUBROW_VMEM_8K
         return _flash_bwd_subrow(q, k, v, lse, di, do, sm_scale=scale,
                                  sub=sub, vmem_limit=lim)
+    if _pad128_ok(q, k, causal, window, impl):
+        # small-head-dim tier: same zero-pad recursion as the forward; o's
+        # padded columns are genuinely zero (v was zero there), so di and
+        # the score chain are exact, and the padded dQ/dK/dV columns are
+        # discarded on slice
+        res_p = (_pad128(q), _pad128(k), _pad128(v), _pad128(o), lse)
+        dq, dk, dv = _flash_vjp_bwd(causal, scale, block_q, block_k, impl,
+                                    window, res_p, _pad128(do))
+        return dq[..., :d], dk[..., :d], dv[..., :d]
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None and causal:   # the loop backward is causal-only
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
@@ -1754,6 +2009,16 @@ def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
     if blocks is None:
         return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths,
                                        window)
+    if _subrow_ok(q, k, causal, window, impl):
+        # lengths only change the mask, not the footprint — the serving
+        # engine's batched prefill rides the champion schedule too.
+        sub, lim = _subrow_params(q.shape[2])
+        return _flash_fwd_subrow_varlen(q, k, v, kv_lengths, sm_scale=scale,
+                                        sub=sub, vmem_limit=lim)
+    if _pad128_ok(q, k, causal, window, impl):
+        o, lse = _varlen_fwd(_pad128(q), _pad128(k), _pad128(v), kv_lengths,
+                             causal, scale, block_q, block_k, impl, window)
+        return o[..., :d], lse
     return _flash_fwd(q, k, v, causal=causal, sm_scale=scale,
                       block_q=blocks[0], block_k=blocks[1],
                       kv_lengths=kv_lengths, window=window)
@@ -1780,6 +2045,12 @@ def _varlen_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
         _, vjp = jax.vjp(f, q, k, v)
         dq, dk, dv = vjp(do)
         return dq, dk, dv, None
+    if _pad128_ok(q, k, causal, window, impl):
+        res_p = (_pad128(q), _pad128(k), _pad128(v), kv_lengths,
+                 _pad128(o), lse)
+        dq, dk, dv, _ = _varlen_vjp_bwd(causal, scale, block_q, block_k,
+                                        impl, window, res_p, _pad128(do))
+        return dq[..., :d], dk[..., :d], dv[..., :d], None
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, causal=causal,
                             sm_scale=scale, block_q=blocks[0],
                             block_k=blocks[1], kv_lengths=kv_lengths,

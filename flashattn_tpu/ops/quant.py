@@ -515,8 +515,7 @@ def _kv8_subrow_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
     q = q_ref[0, 0]                                   # (n, d), pre-scaled
     k8 = k_ref[0, 0]                                  # (n, d) int8/fp8
     v8 = v_ref[0, 0]
-    ks = ks_ref[0, 0]                                 # (1, n) f32
-    vs = vs_ref[0, 0]
+    # scale rows are re-sliced per group straight from ks_ref/vs_ref
     if int8_mxu:
         qf = q.astype(jnp.float32)
         absmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
@@ -600,6 +599,22 @@ def _kv8_flash_subrow(q, k, v, *, sm_scale, sub: int = 512,
         interpret=use_interpret_mode(),
     )(q, k.values, ks_row, v.values, vs_row)
     return o, lse
+
+
+def requantize_fp8_to_int8(t: QuantizedTensor) -> QuantizedTensor:
+    """fp8 storage -> int8 compute transcode (one XLA elementwise pass).
+
+    fp8 (e4m3) has no native MXU path on v5e, so fp8-KV scores paid a
+    per-dot dequant chain (69-84 TF through subrow, r4_fp8_subrow.log).
+    Re-quantising the payload per row onto int8 lets fp8-STORED caches ride
+    the proven int8-MXU subrow dots; the pass is O(n*d) against the O(n^2*d)
+    attention it feeds.  Accuracy is bounded by the fp8 storage itself
+    (e4m3's 3-bit mantissa < int8's 7 bits per row)."""
+    vf = t.values.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
+    s = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q8 = jnp.clip(jnp.round(vf / s), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q8, t.scales * s)
 
 
 def flash_attention_kv_int8(

@@ -176,6 +176,200 @@ class TestVarlen:
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+class TestTwoLevel:
+    """The 16K+ two-level schedule: subrow inside panels, online softmax
+    across panels (r5).  Tested at scaled-down panels in interpret mode."""
+
+    def test_matches_reference(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_twolevel
+
+        q, k, v = _qkv((2, 2, 512, 64), seed=61)
+        o, lse = _flash_fwd_twolevel(q, k, v, sm_scale=1.0 / 64**0.5,
+                                     panel=128, sub=64)
+        want = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_gqa_and_lse(self):
+        from flashattn_tpu.ops.flash_attention import (
+            _flash_fwd_twolevel, _reference_fwd_with_lse)
+
+        ks = jax.random.split(jax.random.PRNGKey(8), 3)
+        q = jax.random.normal(ks[0], (1, 4, 256, 32))
+        k = jax.random.normal(ks[1], (1, 2, 256, 32))
+        v = jax.random.normal(ks[2], (1, 2, 256, 32))
+        o, lse = _flash_fwd_twolevel(q, k, v, sm_scale=1.0 / 32**0.5,
+                                     panel=64, sub=32)
+        want_o, want_lse = _reference_fwd_with_lse(q, k, v, True,
+                                                   1.0 / 32**0.5)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want_o),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_single_panel_degenerates_to_subrow(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_twolevel
+
+        q, k, v = _qkv((1, 1, 256, 32), seed=67)
+        o, _ = _flash_fwd_twolevel(q, k, v, sm_scale=1.0 / 32**0.5,
+                                   panel=256, sub=64)
+        want = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+class TestPad128SmallHeadDim:
+    """The d<128 tier: zero-pad to 128 and ride the champion schedules
+    (r5, VERDICT item 3 — the reference's flagship MT config is d=32)."""
+
+    def test_gate(self):
+        from flashattn_tpu.ops.flash_attention import _pad128_ok
+
+        def ok(shape, kv_shape=None, causal=True, window=None, impl="auto",
+               dtype=jnp.float32):
+            q = jnp.zeros(shape, dtype)
+            k = jnp.zeros(kv_shape or shape, dtype)
+            return _pad128_ok(q, k, causal, window, impl)
+
+        assert ok((1, 2, 1024, 64))
+        assert ok((1, 2, 1536, 32))
+        assert not ok((1, 2, 1024, 128))        # full lanes: no padding
+        assert not ok((1, 2, 1024, 64), causal=False)
+        assert not ok((1, 2, 1024, 64), window=256)
+        assert not ok((1, 2, 512, 64))          # below kernel envelope
+        assert not ok((1, 2, 1000, 64))         # not 512-divisible
+        assert not ok((1, 2, 1024, 24))         # below measured envelope
+        assert not ok((1, 2, 1024, 64), impl="pallas")
+        assert not ok((1, 2, 4096, 64))         # f32 above raised-limit gate
+        assert ok((1, 2, 4096, 64), dtype=jnp.bfloat16)
+
+    @pytest.mark.parametrize("d", [32, 64])
+    def test_forward_matches_reference(self, d):
+        q, k, v = _qkv((2, 2, 1024, d), seed=31 + d)
+        got = flash_attention(q, k, v, True)
+        want = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_gqa_forward(self):
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (2, 4, 1024, 64))
+        k = jax.random.normal(ks[1], (2, 2, 1024, 64))
+        v = jax.random.normal(ks[2], (2, 2, 1024, 64))
+        got = flash_attention(q, k, v, True)
+        want = flash_attention_reference(q, k, v, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_backward_matches_reference(self):
+        q, k, v = _qkv((2, 2, 1024, 64), seed=41)
+        dy = jax.random.normal(jax.random.PRNGKey(5), q.shape)
+
+        g = jax.grad(lambda a, b, c: jnp.sum(
+            flash_attention(a, b, c, True) * dy), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda a, b, c: jnp.sum(
+            flash_attention_reference(a, b, c, True) * dy),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b_, nm in zip(g, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"d{nm}")
+
+    def test_varlen_forward(self):
+        from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+        q, k, v = _qkv((3, 2, 1024, 64), seed=43)
+        lengths = jnp.asarray([1024, 400, 0], jnp.int32)
+        got = flash_attention_varlen(q, k, v, lengths, True)
+        want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+class TestSubrowVarlen:
+    """The varlen subrow schedule: serving-prefill shapes riding the
+    whole-row champion kernel (r5, VERDICT item 1)."""
+
+    def _args(self, b=3, h=2, h_kv=None, n=1024, d=128, seed=0):
+        h_kv = h_kv or h
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(ks[0], (b, h, n, d))
+        k = jax.random.normal(ks[1], (b, h_kv, n, d))
+        v = jax.random.normal(ks[2], (b, h_kv, n, d))
+        lengths = jnp.asarray([n, n // 2, 173][:b], jnp.int32)
+        return q, k, v, lengths
+
+    def test_kernel_matches_oracle(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_subrow_varlen
+
+        q, k, v, lengths = self._args()
+        d = q.shape[-1]
+        o, lse = _flash_fwd_subrow_varlen(q, k, v, lengths,
+                                          sm_scale=1.0 / d**0.5, sub=256)
+        want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_auto_routes_subrow_at_eligible_shape(self):
+        """flash_attention_varlen auto at 1024/d128 causal == oracle, and
+        the gate accepts exactly the dense-subrow envelope."""
+        from flashattn_tpu.ops.flash_attention import (
+            _subrow_ok, flash_attention_varlen)
+
+        q, k, v, lengths = self._args(seed=1)
+        assert _subrow_ok(q, k, True, None, "auto")
+        got = flash_attention_varlen(q, k, v, lengths, True)
+        want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_gqa(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_subrow_varlen
+
+        q, k, v, lengths = self._args(h=4, h_kv=2, seed=2)
+        o, _ = _flash_fwd_subrow_varlen(q, k, v, lengths,
+                                        sm_scale=1.0 / 128**0.5, sub=512)
+        want = flash_attention_reference(q, k, v, True, kv_lengths=lengths)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_zero_length_row(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_subrow_varlen
+
+        q, k, v, _ = self._args(seed=3)
+        lengths = jnp.asarray([1024, 1, 0], jnp.int32)
+        o, lse = _flash_fwd_subrow_varlen(q, k, v, lengths,
+                                          sm_scale=1.0 / 128**0.5, sub=512)
+        assert bool(jnp.isfinite(o).all())
+        np.testing.assert_array_equal(np.asarray(o[2]), 0.0)
+        assert bool((np.asarray(lse[2]) == -np.inf).all())
+
+    def test_backward_through_auto_route(self):
+        """The varlen vjp (grid backward) still consumes the subrow
+        forward's lse; masked-KV grads stay zero."""
+        from flashattn_tpu.ops.flash_attention import flash_attention_varlen
+
+        q, k, v, lengths = self._args(b=2, seed=4)
+        lengths = jnp.asarray([1024, 300], jnp.int32)
+        dy = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+        def loss(q_, k_, v_):
+            return jnp.sum(flash_attention_varlen(
+                q_, k_, v_, lengths, True) * dy)
+
+        def loss_r(q_, k_, v_):
+            return jnp.sum(flash_attention_reference(
+                q_, k_, v_, True, kv_lengths=lengths) * dy)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, nm in zip(g, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"d{nm}")
+        assert np.abs(np.asarray(g[1])[1, :, 300:]).max() == 0.0
+
+
 class TestGQA:
     """Grouped-query attention: Hq > Hkv, kv heads shared per group
     (kernel maps heads in the index maps — no k/v repeat materialised)."""
