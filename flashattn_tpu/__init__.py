@@ -30,6 +30,11 @@ from .ops.flash_attention import (
     flash_attention_reference,
     flash_attention_varlen,
 )
+from .ops.dropout import (
+    fused_dropout,
+    fused_dropout_act_bias,
+    fused_dropout_res_bias,
+)
 from .ops.layernorm import layernorm, layernorm_reference
 from .ops.softmax import attn_softmax, attn_softmax_pallas, attn_softmax_reference
 from .models.transformer import (

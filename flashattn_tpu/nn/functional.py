@@ -86,14 +86,20 @@ def dropout(
     ``scale=True`` gives inverted dropout (reference modules_basic.Dropout);
     ``scale=False`` matches reference nn.dropout:167-185 which does *not*
     rescale.  With ``ignore=True`` or ``key=None`` this is the identity.
+
+    On TPU the scaled path runs the Pallas fused-PRNG kernel
+    (``ops.dropout.fused_dropout``, 2.6-9.3x the op-graph composition whose
+    threefry mask is a separate full-array pass); elsewhere the exact
+    op-graph semantics below.
     """
     if ignore or rate <= 0.0 or key is None:
         return input
-    keep = jax.random.bernoulli(key, 1.0 - rate, input.shape)
-    out = jnp.where(keep, input, jnp.zeros_like(input))
     if scale:
-        out = out / (1.0 - rate)
-    return out
+        from ..ops.dropout import fused_dropout
+
+        return fused_dropout(input, rate, key)
+    keep = jax.random.bernoulli(key, 1.0 - rate, input.shape)
+    return jnp.where(keep, input, jnp.zeros_like(input))
 
 
 def dropout_res_bias(
@@ -107,17 +113,15 @@ def dropout_res_bias(
     ``launch_ls_dropout_res_bias`` surface (src/includes/kernels.h:118-122,
     declared-only there).
 
-    On TPU this is one XLA fusion: the bias broadcast, bernoulli mask,
-    select, rescale and residual add all land in a single elementwise kernel
-    around the producing matmul (``kernel_bench/bench_fused_dropout.py``
-    measures it against a Pallas-PRNG hand fusion).  Inverted-dropout
-    scaling matches LightSeq's 1/(1-ratio).
+    On TPU this is the hand-fused Pallas PRNG kernel
+    (``ops.dropout.fused_dropout_res_bias``, one HBM pass, mask regenerated
+    in backward — measured 2.6-9.3x XLA's own fusion of this op graph,
+    battery_logs/fused_dropout.log); elsewhere the op-graph composition.
+    Inverted-dropout scaling matches LightSeq's 1/(1-ratio).
     """
-    y = input + bias
-    if rate > 0.0 and key is not None:
-        keep = jax.random.bernoulli(key, 1.0 - rate, y.shape)
-        y = jnp.where(keep, y, jnp.zeros_like(y)) / (1.0 - rate)
-    return residual + y
+    from ..ops.dropout import fused_dropout_res_bias
+
+    return fused_dropout_res_bias(input, bias, residual, rate, key)
 
 
 def dropout_act_bias(
@@ -131,16 +135,15 @@ def dropout_act_bias(
     ``launch_ls_dropout_act_bias`` surface (src/includes/kernels.h:123-126).
 
     ``act``: "gelu" (tanh approximation, matching :func:`GELU`) or "relu".
-    One XLA elementwise fusion on TPU; backward comes from AD over the same
-    fused graph (the reference declares a separate ``_bwd`` launcher,
-    kernels.h:128-137).
+    On TPU this is the hand-fused Pallas PRNG kernel
+    (``ops.dropout.fused_dropout_act_bias``) with a hand-written backward
+    (mask regenerated from the seed, act' recomputed in-kernel — the
+    reference declares a separate ``_bwd`` launcher, kernels.h:128-137);
+    elsewhere the op-graph composition.
     """
-    y = input + bias
-    y = GELU(y) if act == "gelu" else jnp.maximum(y, 0.0)
-    if rate > 0.0 and key is not None:
-        keep = jax.random.bernoulli(key, 1.0 - rate, y.shape)
-        y = jnp.where(keep, y, jnp.zeros_like(y)) / (1.0 - rate)
-    return y
+    from ..ops.dropout import fused_dropout_act_bias
+
+    return fused_dropout_act_bias(input, bias, rate, key, act)
 
 
 # ---------------------------------------------------------------------------
