@@ -58,7 +58,54 @@ def run(model, *, steps_per_dispatch, temperature=0.0, label="",
     return toks / dt
 
 
+def prefill_bench(plen=2048, n_req=4, force_grid=False, label=""):
+    """Engine-PREFILL throughput at serving-scale prompts (r5: the varlen
+    subrow route, VERDICT item 1).  Prompts all ``plen`` long so admission
+    runs one batched prefill dispatch at (n_req, plen); NEW_TOKENS=1 makes
+    the run prefill-dominated.  ``force_grid`` disables the subrow gate for
+    the A/B (same engine, same log, only the kernel route differs)."""
+    import flashattn_tpu.ops.flash_attention as fa
+
+    L, E, H = 2, 512, 4
+    model = ft.DecoderLM(1000, E, H, 2 * plen, p_dropout=0.0, n_layer=L,
+                         attn_impl="flash", key=jax.random.PRNGKey(0)).eval()
+    orig = fa._subrow_ok
+    if force_grid:
+        fa._subrow_ok = lambda *a, **k: False
+    try:
+        eng = ContinuousBatchingEngine(
+            model, max_batch=n_req, page_size=128,
+            pages_per_seq=(plen + 256) // 128, steps_per_dispatch=1,
+            prefill_chunk=plen)
+        rng = np.random.default_rng(0)
+        prompts = [list(rng.integers(1, 999, size=plen))
+                   for _ in range(n_req)]
+        eng.submit(prompts[0], 1)
+        eng.run()
+        eng.finished.clear()
+        reqs = [eng.submit(p, 1) for p in prompts]
+        t0 = time.perf_counter()
+        eng.run()
+        dt = time.perf_counter() - t0
+        assert all(len(r.generated) >= 1 for r in reqs)
+        D = E // H
+        attn_fl = L * n_req * H * (plen * plen / 2) * D * 2 * 2
+        print(f"{label:34s} {n_req * plen / dt:8.0f} prompt tok/s   "
+              f"TTFT {dt * 1e3 / 1:7.0f} ms  attn {attn_fl/dt/1e12:5.1f} "
+              f"TF-useful")
+    finally:
+        fa._subrow_ok = orig
+
+
 def main():
+    import sys
+    if "prefill" in sys.argv:
+        for plen in (2048, 4096):
+            prefill_bench(plen, force_grid=True,
+                          label=f"prefill {plen} x4 (grid varlen)")
+            prefill_bench(plen, force_grid=False,
+                          label=f"prefill {plen} x4 (subrow varlen)")
+        return
     model = ft.DecoderLM(1000, 512, 4, 4096, p_dropout=0.0, n_layer=2,
                          attn_impl="reference",
                          key=jax.random.PRNGKey(0)).eval()

@@ -211,6 +211,49 @@ def main():
         q, q, q, True, kv_lengths=lens)))(qv)
     ok &= check("varlen flash bwd", gv, gr, 5e-2)
 
+    # r5: varlen SUBROW (serving-prefill champion route) — auto dispatches
+    # causal d=128 bf16 through _flash_fwd_subrow_varlen, incl. the raised
+    # vmem limit at 4K and a GQA case
+    qsv = jax.random.normal(key, (2, 4, 2048, 128), jnp.bfloat16)
+    ksv = jax.random.normal(key, (2, 2, 2048, 128), jnp.bfloat16)
+    lens2 = jnp.asarray([2048, 700], jnp.int32)
+    osv = flash_attention_varlen(qsv, ksv, ksv, lens2, True)
+    refsv = ft.flash_attention_reference(qsv, ksv, ksv, True,
+                                         kv_lengths=lens2)
+    ok &= check("varlen subrow fwd GQA 2K", osv, refsv, 3e-2)
+    qsv4 = jax.random.normal(key, (1, 1, 4096, 128), jnp.bfloat16)
+    lens4 = jnp.asarray([3000], jnp.int32)
+    osv4 = flash_attention_varlen(qsv4, qsv4, qsv4, lens4, True)
+    refsv4 = ft.flash_attention_reference(qsv4, qsv4, qsv4, True,
+                                          kv_lengths=lens4)
+    ok &= check("varlen subrow fwd 4K (vmem32)", osv4, refsv4, 3e-2)
+
+    # r5: small-head-dim pad128 tier (auto routes d<128 causal through
+    # zero-pad -> subrow), fwd + the fused-subrow-backward grad interval
+    qp64 = jax.random.normal(key, (2, 4, 1024, 64), jnp.bfloat16)
+    op64 = ft.flash_attention(qp64, qp64, qp64, True)
+    refp64 = ft.flash_attention_reference(qp64, qp64, qp64, True)
+    ok &= check("pad128 fwd d=64 auto->subrow", op64, refp64, 3e-2)
+    gp64 = jax.grad(lambda a: jnp.sum(
+        ft.flash_attention(a, a, a, True).astype(jnp.float32)))(qp64)
+    gp64r = jax.grad(lambda a: jnp.sum(
+        ft.flash_attention_reference(a, a, a, True)
+        .astype(jnp.float32)))(qp64)
+    ok &= check("pad128 bwd d=64 auto->subrow", gp64, gp64r, 5e-2)
+    qp32 = jax.random.normal(key, (1, 2, 2048, 32), jnp.bfloat16)
+    op32 = ft.flash_attention(qp32, qp32, qp32, True)
+    refp32 = ft.flash_attention_reference(qp32, qp32, qp32, True)
+    ok &= check("pad128 fwd d=32 auto->subrow", op32, refp32, 3e-2)
+
+    # r5: two-level 16K schedule (panels + online softmax across panels)
+    from flashattn_tpu.ops.flash_attention import _flash_fwd_twolevel
+    q2l = jax.random.normal(key, (1, 1, 8192, 128), jnp.bfloat16)
+    o2l, _ = _flash_fwd_twolevel(q2l, q2l, q2l, sm_scale=128**-0.5,
+                                 panel=2048, sub=256,
+                                 vmem_limit=48 * 1024 * 1024)
+    ref2l = ft.flash_attention_reference(q2l, q2l, q2l, True)
+    ok &= check("two-level fwd 8K p2048", o2l, ref2l, 3e-2)
+
     # -- fused softmax (pallas path) at odd shapes --------------------------
     for shape in [(7, 8, 327, 327), (1, 1, 17, 33), (2, 2, 1, 2048),
                   (3, 8, 49, 49)]:
@@ -388,6 +431,78 @@ def main():
     of8 = paged_attention(qd128, kp128_f8, kp128_f8, lengths, pidx,
                           k_scales=ks128, v_scales=ks128, pipelined=True)
     ok &= check("paged decode fp8 pages pipelined", of8, reff8, 3e-2)
+
+    # -- fused dropout (Pallas PRNG, r5 production op) -----------------------
+    # Randomness means no oracle equality; check structure instead: every
+    # output is either the kept value or the dropped one, keep fraction is
+    # near 1-rate, and the BACKWARD regenerates the FORWARD's mask (the
+    # zero-residual custom_vjp contract).
+    from flashattn_tpu.ops.dropout import (
+        fused_dropout, fused_dropout_act_bias, fused_dropout_res_bias)
+
+    dkey = jax.random.PRNGKey(42)
+    rate = 0.25
+    n, dd = 1024, 512
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, dd), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (dd,), jnp.float32)
+    r = jax.random.normal(jax.random.PRNGKey(2), (n, dd), jnp.float32)
+
+    out = fused_dropout_res_bias(x, b, r, rate, dkey)
+    kept_val = r + (x + b) / (1.0 - rate)
+    is_kept = np.isclose(np.asarray(out), np.asarray(kept_val), atol=1e-5)
+    is_drop = np.isclose(np.asarray(out), np.asarray(r), atol=1e-5)
+    structural = bool(np.all(is_kept | is_drop))
+    frac = float(is_kept.mean())
+    ok &= check("fused dropout res_bias structure",
+                jnp.float32(structural and abs(frac - 0.75) < 0.02),
+                jnp.float32(1.0), 1e-6)
+    # fwd/bwd mask agreement: dropped positions must have dx == 0, kept
+    # dx == 1/(1-rate); dres == 1
+    g = jax.grad(lambda a, bb, rr: jnp.sum(
+        fused_dropout_res_bias(a, bb, rr, rate, dkey)),
+        argnums=(0, 1, 2))(x, b, r)
+    dx = np.asarray(g[0])
+    agree = bool(np.allclose(dx[~is_kept], 0.0, atol=1e-6)
+                 and np.allclose(dx[is_kept], 1.0 / (1 - rate), atol=1e-5))
+    ok &= check("fused dropout mask fwd/bwd agreement",
+                jnp.float32(agree), jnp.float32(1.0), 1e-6)
+    ok &= check("fused dropout dbias = colsum dx",
+                g[1], jnp.sum(jnp.asarray(dx), axis=0), 1e-3)
+    ok &= check("fused dropout dresidual = ones",
+                g[2], jnp.ones_like(r), 1e-6)
+
+    # act_bias: recover the mask from the output, then check dx
+    outa = fused_dropout_act_bias(x, b, rate, dkey, "gelu")
+    u = np.asarray(x + b, np.float64)
+    act = 0.5 * u * (1.0 + np.tanh(np.sqrt(2 / np.pi) * (u + 0.044715 * u**3)))
+    kept_a = np.isclose(np.asarray(outa), act / (1 - rate),
+                        atol=1e-4, rtol=1e-4)
+    drop_a = np.isclose(np.asarray(outa), 0.0, atol=1e-6)
+    ok &= check("fused dropout act_bias structure",
+                jnp.float32(bool(np.all(kept_a | drop_a))
+                            and abs(kept_a.mean() - 0.75) < 0.03),
+                jnp.float32(1.0), 1e-6)
+    ga = jax.grad(lambda a: jnp.sum(
+        fused_dropout_act_bias(a, b, rate, dkey, "gelu")))(x)
+    t = np.tanh(np.sqrt(2 / np.pi) * (u + 0.044715 * u**3))
+    dact = 0.5 * (1 + t) + 0.5 * u * (1 - t * t) * np.sqrt(2 / np.pi) * (
+        1 + 3 * 0.044715 * u * u)
+    expect = np.where(kept_a, dact / (1 - rate), 0.0)
+    # positions with act(u) ~ 0 (u near 0, where GELU' = 0.5) can't be
+    # classified kept/dropped from the output — exclude them
+    clear = np.abs(act) / (1 - rate) > 1e-3
+    ok &= check("fused dropout act_bias dx",
+                jnp.where(jnp.asarray(clear), ga, 0.0),
+                jnp.asarray(np.where(clear, expect, 0.0), jnp.float32),
+                2e-3)
+
+    # plain fused dropout under bf16 (the production train dtype)
+    xb = x.astype(jnp.bfloat16)
+    ob = fused_dropout(xb, rate, dkey)
+    kept_b = np.asarray(ob, np.float32) != 0.0
+    ok &= check("fused dropout bf16 keep fraction",
+                jnp.float32(abs(kept_b.mean() - 0.75) < 0.02),
+                jnp.float32(1.0), 1e-6)
 
     print("\nALL OK" if ok else "\nFAILURES PRESENT")
     return 0 if ok else 1
