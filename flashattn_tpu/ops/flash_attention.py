@@ -645,7 +645,8 @@ def _fwd_subrow_varlen_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32)       # (sub, c_hi)
         rr = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 0) + r0
         cc = jax.lax.broadcasted_iota(jnp.int32, (sub, c_hi), 1)
-        s = jnp.where((cc <= rr) & (cc < ln), s, DEFAULT_MASK_VALUE)
+        # causal AND varlen in ONE compare: col <= min(row, len-1)
+        s = jnp.where(cc <= jnp.minimum(rr, ln - 1), s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -1692,13 +1693,22 @@ _SUBROW_VMEM_8K = 64 * 1024 * 1024
 # bwd holds four score-shaped intermediates (s/p, dp, ds) + dk/dv scratch:
 # 48MB is its 4K floor (142.7 TF vs 139.1 at 100MB); 64MB at 8K (167.5).
 _BWD_SUBROW_VMEM_4K = 48 * 1024 * 1024
+# the varlen kernel's per-group iota/min masks need more headroom than the
+# dense where-mask at 8K: 64MB fails Mosaic compile, 72MB is the tightest
+# that compiles (131.5 TF, r5_varlen2.log)
+_VARLEN_SUBROW_VMEM_8K = 72 * 1024 * 1024
 
 
 def _subrow_params(n):
     """(sub, vmem_limit) for the subrow forward: 512-row groups inside the
     default scoped-vmem budget at n <= 2048 (the r3-proven envelope);
     256-row groups + the tightest compiling raised limit above
-    (battery_logs/r4_vmem_fwd.log, r4_limtune.log)."""
+    (battery_logs/r4_vmem_fwd.log, r4_limtune.log).
+
+    sub=256 under a 24MB limit at 2K measured 137.8 in the r5 sweep but an
+    interleaved confirm run put both configs at 124-136 TF across reps —
+    statistically tied through relay noise (r5_varlen2.log confirm2k), so
+    2K keeps the incumbent 512/default (~130 TF)."""
     if n <= 2048:
         return 512, None
     if n <= 4096:
@@ -2010,9 +2020,13 @@ def _varlen_fwd(q, k, v, kv_lengths, causal, sm_scale, block_q, block_k,
         return _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths,
                                        window)
     if _subrow_ok(q, k, causal, window, impl):
-        # lengths only change the mask, not the footprint — the serving
-        # engine's batched prefill rides the champion schedule too.
+        # lengths only change the mask (not the footprint, modulo the 8K
+        # limit bump) — the serving engine's batched prefill rides the
+        # champion schedule too: 106/129/131 TF at 2/4/8K vs the grid
+        # varlen kernel's 64/74/85 (battery_logs/r5_varlen2.log)
         sub, lim = _subrow_params(q.shape[2])
+        if q.shape[2] > 4096:
+            lim = _VARLEN_SUBROW_VMEM_8K
         return _flash_fwd_subrow_varlen(q, k, v, kv_lengths, sm_scale=scale,
                                         sub=sub, vmem_limit=lim)
     if _pad128_ok(q, k, causal, window, impl):

@@ -102,6 +102,42 @@ if run("varlen"):
                     print(f"{label:18s} N={N} {tag:6s}: FAILED "
                           f"{type(e).__name__} {str(e)[:110]}")
 
+# -- confirm run: the fwd2k winner vs incumbent, interleaved x3 --------------
+if run("confirm2k"):
+    print("== r5 fwd @2K confirm: sub256/24M vs sub512/def, interleaved ==")
+    N = 2048
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D), jnp.bfloat16)
+    flops = causal_flops(N)
+    for rep in range(3):
+        for sub, lim in ((256, 24 * MB), (512, None)):
+            fn = (lambda s, l: lambda x: fa._flash_fwd_subrow(
+                x, x, x, sm_scale=D**-0.5, sub=s, concat_mask=False,
+                vmem_limit=l)[0])(sub, lim)
+            t = device_loop_time(fn, (q,), iters=30)
+            print(f"rep{rep} sub={sub:3d} "
+                  f"lim={'def' if lim is None else str(lim//MB)+'M'}: "
+                  f"{t*1e3:7.3f} ms  {flops/t/1e12:6.1f} TF-useful")
+
+# -- varlen subrow @8K: find a compiling limit -------------------------------
+if run("varlen8k"):
+    print("== r5 varlen subrow @8K: limit hunt (bf16 B4 H8 D128) ==")
+    N = 8192
+    lens = jnp.asarray([N] * B, jnp.int32)
+    ks = jax.random.split(jax.random.PRNGKey(N), 3)
+    q = jax.random.normal(ks[0], (B, H, N, D), jnp.bfloat16)
+    flops = varlen_flops([N] * B, N)
+    for lim in (72 * MB, 80 * MB, 100 * MB):
+        try:
+            fn = (lambda l: lambda x: fa._flash_fwd_subrow_varlen(
+                x, x, x, lens, sm_scale=D**-0.5, sub=256,
+                vmem_limit=l)[0])(lim)
+            t = device_loop_time(fn, (q,), iters=20)
+            print(f"subrow 256/{lim//MB}M N=8192 full: {t*1e3:7.3f} ms  "
+                  f"{flops/t/1e12:6.1f} TF-useful")
+        except Exception as e:  # noqa: BLE001
+            print(f"subrow 256/{lim//MB}M N=8192: FAILED "
+                  f"{type(e).__name__} {str(e)[:100]}")
+
 # -- dense fwd @2K: sub x vmem-limit -----------------------------------------
 if run("fwd2k"):
     print("== r5 dense fwd @2K (bf16 B4 H8 D128), where-mask subrow ==")
