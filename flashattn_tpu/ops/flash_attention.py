@@ -1805,14 +1805,16 @@ def _pad128_ok(q, k, causal, window, impl):
     factor — the score dot underfills the contraction depth, the PV dot the
     output lanes, and block-diagonal head-packing layouts cost identical
     FLOPs (the zeros are multiplied either way).  Zero-padding therefore
-    achieves the optimal rate: champion_rate * d/128 useful, measured ~2x
-    the unpadded grid kernel at d=32/64 (battery_logs/r5_pad.log).  Scores
-    and lse are exact (zero pad contributes nothing to q.k); padded dV/dK
-    columns are discarded on slice."""
+    achieves the optimal rate: champion_rate * d/128 useful — measured at
+    its ceiling: d=64 62.4/79.8 TF at 2/4K (grid: 44.0/52.7), d=32
+    33.3/39.5 (grid 19.8/25.8), d=16 19.6 (grid 13.2)
+    (battery_logs/r5_pad_fp8_2lvl.log).  Scores and lse are exact (zero pad
+    contributes nothing to q.k); padded dV/dK columns are discarded on
+    slice."""
     if impl != "auto" or not causal or window is not None:
         return False
     n, d = q.shape[2], q.shape[3]
-    if not (d < 128 and d % 8 == 0 and d >= 32):
+    if not (d < 128 and d % 8 == 0 and d >= 16):
         return False
     if not (n == k.shape[2] and n >= 1024 and n % 512 == 0):
         return False

@@ -656,9 +656,13 @@ def flash_attention_kv_int8(
             and n_q % 512 == 0 and k.values.dtype == jnp.int8):
         from .flash_attention import _subrow_params
 
-        # int8 payloads are half the bf16 footprint, so the bf16-tuned
-        # tightest-compiling limits (r4_limtune.log) are safe upper bounds
         sub, lim = _subrow_params(n_q)
+        if n_q > 4096:
+            # the bf16-tuned 64MB @8K does NOT fit this kernel (the
+            # in-kernel q requantize adds int8+f32 whole-row intermediates;
+            # Mosaic compile fails, r5_pad_fp8_2lvl.log) — 8K keeps the
+            # r4-proven 100MB envelope (166.8 TF, r4_int8_subrow.log)
+            lim = 100 * 1024 * 1024
         return _kv8_flash_subrow(q, k, v, sm_scale=scale, sub=sub,
                                  vmem_limit=lim)
 

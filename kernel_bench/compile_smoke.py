@@ -330,6 +330,18 @@ def main():
                                        kqb4.dequantize(jnp.float32), True)
     ok &= check("int8-KV subrow 4K (vmem100)", o, ref, 3e-2)
 
+    # r5: 8K coverage — the bf16-tuned 64MB limit does NOT compile this
+    # kernel (caught in r5 after the r4 limtune silently broke it); the
+    # dispatch keeps 100MB at 8K
+    qb8 = jax.random.normal(key, (1, 1, 8192, 128), jnp.bfloat16)
+    kqb8 = quantize_int8(qb8.astype(jnp.float32), axis=-1)
+    o, _ = flash_attention_kv_int8(qb8, kqb8, kqb8, True)
+    qb8d = quantize_int8(qb8.astype(jnp.float32), axis=-1).dequantize(jnp.float32)
+    ref = ft.flash_attention_reference(qb8d.astype(jnp.bfloat16),
+                                       kqb8.dequantize(jnp.float32),
+                                       kqb8.dequantize(jnp.float32), True)
+    ok &= check("int8-KV subrow 8K (vmem100)", o, ref, 3e-2)
+
     # fp8 (e4m3) payloads through the same kernels
     from flashattn_tpu.ops.quant import quantize_fp8, quantize_int8_stochastic
 

@@ -238,7 +238,9 @@ class TestPad128SmallHeadDim:
         assert not ok((1, 2, 1024, 64), window=256)
         assert not ok((1, 2, 512, 64))          # below kernel envelope
         assert not ok((1, 2, 1000, 64))         # not 512-divisible
-        assert not ok((1, 2, 1024, 24))         # below measured envelope
+        assert ok((1, 2, 1024, 24))             # 16 <= d < 128, 8-divisible
+        assert not ok((1, 2, 1024, 8))          # below measured envelope
+        assert not ok((1, 2, 1024, 20))         # not 8-divisible
         assert not ok((1, 2, 1024, 64), impl="pallas")
         assert not ok((1, 2, 4096, 64))         # f32 above raised-limit gate
         assert ok((1, 2, 4096, 64), dtype=jnp.bfloat16)
