@@ -649,13 +649,18 @@ def flash_attention_kv_int8(
     # eligible seq: 136.7/159.2/166.8 TF at 2/4/8K vs bf16 subrow
     # 126.8/135.7/145.9 (battery_logs/r4_int8_subrow.log) — vs 0.96-0.98x
     # for the r3 loop schedule.  Envelope mirrors the bf16 _subrow_ok gate.
-    # INT8 ONLY: fp8 has no native MXU path on v5e, and its per-dot dequant
-    # measured 69.4/84.3 TF through subrow (r4_fp8_subrow.log) — worse than
-    # the loop schedule it would replace, so fp8 keeps the loop/grid route.
+    # fp8 payloads have no native MXU path on v5e (per-dot dequant through
+    # subrow measured 69-84 TF, r4_fp8_subrow.log) — but a one-pass
+    # fp8->int8 TRANSCODE (requantize_fp8_to_int8) lets fp8-STORED caches
+    # ride the int8-MXU dots: 110/153/158 TF at 2/4/8K incl. the transcode
+    # vs 42/51/56 on the old loop route (r5_fp8trans2.log, 2.6-3.0x).
     if (causal and n_q == n_kv and d == 128 and 1024 <= n_q <= 8192
-            and n_q % 512 == 0 and k.values.dtype == jnp.int8):
+            and n_q % 512 == 0):
         from .flash_attention import _subrow_params
 
+        if k.values.dtype != jnp.int8:
+            k = requantize_fp8_to_int8(k)
+            v = requantize_fp8_to_int8(v)
         sub, lim = _subrow_params(n_q)
         if n_q > 4096:
             # the bf16-tuned 64MB @8K does NOT fit this kernel (the

@@ -58,15 +58,20 @@ def run(model, *, steps_per_dispatch, temperature=0.0, label="",
     return toks / dt
 
 
-def prefill_bench(plen=2048, n_req=4, force_grid=False, label=""):
+def prefill_bench(plen=2048, n_req=4, force_grid=False, label="",
+                  L=2, E=512, H=4):
     """Engine-PREFILL throughput at serving-scale prompts (r5: the varlen
     subrow route, VERDICT item 1).  Prompts all ``plen`` long so admission
     runs one batched prefill dispatch at (n_req, plen); NEW_TOKENS=1 makes
     the run prefill-dominated.  ``force_grid`` disables the subrow gate for
-    the A/B (same engine, same log, only the kernel route differs)."""
+    the A/B (same engine, same log, only the kernel route differs).
+
+    At the small 2L/512E model the engine prefill is DISPATCH-bound (~60ms
+    TTFT against ~0.5 TF of attention) and the routes tie; the larger
+    config puts real attention work in the dispatch so the kernel choice
+    shows at the engine level."""
     import flashattn_tpu.ops.flash_attention as fa
 
-    L, E, H = 2, 512, 4
     model = ft.DecoderLM(1000, E, H, 2 * plen, p_dropout=0.0, n_layer=L,
                          attn_impl="flash", key=jax.random.PRNGKey(0)).eval()
     orig = fa._subrow_ok
@@ -90,7 +95,7 @@ def prefill_bench(plen=2048, n_req=4, force_grid=False, label=""):
         assert all(len(r.generated) >= 1 for r in reqs)
         D = E // H
         attn_fl = L * n_req * H * (plen * plen / 2) * D * 2 * 2
-        print(f"{label:34s} {n_req * plen / dt:8.0f} prompt tok/s   "
+        print(f"{label:40s} {n_req * plen / dt:8.0f} prompt tok/s   "
               f"TTFT {dt * 1e3 / 1:7.0f} ms  attn {attn_fl/dt/1e12:5.1f} "
               f"TF-useful")
     finally:
@@ -102,9 +107,14 @@ def main():
     if "prefill" in sys.argv:
         for plen in (2048, 4096):
             prefill_bench(plen, force_grid=True,
-                          label=f"prefill {plen} x4 (grid varlen)")
+                          label=f"prefill {plen} x4 2L/512 (grid)")
             prefill_bench(plen, force_grid=False,
-                          label=f"prefill {plen} x4 (subrow varlen)")
+                          label=f"prefill {plen} x4 2L/512 (subrow)")
+        # attention-heavy config: 8L x 8 heads of D=128 at 8K prompts
+        for grid in (True, False):
+            prefill_bench(8192, n_req=2, force_grid=grid, L=8, E=1024, H=8,
+                          label=f"prefill 8192 x2 8L/1024 "
+                                f"({'grid' if grid else 'subrow'})")
         return
     model = ft.DecoderLM(1000, 512, 4, 4096, p_dropout=0.0, n_layer=2,
                          attn_impl="reference",

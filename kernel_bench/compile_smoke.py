@@ -350,6 +350,13 @@ def main():
     ref = ft.flash_attention_reference(q, kq8.dequantize(jnp.float32),
                                        kq8.dequantize(jnp.float32), True)
     ok &= check("fp8-KV flash odd seq", o, ref, 3e-2)
+    # r5: fp8 at subrow-eligible shapes transcodes to int8 and rides the
+    # int8-MXU subrow dots (110-158 TF vs 42-56 on the old loop route)
+    kqb_f8 = quantize_fp8(qb.astype(jnp.float32), axis=-1)
+    o, _ = flash_attention_kv_int8(qb, kqb_f8, kqb_f8, True)
+    ref = ft.flash_attention_reference(qb, kqb_f8.dequantize(jnp.float32),
+                                       kqb_f8.dequantize(jnp.float32), True)
+    ok &= check("fp8-KV transcode->int8 subrow 2K", o, ref, 6e-2)
     wq8 = quantize_fp8(w, axis=0)
     o = int8_weight_only_matmul(x, wq8)
     truth8 = jnp.dot(x.astype(jnp.float32),

@@ -181,6 +181,30 @@ def test_flash_attention_kv_fp8():
     assert float(jnp.max(jnp.abs(o - full))) < 0.15
 
 
+def test_fp8_transcode_rides_int8_subrow():
+    """r5: fp8-stored caches at subrow-eligible shapes are requantized to
+    int8 (one elementwise pass) and ride the int8-MXU subrow dots — the
+    dispatch must stay within fp8's own storage error of the full-precision
+    oracle."""
+    from flashattn_tpu.ops.quant import quantize_fp8, requantize_fp8_to_int8
+
+    b, h, n, d = 1, 2, 1024, 128
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(ks[0], (b, h, n, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    kq, vq = quantize_fp8(k, axis=-1), quantize_fp8(v, axis=-1)
+    o, lse = flash_attention_kv_int8(q, kq, vq, True)
+    assert bool(jnp.isfinite(o).all())
+    full = flash_attention_reference(q, k, v, True)
+    assert float(jnp.max(jnp.abs(o - full))) < 0.15
+    # the transcode itself is error-bounded by fp8 storage
+    ki = requantize_fp8_to_int8(kq)
+    assert ki.values.dtype == jnp.int8
+    err = jnp.max(jnp.abs(ki.dequantize() - kq.dequantize()))
+    assert float(err) < 0.05
+
+
 def test_fp8_weight_only_matmul():
     from flashattn_tpu.ops.quant import quantize_fp8
 
