@@ -49,7 +49,9 @@ def make_timing_loop(fn: Callable, length: int):
             sig = jnp.sum(first).astype(jnp.float32)
             if sig_extra is not None:
                 sig = sig + sig_extra
-            return c + sig.astype(x.dtype) * 1e-12, None
+            # keep the carry's dtype exactly (int carries: the f32 detour
+            # preserves the data dependency, the cast restores the type)
+            return (c.astype(jnp.float32) + sig * 1e-12).astype(x.dtype), None
 
         final, _ = jax.lax.scan(body, x, None, length=length)
         return jnp.sum(final).astype(jnp.float32)

@@ -105,6 +105,33 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{label:20s} FAILED {type(e).__name__} {str(e)[:140]}")
 
+    # f32 at E2048 fails to compile (activation HBM blows the remote
+    # compile); the honest f32-vs-mixed comparison runs at E1024
+    if not smoke:
+        E1, M1, H1 = 1024, 4096, 8
+        W1 = L * (4 * E1 * E1 + 2 * E1 * M1) + E1 * V
+        fl1 = 6 * W1 * B * S + L * B * H1 * (S * S / 2) * (E1 // H1) * 2 * 7
+        for label, lfn in [("E1024 f32 + remat", lm_loss),
+                           ("E1024 mixed + remat",
+                            make_mixed_precision_loss(lm_loss))]:
+            m1 = ft.DecoderLM(n_vocab=V, n_embd=E1, n_head=H1,
+                              n_positions=S, p_dropout=0.0, n_layer=L,
+                              middle_dim=M1, attn_impl="flash", remat=True,
+                              key=jax.random.PRNGKey(0))
+            state1 = opt.init(m1)
+            scan1 = make_train_scan(opt, lfn, donate=False)
+            try:
+                t1, loss = time_scan(scan1, m1, state1, tok, tgt, msk, n)
+                t3, _ = time_scan(scan1, m1, state1, tok, tgt, msk, 3 * n)
+                per = (t3 - t1) / (2 * n)
+                print(f"{label:20s} {per*1e3:8.2f} ms/step  "
+                      f"{B*S/per/1e3:7.1f}k tok/s  "
+                      f"{fl1/per/1e12:6.1f} TF/s  "
+                      f"MFU {fl1/per/ROOFLINE*100:5.1f}%  loss {loss:.3f}")
+            except Exception as e:  # noqa: BLE001
+                print(f"{label:20s} FAILED {type(e).__name__} "
+                      f"{str(e)[:140]}")
+
     if "phases" in _sys.argv:
         phases(V, E, M, L, H, B, S, D, model, opt, tok, tgt, msk,
                mm_flops, attn_flops)
@@ -127,26 +154,29 @@ def phases(V, E, M, L, H, B, S, D, model, opt, tok, tgt, msk,
     loss_fn = make_mixed_precision_loss(lm_loss)
     state = opt.init(m)
 
-    def fwd_only(t):
-        return loss_fn(m, t, tgt, msk, None)
+    # the model/opt state ride as loop ARGUMENTS — closing over ~1GB of
+    # params embeds them as HLO constants and the remote compile hangs
+    # (the >100MB closure trap, CLAUDE.md)
+    def fwd_only(t, m_):
+        return loss_fn(m_, t, tgt, msk, None)
 
-    def grad_only(t):
-        l, g = jax.value_and_grad(loss_fn)(m, t, tgt, msk, None)
+    def grad_only(t, m_):
+        l, g = jax.value_and_grad(loss_fn)(m_, t, tgt, msk, None)
         leaves = jax.tree_util.tree_leaves(g)
         return l + sum(jnp.sum(x).astype(jnp.float32) * 1e-12
                        for x in leaves)
 
-    def full_step(t):
-        l, g = jax.value_and_grad(loss_fn)(m, t, tgt, msk, None)
-        m2, s2 = opt.step(m, g, state)
+    def full_step(t, m_, s_):
+        l, g = jax.value_and_grad(loss_fn)(m_, t, tgt, msk, None)
+        m2, s2 = opt.step(m_, g, s_)
         leaves = jax.tree_util.tree_leaves((m2, s2))
         return l + sum(jnp.sum(x).astype(jnp.float32) * 1e-12
                        for x in leaves if jnp.issubdtype(x.dtype,
                                                          jnp.floating))
 
-    t_fwd = device_loop_time(fwd_only, (tok,), iters=4)
-    t_grad = device_loop_time(grad_only, (tok,), iters=4)
-    t_step = device_loop_time(full_step, (tok,), iters=4)
+    t_fwd = device_loop_time(fwd_only, (tok, m), iters=4)
+    t_grad = device_loop_time(grad_only, (tok, m), iters=4)
+    t_step = device_loop_time(full_step, (tok, m, state), iters=4)
 
     # attention grad interval at the exact layer shape, x L layers
     q = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D), jnp.bfloat16)
