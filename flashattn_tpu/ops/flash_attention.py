@@ -1729,11 +1729,13 @@ def _subrow_ok(q, k, causal, window, impl):
     if not (n == k.shape[2] and q.shape[3] == 128 and 1024 <= n <= 8192
             and n % 512 == 0):
         return False
-    # The raised-limit envelope (n > 2048) was tuned tightest-compiling for
-    # 2-byte dtypes; f32 doubles the whole-row + score footprint and would
-    # fail Mosaic compile on chip (bf16 already fails at 48MB @8K,
-    # r4_limtune.log).  f32 at 4-8K keeps the loop schedule.
-    return n <= 2048 or q.dtype.itemsize <= 2
+    # f32 doubles the whole-row + score footprint: n=2048 f32 fails Mosaic
+    # compile even inside the default budget (measured on chip,
+    # r5 probe — this had silently broken f32 training at 2K since r3),
+    # and the raised limits above 2K are tuned tightest-compiling for
+    # 2-byte dtypes.  f32 keeps subrow only at 1K; the loop schedule
+    # serves it beyond.
+    return n <= 1024 or q.dtype.itemsize <= 2
 
 
 def _loop_block(q, k, causal, window, impl, blocks):
@@ -1759,9 +1761,13 @@ def _loop_block(q, k, causal, window, impl, blocks):
         bq = blocks[0]
         return bq if (n % bq == 0 and n_kv % bq == 0) else None
     # auto stays causal-only until the non-causal loop is measured a win
-    if impl == "auto" and causal and n % 1024 == 0 \
-            and q.shape[3] == 128 and blocks[0] >= 1024:
-        return 1024
+    if impl == "auto" and causal and q.shape[3] == 128:
+        if q.dtype.itemsize <= 2 and n % 1024 == 0 and blocks[0] >= 1024:
+            return 1024
+        # f32 doubles the staged tiles: 1024 blocks fail Mosaic compile
+        # (r5 probe); 512 is the smoke-proven f32 block
+        if q.dtype.itemsize == 4 and n % 512 == 0 and blocks[0] >= 512:
+            return 512
     return None
 
 
@@ -1787,8 +1793,8 @@ def _bwd_subrow_ok(q, k, causal, window, impl):
     if not (n == k.shape[2] and d == 128 and 1024 <= n <= 8192
             and n % 512 == 0):
         return False
-    # same 2-byte gate as _subrow_ok: the raised limits are bf16-tuned
-    return n <= 2048 or q.dtype.itemsize <= 2
+    # same 2-byte gate as _subrow_ok (f32 @2K fails compile, r5 probe)
+    return n <= 1024 or q.dtype.itemsize <= 2
 
 
 def _pad128(t):
@@ -1818,7 +1824,10 @@ def _pad128_ok(q, k, causal, window, impl):
         return False
     if not (n == k.shape[2] and n >= 1024 and n % 512 == 0):
         return False
-    return n <= 2048 or q.dtype.itemsize <= 2
+    # the padded recursion lands on the subrow/loop kernels: same f32
+    # envelope as _subrow_ok (f32 @2K subrow fails compile; the loop
+    # serves f32 at n % 1024 == 0)
+    return n <= 1024 or q.dtype.itemsize <= 2 or n % 1024 == 0
 
 
 def _use_kernel(q, k, block_q, block_k, impl):

@@ -116,6 +116,18 @@ def main():
     g4r = jax.grad(lambda a: jnp.sum(ft.flash_attention_reference(
         a, a, a, True).astype(jnp.float32)))(q4)
     ok &= check("flash bwd auto->subrow 4K (vmem100)", g4, g4r, 5e-2)
+    # r5: f32 auto at 2-4K must compile — the subrow kernel and the
+    # 1024-block loop both fail Mosaic for f32 (caught in r5: f32 training
+    # at 2K had been broken since r3); auto now gives f32 subrow@1K only
+    # and the 512-block loop beyond
+    qf2 = jax.random.normal(key, (1, 2, 2048, 128), jnp.float32)
+    of2 = ft.flash_attention(qf2, qf2, qf2, True)
+    ok &= check("flash fwd auto f32 2K (loop512)", of2,
+                ft.flash_attention_reference(qf2, qf2, qf2, True), 2e-2)
+    gf2 = jax.grad(lambda a: jnp.sum(ft.flash_attention(a, a, a, True)))(qf2)
+    gf2r = jax.grad(lambda a: jnp.sum(
+        ft.flash_attention_reference(a, a, a, True)))(qf2)
+    ok &= check("flash bwd auto f32 2K (loop512)", gf2, gf2r, 5e-2)
     # r4 fused subrow BACKWARD: auto routes group-1 2048/128 self-attention
     # grads through the one-kernel 5-dot schedule (_bwd_subrow_kernel)
     qs1 = jax.random.normal(key, (1, 2, 2048, 128), jnp.bfloat16)

@@ -232,7 +232,12 @@ class TestPad128SmallHeadDim:
             return _pad128_ok(q, k, causal, window, impl)
 
         assert ok((1, 2, 1024, 64))
-        assert ok((1, 2, 1536, 32))
+        assert ok((1, 2, 1536, 32), dtype=jnp.bfloat16)
+        # f32 at 512-but-not-1024 multiples has no compiling kernel route
+        # (subrow f32 caps at 1K, the f32 loop block is 512 but padded
+        # recursion requires n % 1024 for it) — stays on the grid
+        assert not ok((1, 2, 1536, 32))
+        assert ok((1, 2, 2048, 64))             # f32: pad -> loop512
         assert not ok((1, 2, 1024, 128))        # full lanes: no padding
         assert not ok((1, 2, 1024, 64), causal=False)
         assert not ok((1, 2, 1024, 64), window=256)
@@ -242,7 +247,7 @@ class TestPad128SmallHeadDim:
         assert not ok((1, 2, 1024, 8))          # below measured envelope
         assert not ok((1, 2, 1024, 20))         # not 8-divisible
         assert not ok((1, 2, 1024, 64), impl="pallas")
-        assert not ok((1, 2, 4096, 64))         # f32 above raised-limit gate
+        assert ok((1, 2, 4096, 64))             # f32: pad -> loop512
         assert ok((1, 2, 4096, 64), dtype=jnp.bfloat16)
 
     @pytest.mark.parametrize("d", [32, 64])
