@@ -235,7 +235,8 @@ def _res_bias_p_bwd(rate, seed, g):
     (dx, db), _ = _grid_call(
         functools.partial(_mask_colsum_kernel, rate=rate, n=n, block=block),
         seed, n, d, g.dtype, [g], [True], accumulate=True)
-    return dx, db.reshape(d).astype(g.dtype), g, np.zeros((1,), dtype=float0)
+    # db keeps the (1, d) primal-arg shape
+    return dx, db.astype(g.dtype), g, np.zeros((1,), dtype=float0)
 
 
 _res_bias_p.defvjp(_res_bias_p_fwd, _res_bias_p_bwd)
@@ -263,7 +264,7 @@ def _act_bias_p_bwd(rate, act, res, g):
                           n=n, block=block),
         seed, n, d, g.dtype, [g, x2d, b], [True, True, False],
         accumulate=True)
-    return dx, db.reshape(d).astype(g.dtype), np.zeros((1,), dtype=float0)
+    return dx, db.astype(g.dtype), np.zeros((1,), dtype=float0)
 
 
 _act_bias_p.defvjp(_act_bias_p_fwd, _act_bias_p_bwd)

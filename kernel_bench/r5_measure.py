@@ -302,6 +302,37 @@ if run("twolevel"):
                     print(f"{label:28s} N=16K: FAILED {type(e).__name__} "
                           f"{str(e)[:100]}")
 
+# -- int8 weight-only matmul: block tuning at the decode shape ---------------
+if run("int8wo"):
+    print("== r5 int8-wo matmul blocks (rows x 2048 @ 2048x8192 bf16-x) ==")
+    from flashattn_tpu.ops import quant as qz
+
+    E_, M_ = 2048, 8192
+    w = jax.random.normal(jax.random.PRNGKey(0), (E_, M_), jnp.bfloat16)
+    wq = qz.quantize_int8(w, axis=0)
+    for rows in (8, 2048):
+        x = jax.random.normal(jax.random.PRNGKey(1), (rows, E_),
+                              jnp.bfloat16)
+        fl = 2 * rows * E_ * M_
+        byt = E_ * M_  # int8 weight bytes dominate at small rows
+        t = device_loop_time(
+            lambda a: jnp.dot(a, w, preferred_element_type=jnp.float32),
+            (x,), iters=20)
+        print(f"rows={rows:5d} bf16 XLA        : {t*1e6:8.1f}us "
+              f"({fl/t/1e12:6.1f} TF, {2*byt/t/1e9:5.0f} GB/s)")
+        for bk in (512, 1024, 2048):
+            for bn in (256, 512, 1024):
+                try:
+                    fn = (lambda bk_, bn_: lambda a: qz.int8_weight_only_matmul(
+                        a, wq, block_n=bn_, block_k=bk_))(bk, bn)
+                    t = device_loop_time(fn, (x,), iters=20)
+                    print(f"rows={rows:5d} int8-wo k{bk} n{bn}: "
+                          f"{t*1e6:8.1f}us ({fl/t/1e12:6.1f} TF, "
+                          f"{byt/t/1e9:5.0f} GB/s)")
+                except Exception as e:  # noqa: BLE001
+                    print(f"rows={rows:5d} int8-wo k{bk} n{bn}: FAILED "
+                          f"{type(e).__name__} {str(e)[:80]}")
+
 # -- dense fwd @8K: limit/sub hunt -------------------------------------------
 if run("fwd8k"):
     print("== r5 dense fwd @8K (bf16 B4 H8 D128), where-mask subrow ==")
