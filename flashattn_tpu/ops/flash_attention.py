@@ -662,7 +662,8 @@ def _fwd_subrow_varlen_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _flash_fwd_subrow_varlen(q, k, v, kv_lengths, *, sm_scale,
                              sub: int = 256,
-                             vmem_limit: Optional[int] = None):
+                             vmem_limit: Optional[int] = None,
+                             prefetch: bool = True):
     """Varlen causal self-attention with the whole K/V row VMEM-resident.
 
     The serving engine's batched prefill is varlen
@@ -676,34 +677,59 @@ def _flash_fwd_subrow_varlen(q, k, v, kv_lengths, *, sm_scale,
     group = h // k.shape[1]
     assert n % sub == 0
     q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, h),
-        in_specs=[
-            pl.BlockSpec((1, 1, n, d),
-                         lambda b_, h_, lens: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, n, d),
-                         lambda b_, h_, lens: (b_, h_ // group, 0, 0)),
-            pl.BlockSpec((1, 1, n, d),
-                         lambda b_, h_, lens: (b_, h_ // group, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, n, d),
-                         lambda b_, h_, lens: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, n, 1),
-                         lambda b_, h_, lens: (b_, h_, 0, 0)),
-        ],
-    )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=vmem_limit)
+    if prefetch:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, n, d),
+                             lambda b_, h_, lens: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, n, d),
+                             lambda b_, h_, lens: (b_, h_ // group, 0, 0)),
+                pl.BlockSpec((1, 1, n, d),
+                             lambda b_, h_, lens: (b_, h_ // group, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, n, d),
+                             lambda b_, h_, lens: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, n, 1),
+                             lambda b_, h_, lens: (b_, h_, 0, 0)),
+            ],
+        )
+        o, lse = pl.pallas_call(
+            functools.partial(_fwd_subrow_varlen_kernel, sub=sub, n=n),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=use_interpret_mode(),
+        )(kv_lengths.astype(jnp.int32), q, k, v)
+        return o, lse
+    # SMEM variant: lens ride an SMEM block spec on a plain grid (A/B vs
+    # the prefetch grid spec's ~19% overhead hypothesis)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_subrow_varlen_kernel, sub=sub, n=n),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
+            pl.BlockSpec((1, 1, n, d),
+                         lambda b_, h_: (b_, h_ // group, 0, 0)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=vmem_limit),
+        out_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, n, 1), lambda b_, h_: (b_, h_, 0, 0)),
+        ],
+        out_shape=out_shape,
+        compiler_params=params,
         interpret=use_interpret_mode(),
     )(kv_lengths.astype(jnp.int32), q, k, v)
     return o, lse

@@ -352,3 +352,32 @@ if run("fwd8k"):
             except Exception as e:  # noqa: BLE001
                 print(f"{label} N=8192: FAILED {type(e).__name__} "
                       f"{str(e)[:110]}")
+
+# -- varlen subrow: prefetch vs SMEM lens (the ~19% gap hypothesis) ----------
+if run("varlensmem"):
+    print("== r5 varlen subrow lens transport: prefetch vs SMEM ==")
+    for N in (2048, 4096):
+        sub, lim = fa._subrow_params(N)
+        lens = jnp.asarray([N] * B, jnp.int32)
+        ks = jax.random.split(jax.random.PRNGKey(N), 3)
+        q = jax.random.normal(ks[0], (B, H, N, D), jnp.bfloat16)
+        flops = varlen_flops([N] * B, N)
+        for pf in (True, False):
+            label = f"{'prefetch' if pf else 'smem    '} sub={sub}"
+            try:
+                fn = (lambda p: lambda x: fa._flash_fwd_subrow_varlen(
+                    x, x, x, lens, sm_scale=D**-0.5, sub=sub,
+                    vmem_limit=lim, prefetch=p)[0])(pf)
+                t = device_loop_time(fn, (q,), iters=30)
+                print(f"{label} N={N}: {t*1e3:7.3f} ms  "
+                      f"{flops/t/1e12:6.1f} TF-useful")
+            except Exception as e:  # noqa: BLE001
+                print(f"{label} N={N}: FAILED {type(e).__name__} "
+                      f"{str(e)[:100]}")
+        # dense reference point in the same log
+        fn = lambda x: fa._flash_fwd_subrow(
+            x, x, x, sm_scale=D**-0.5, sub=sub, concat_mask=False,
+            vmem_limit=lim)[0]
+        t = device_loop_time(fn, (q,), iters=30)
+        print(f"dense subrow     N={N}: {t*1e3:7.3f} ms  "
+              f"{flops/t/1e12:6.1f} TF-useful")

@@ -340,6 +340,21 @@ class TestSubrowVarlen:
         np.testing.assert_allclose(np.asarray(o), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
 
+    def test_smem_variant_matches_prefetch(self):
+        from flashattn_tpu.ops.flash_attention import _flash_fwd_subrow_varlen
+
+        q, k, v, lengths = self._args(seed=5)
+        o_p, lse_p = _flash_fwd_subrow_varlen(q, k, v, lengths,
+                                              sm_scale=1.0 / 128**0.5,
+                                              sub=512, prefetch=True)
+        o_s, lse_s = _flash_fwd_subrow_varlen(q, k, v, lengths,
+                                              sm_scale=1.0 / 128**0.5,
+                                              sub=512, prefetch=False)
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_s),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_s),
+                                   atol=1e-6)
+
     def test_zero_length_row(self):
         from flashattn_tpu.ops.flash_attention import _flash_fwd_subrow_varlen
 
