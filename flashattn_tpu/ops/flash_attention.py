@@ -1714,15 +1714,25 @@ def _check_heads(q, k, v):
 # fwd @4K measured 159.0 TF at 32MB vs 135.6 at 100MB (+17%), @8K 149.1 at
 # 64MB vs 144.3 at 100MB; 32/48MB fail to compile at 8K
 # (battery_logs/r4_limtune.log).
-_SUBROW_VMEM_4K = 32 * 1024 * 1024
-_SUBROW_VMEM_8K = 64 * 1024 * 1024
+#
+# r5 CAVEAT: the scoped demand varies ~10% with the GRID shape, not just
+# the block (B8 H16 @4K wants 33.16M where B4 H8 fit 32M; B2 H16 @8K wants
+# 71.66M where B4 H8 fit 64M — r5_sweep_prod.log / r5_vmem36.log), and an
+# under-provisioned limit is a HARD compile failure for the user.  The
+# production limits therefore carry margin over the tightest observed
+# demand.  The tax is a step function AT the tight limit, not gradual
+# (interleaved @B4H8, r5 limpick: 4K 32M=157.8 / 36M=149.5 / 40M=148.4;
+# 8K 64M=149.4 / 72-80M=145.0-145.6) — any margin costs the same ~3-5%,
+# so the margin size is chosen for safety, not speed.
+_SUBROW_VMEM_4K = 40 * 1024 * 1024
+_SUBROW_VMEM_8K = 80 * 1024 * 1024
 # bwd holds four score-shaped intermediates (s/p, dp, ds) + dk/dv scratch:
-# 48MB is its 4K floor (142.7 TF vs 139.1 at 100MB); 64MB at 8K (167.5).
-_BWD_SUBROW_VMEM_4K = 48 * 1024 * 1024
+# 48MB is its 4K floor at B4 H8 (142.7 TF vs 139.1 at 100MB) + grid margin.
+_BWD_SUBROW_VMEM_4K = 56 * 1024 * 1024
 # the varlen kernel's per-group iota/min masks need more headroom than the
-# dense where-mask at 8K: 64MB fails Mosaic compile, 72MB is the tightest
-# that compiles (131.5 TF, r5_varlen2.log)
-_VARLEN_SUBROW_VMEM_8K = 72 * 1024 * 1024
+# dense where-mask (72MB tightest at B4 H8 @8K, 131.5 TF, r5_varlen2.log);
+# same grid margin policy
+_VARLEN_SUBROW_VMEM_8K = 80 * 1024 * 1024
 
 
 def _subrow_params(n):
