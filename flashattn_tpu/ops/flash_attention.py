@@ -1640,7 +1640,7 @@ def _pick_blocks(n_q: int, n_kv: int, block_q: int, block_k: int,
 MIN_KERNEL_KV_LEN = 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def flash_attention(
     q: Array,
     k: Array,
@@ -1651,6 +1651,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     impl: str = "auto",
     window: Optional[int] = None,
+    vmem_limit: Optional[int] = None,
 ) -> Array:
     """softmax(Q K^T / sqrt(d)) V without materialising the scores matrix.
 
@@ -1673,11 +1674,17 @@ def flash_attention(
         outside the window are skipped at the GRID level with their DMAs
         elided, so compute AND memory traffic are O(seq * window), in
         forward and both backward kernels.
+      vmem_limit: override Mosaic's scoped-vmem budget (bytes) for the
+        subrow schedules.  The dispatch defaults carry a grid-shape safety
+        margin worth ~3-5%; the TIGHTEST limit that compiles for YOUR grid
+        is fastest (e.g. 32MB at B4 H8 seq 4096 measures 158-159 TF vs the
+        default's 148) but under-provisioning is a hard compile error —
+        this knob hands that trade to the caller.
 
     Returns: (batch, heads, seq_q, head_dim).
     """
     o, _ = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                            impl, window)
+                            impl, window, vmem_limit)
     return o
 
 
@@ -1879,7 +1886,7 @@ def _use_kernel(q, k, block_q, block_k, impl):
 
 
 def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                     impl="auto", window=None):
+                     impl="auto", window=None, vmem_limit=None):
     _check_heads(q, k, v)
     if window is not None:
         if not causal:
@@ -1896,11 +1903,12 @@ def _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
     if _subrow_ok(q, k, causal, window, impl):
         sub, lim = _subrow_params(q.shape[2])
         return _flash_fwd_subrow(q, k, v, sm_scale=scale, sub=sub,
-                                 concat_mask=False, vmem_limit=lim)
+                                 concat_mask=False,
+                                 vmem_limit=vmem_limit or lim)
     if _pad128_ok(q, k, causal, window, impl):
         qp, kp, vp = (_pad128(t) for t in (q, k, v))
         o, lse = _flash_fwd_entry(qp, kp, vp, causal, scale, block_q,
-                                  block_k, impl, window)
+                                  block_k, impl, window, vmem_limit)
         return o[..., :d], lse
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None:
@@ -1949,14 +1957,14 @@ def _reference_fwd_with_lse(q, k, v, causal, scale, kv_lengths=None,
 
 
 def _flash_vjp_fwd(q, k, v, causal, sm_scale, block_q, block_k, impl,
-                   window):
+                   window, vmem_limit):
     o, lse = _flash_fwd_entry(q, k, v, causal, sm_scale, block_q, block_k,
-                              impl, window)
+                              impl, window, vmem_limit)
     return o, (q, k, v, o, lse)
 
 
 def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
-                   res, do):
+                   vmem_limit, res, do):
     q, k, v, o, lse = res
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
@@ -1983,7 +1991,7 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
         else:
             lim = _SUBROW_VMEM_8K
         return _flash_bwd_subrow(q, k, v, lse, di, do, sm_scale=scale,
-                                 sub=sub, vmem_limit=lim)
+                                 sub=sub, vmem_limit=vmem_limit or lim)
     if _pad128_ok(q, k, causal, window, impl):
         # small-head-dim tier: same zero-pad recursion as the forward; o's
         # padded columns are genuinely zero (v was zero there), so di and
@@ -1991,7 +1999,7 @@ def _flash_vjp_bwd(causal, sm_scale, block_q, block_k, impl, window,
         # discarded on slice
         res_p = (_pad128(q), _pad128(k), _pad128(v), _pad128(o), lse)
         dq, dk, dv = _flash_vjp_bwd(causal, scale, block_q, block_k, impl,
-                                    window, res_p, _pad128(do))
+                                    window, vmem_limit, res_p, _pad128(do))
         return dq[..., :d], dk[..., :d], dv[..., :d]
     lb = _loop_block(q, k, causal, window, impl, blocks)
     if lb is not None and causal:   # the loop backward is causal-only
