@@ -161,12 +161,20 @@ def _wo_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
 
 
 def int8_weight_only_matmul(x: Array, w: QuantizedTensor,
-                            block_m: int = 256, block_n: int = 256,
-                            block_k: int = 512) -> Array:
+                            block_m: int = 256, block_n: int = 512,
+                            block_k: int = 2048) -> Array:
     """x (M, K) @ dequant(w) (K, N) with per-output-channel scales (1, N).
 
     The reference equivalent would be a cuBLAS GEMM on pre-dequantised
     weights; here dequant happens tile-by-tile in VMEM.
+
+    Block defaults from the r5 sweep (`r5_smem_int8wo.log`, (rows, 2048) x
+    (2048, 8192)): big K tiles let Mosaic pipeline the int8->bf16 dequant
+    against the weight DMA — (k2048, n512) wins at BOTH scales, 24.5us at
+    rows=8 (685 GB/s of int8 weight reads = 1.9x the bf16 matmul, the
+    halved weight traffic finally landing) and 182.2 TF at rows=2048
+    (0.97x bf16).  The old (k512, n256) defaults measured 0.5-0.9x bf16
+    everywhere — tiles too small to hide the dequant.
     """
     m, k = x.shape
     k2, n = w.values.shape
