@@ -22,9 +22,9 @@ round-trip latency which would dominate and understate throughput ~3x.
 Reference points measured on this chip with this methodology (v5e-1):
 XLA 8192^3 bf16 matmul = 175 TFLOP/s; XLA naive attention at the bench
 shape = 22.2 TFLOP/s; jax.experimental.pallas production flash kernel
-(default blocks) = 17.4 TFLOP/s; this framework = ~134 TFLOP/s causal at
-the bench shape (subrow schedule; 118-148 at seq 4-32K via the loop
-kernels; ~144 non-causal).
+(default blocks) = 17.4 TFLOP/s; this framework = ~130-134 TFLOP/s causal
+at the bench shape (subrow schedule; 145-158 at 4-8K, 144-148 at 16-32K
+via the loop kernels; ~144 non-causal; r5 headline re-run 131.65).
 """
 
 from __future__ import annotations
