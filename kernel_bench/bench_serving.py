@@ -102,8 +102,50 @@ def prefill_bench(plen=2048, n_req=4, force_grid=False, label="",
         fa._subrow_ok = orig
 
 
+def northstar():
+    """BASELINE configs[2-3] literally: seq-8K prompts, FP8/INT8 paged KV,
+    int8 weight-only Linears, continuous batching, single chip.  Measures
+    TTFT (prefill-dominated) and steady-state decode tok/s at 8K history."""
+    from flashattn_tpu.ops.quant import quantize_model_weights
+    import jax.numpy as jnp
+
+    plen, new, n_req = 8192, 64, 4
+    L, E, H = 4, 1024, 8
+    base = ft.DecoderLM(1000, E, H, 2 * plen, p_dropout=0.0, n_layer=L,
+                        attn_impl="flash", key=jax.random.PRNGKey(0)).eval()
+    for label, model, dtype in [
+        ("bf16 weights + bf16 KV", base, None),
+        ("int8 weights + int8 KV pages", quantize_model_weights(base, jnp.int8),
+         jnp.int8),
+        ("int8 weights + fp8 KV pages", quantize_model_weights(base, jnp.int8),
+         jnp.float8_e4m3fn),
+    ]:
+        kw = dict(dtype=dtype) if dtype is not None else {}
+        eng = ContinuousBatchingEngine(
+            model, max_batch=n_req, page_size=128,
+            pages_per_seq=(plen + 256) // 128, steps_per_dispatch=8,
+            prefill_chunk=plen, **kw)
+        rng = np.random.default_rng(0)
+        prompts = [list(rng.integers(1, 999, size=plen))
+                   for _ in range(n_req)]
+        eng.submit(prompts[0], new)
+        eng.run()
+        eng.finished.clear()
+        reqs = [eng.submit(p, new) for p in prompts]
+        t0 = time.perf_counter()
+        eng.run()
+        dt = time.perf_counter() - t0
+        toks = sum(len(r.generated) for r in reqs)
+        print(f"northstar 8K {label:28s}: {toks/dt:7.0f} new tok/s  "
+              f"({(toks + n_req*plen)/dt:8.0f} incl. prompts, "
+              f"{dt*1e3:6.0f} ms total)")
+
+
 def main():
     import sys
+    if "northstar" in sys.argv:
+        northstar()
+        return
     if "prefill" in sys.argv:
         for plen in (2048, 4096):
             prefill_bench(plen, force_grid=True,
