@@ -19,8 +19,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flashattn_tpu.nn.functional import dropout_res_bias
 from flashattn_tpu.utils.timing import device_loop_time
+
+
+def opgraph_dropout_res_bias(x, bias, residual, rate, key):
+    """The PRE-r5 op-graph composition, inlined as the baseline: since r5,
+    ``nn.functional.dropout_res_bias`` itself routes through the Pallas
+    kernel on chip, so importing it would compare the kernel to itself
+    (caught when a rerun showed 'XLA' at 2266 GB/s — it WAS the kernel)."""
+    y = x + bias
+    keep = jax.random.bernoulli(key, 1.0 - rate, y.shape)
+    y = jnp.where(keep, y, jnp.zeros_like(y)) / (1.0 - rate)
+    return residual + y
 
 
 def _fused_kernel(seed_ref, x_ref, b_ref, r_ref, o_ref, *, rate: float):
@@ -95,7 +105,8 @@ def main():
         r = jax.random.normal(jax.random.PRNGKey(2), (n, d), dtype)
 
         def xla_op(x, r):
-            return dropout_res_bias(x, b, r, rate, jax.random.PRNGKey(7))
+            return opgraph_dropout_res_bias(x, b, r, rate,
+                                            jax.random.PRNGKey(7))
 
         def pallas_op(x, r):
             return pallas_dropout_res_bias(x, b, r, rate, seed=7)
